@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Loaders for the driver-generated parquet tables under a scale
+  * factor directory (see TESTDATA.md). Column pruning / predicate
+  * pushdown is left to Catalyst — callers select/filter and the
+  * parquet scan only reads what survives.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame    = table("region")
+  def nation: DataFrame    = table("nation")
+  def customer: DataFrame  = table("customer")
+  def supplier: DataFrame  = table("supplier")
+  def part: DataFrame      = table("part")
+  def orders: DataFrame    = table("orders")
+  def lineitem: DataFrame  = table("lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read it as raw nanos (legacy conf, set here so it
+    * works under any session) and convert to a microsecond timestamp
+    * with exact integer arithmetic.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

@@ -1,0 +1,441 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.{DateFns, EthiopianCalendar => EC}
+
+/** The reference's relational surface (SURVEY.md §2.1) re-expressed on
+  * the test schema. Every query is a declarative DataFrame plan —
+  * filters/projections reach the parquet scan, dimension joins are
+  * broadcast, fact aggregations are partial-aggregated map-side by
+  * Catalyst. Construct evidence cited per query from
+  * /root/reference/sql_queries.
+  */
+object Relational {
+
+  /** Exact-sum helper: doubles are cast to fixed-scale decimals before
+    * SUM so the result is order-independent (double summation is not
+    * associative; decimal is). Mirrored verbatim in oracle SQL.
+    */
+  private def dec(c: Column, p: Int = 12, s: Int = 4): Column =
+    c.cast(s"decimal($p,$s)")
+
+  private val ReportEnd = "2000-01-01"      // REPORT_END_DATE analog for order-date queries
+  private val EventsEnd = "2024-01-21"      // REPORT_END_DATE analog for the events table
+
+  // ------------------------------------------------------------------
+  // 1. q_agg_pricing — GROUP BY + SUM/COUNT (TPC-H Q1 shape; reference
+  //    aggregates e.g. Tx_Curr_HVL_LineList.sql SUM/MAX blocks).
+  // ------------------------------------------------------------------
+  private val aggPricing = GraftQuery(
+    "q_agg_pricing",
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+      COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val discount = (lit(1) - dec(col("l_discount"), 8)).cast("decimal(8,4)")
+      val tax = (lit(1) + dec(col("l_tax"), 8)).cast("decimal(8,4)")
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * discount).cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * discount * tax).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    })
+
+  // ------------------------------------------------------------------
+  // 2. q_filter_project — WHERE date range + narrow projection
+  //    (report-window filter, e.g. Tx_Curr_LineList.sql:68).
+  //    Pushdown: both predicates and the 5-column ReadSchema reach the
+  //    parquet scan.
+  // ------------------------------------------------------------------
+  private val filterProject = GraftQuery(
+    "q_filter_project",
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => Tables(s, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber"))
+
+  // ------------------------------------------------------------------
+  // 3. q_join_multi — chained LEFT JOIN star (the reference's dominant
+  //    shape: 184 left joins, e.g. Tx_Curr_LineList.sql:30-47).
+  //    Scale: nation/region broadcast; orders⟕customer shuffles on the
+  //    key once (both sides scale with SF).
+  // ------------------------------------------------------------------
+  private val joinMulti = GraftQuery(
+    "q_join_multi",
+    Some("""SELECT o_orderkey, o_totalprice, c_name, n_name, r_name
+      FROM orders
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"), "left")
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name", "r_name")
+        .orderBy("o_orderkey")
+    })
+
+  // ------------------------------------------------------------------
+  // 4. q_latest_per_key — ROW_NUMBER()=1 latest record per key
+  //    (68 occurrences; Tx_Curr_LineList.sql:64).
+  // ------------------------------------------------------------------
+  private val latestPerKey = GraftQuery(
+    "q_latest_per_key",
+    Some("""SELECT user_id, event_id, event_type, value,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+      WHERE rn = 1 ORDER BY user_id"""),
+    (s, dir) => LatestPerKey(Tables(s, dir).events,
+        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy("user_id"))
+
+  // ------------------------------------------------------------------
+  // 5. q_case_map — CASE WHEN value mapping (Sex→'F'/'M' etc.,
+  //    Tx_Curr_LineList.sql:88-91,111-123).
+  // ------------------------------------------------------------------
+  private val caseMap = GraftQuery(
+    "q_case_map",
+    Some("""SELECT c_custkey,
+      CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'AUTO' WHEN 'BUILDING' THEN 'BLD'
+        WHEN 'FURNITURE' THEN 'FURN' WHEN 'HOUSEHOLD' THEN 'HH'
+        WHEN 'MACHINERY' THEN 'MACH' ELSE 'OTHER' END AS seg_code,
+      CASE WHEN c_acctbal >= 5000 THEN 'HIGH' WHEN c_acctbal >= 0 THEN 'MID'
+        ELSE 'NEG' END AS bal_band
+      FROM customer ORDER BY c_custkey"""),
+    (s, dir) => Tables(s, dir).customer
+      .select(col("c_custkey"),
+        when(col("c_mktsegment") === "AUTOMOBILE", "AUTO")
+          .when(col("c_mktsegment") === "BUILDING", "BLD")
+          .when(col("c_mktsegment") === "FURNITURE", "FURN")
+          .when(col("c_mktsegment") === "HOUSEHOLD", "HH")
+          .when(col("c_mktsegment") === "MACHINERY", "MACH")
+          .otherwise("OTHER").as("seg_code"),
+        when(col("c_acctbal") >= 5000, "HIGH")
+          .when(col("c_acctbal") >= 0, "MID")
+          .otherwise("NEG").as("bal_band"))
+      .orderBy("c_custkey"))
+
+  // ------------------------------------------------------------------
+  // 6. q_date_arith — TIMESTAMPDIFF(DAY/YEAR) + DATE_ADD
+  //    (83 + 48 occurrences; Tx_Curr_LineList.sql:85,93).
+  // ------------------------------------------------------------------
+  private val dateArith = GraftQuery(
+    "q_date_arith",
+    Some(s"""SELECT o_orderkey,
+      date_diff('day', CAST(o_orderdate AS DATE), DATE '$ReportEnd') AS days_to_end,
+      year(DATE '$ReportEnd') - year(CAST(o_orderdate AS DATE))
+        - CASE WHEN month(DATE '$ReportEnd') < month(CAST(o_orderdate AS DATE))
+                 OR (month(DATE '$ReportEnd') = month(CAST(o_orderdate AS DATE))
+                     AND day(DATE '$ReportEnd') < day(CAST(o_orderdate AS DATE)))
+               THEN 1 ELSE 0 END AS years_to_end,
+      strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date
+      FROM orders ORDER BY o_orderkey"""),
+    (s, dir) => Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        DateFns.daysBetween(col("o_orderdate"), lit(ReportEnd)).as("days_to_end"),
+        DateFns.yearsBetween(col("o_orderdate"), lit(ReportEnd)).as("years_to_end"),
+        date_format(DateFns.addDays(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"))
+      .orderBy("o_orderkey"))
+
+  // ------------------------------------------------------------------
+  // 7. q_period_diff — PERIOD_DIFF months-on-ART shape
+  //    (Tx_Curr_LineList.sql:150).
+  // ------------------------------------------------------------------
+  private val periodDiff = GraftQuery(
+    "q_period_diff",
+    Some(s"""SELECT o_orderkey,
+      (year(DATE '$ReportEnd') * 12 + month(DATE '$ReportEnd'))
+        - (year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE))) AS months_to_end
+      FROM orders ORDER BY o_orderkey"""),
+    (s, dir) => Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        DateFns.periodDiff(lit(ReportEnd), col("o_orderdate")).as("months_to_end"))
+      .orderBy("o_orderkey"))
+
+  // ------------------------------------------------------------------
+  // 8. q_ethiopian_cal — fn_gregorian_to_ethiopian_calendar (19×;
+  //    Tx_Curr_LineList.sql:94). Pure JDN arithmetic, codegen'd.
+  // ------------------------------------------------------------------
+  private val ethiopianCal = GraftQuery(
+    "q_ethiopian_cal",
+    Some(s"""SELECT o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      ${EC.duckdbDMY("o_orderdate")} AS order_date_ec
+      FROM orders ORDER BY o_orderkey"""),
+    (s, dir) => Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        EC.ethiopianDMY(col("o_orderdate")).as("order_date_ec"))
+      .orderBy("o_orderkey"))
+
+  // ------------------------------------------------------------------
+  // 9. q_lag_window — LAG over per-entity history (3×, e.g.
+  //    Tx_Curr_VLEligibleNew_LineList.sql LAG usage).
+  // ------------------------------------------------------------------
+  private val lagWindow = GraftQuery(
+    "q_lag_window",
+    Some("""SELECT user_id, event_id, value,
+      value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events ORDER BY user_id, event_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"), col("value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("user_id", "event_id")
+    })
+
+  // ------------------------------------------------------------------
+  // 10. q_agg_top — GROUP BY + ORDER BY revenue + LIMIT.
+  // ------------------------------------------------------------------
+  private val aggTop = GraftQuery(
+    "q_agg_top",
+    Some("""SELECT c_custkey, c_name,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY revenue DESC, c_custkey LIMIT 10"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(dec(col("o_totalprice"), 14)).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    })
+
+  // ------------------------------------------------------------------
+  // 11. q_string_funs — LEFT/TRIM/CONCAT/UPPER/LIKE
+  //     (Tx_Curr_LineList.sql:98-99 LEFT(regimen,…); TRIM ×16).
+  // ------------------------------------------------------------------
+  private val stringFuns = GraftQuery(
+    "q_string_funs",
+    Some("""SELECT p_partkey,
+      UPPER(LEFT(p_name, 8)) AS name_prefix,
+      TRIM(p_brand) AS brand,
+      p_brand || ':' || p_type AS brand_type,
+      LENGTH(p_name) AS name_len
+      FROM part WHERE p_type LIKE '%M%' ORDER BY p_partkey"""),
+    (s, dir) => Tables(s, dir).part
+      .filter(col("p_type").like("%M%"))
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        trim(col("p_brand")).as("brand"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"))
+      .orderBy("p_partkey"))
+
+  // ------------------------------------------------------------------
+  // 12. q_null_funs — COALESCE/IFNULL/NULLIF/IF (25 + 20 occurrences).
+  // ------------------------------------------------------------------
+  private val nullFuns = GraftQuery(
+    "q_null_funs",
+    Some("""SELECT c_custkey,
+      COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), '(none)') AS seg_or_none,
+      CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal,
+      COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_or_zero,
+      CASE WHEN c_acctbal >= 0 THEN 'POS' ELSE 'NEG' END AS bal_sign
+      FROM customer ORDER BY c_custkey"""),
+    (s, dir) => {
+      val posBal = when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+      Tables(s, dir).customer
+        .select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("(none)")).as("seg_or_none"),
+          posBal.as("pos_bal"),
+          coalesce(posBal, lit(0.0)).as("bal_or_zero"),
+          when(col("c_acctbal") >= 0, "POS").otherwise("NEG").as("bal_sign"))
+        .orderBy("c_custkey")
+    })
+
+  // ------------------------------------------------------------------
+  // 13. q_distinct — COUNT(DISTINCT) per group.
+  // ------------------------------------------------------------------
+  private val distinctQ = GraftQuery(
+    "q_distinct",
+    Some("""SELECT l_returnflag,
+      COUNT(DISTINCT l_partkey) AS distinct_parts,
+      COUNT(DISTINCT l_suppkey) AS distinct_supps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"))
+      .orderBy("l_returnflag"))
+
+  // ------------------------------------------------------------------
+  // 14. q_semi_join — IN (subquery) as left-semi (no payload from the
+  //     inner side ⇒ semi beats inner+distinct at scale).
+  // ------------------------------------------------------------------
+  private val semiJoin = GraftQuery(
+    "q_semi_join",
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.join(t.customer.filter(col("c_acctbal") > 5000),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    })
+
+  // ------------------------------------------------------------------
+  // 15. q_anti_join — NOT IN shape as left-anti.
+  // ------------------------------------------------------------------
+  private val antiJoin = GraftQuery(
+    "q_anti_join",
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      ORDER BY c_custkey"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(t.orders.filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    })
+
+  // ------------------------------------------------------------------
+  // 17. q_window_time — report-period time bucketing (tumbling day).
+  // ------------------------------------------------------------------
+  private val windowTime = GraftQuery(
+    "q_window_time",
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
+    (s, dir) => Tables(s, dir).events
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 18, 6)).cast("double").as("sum_value"))
+      .orderBy("day", "event_type"))
+
+  // ------------------------------------------------------------------
+  // 18. q_union_all — multi-branch concat (tool runs 12 reports;
+  //     unionByName is the set-combine primitive).
+  // ------------------------------------------------------------------
+  private val unionAll = GraftQuery(
+    "q_union_all",
+    Some("""SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+      UNION ALL
+      SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+      ORDER BY src, id"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.select(col("c_custkey").as("id"), col("c_name").as("name"),
+          lit("customer").as("src"))
+        .unionByName(t.supplier.select(col("s_suppkey").as("id"),
+          col("s_name").as("name"), lit("supplier").as("src")))
+        .orderBy("src", "id")
+    })
+
+  // ------------------------------------------------------------------
+  // 19. q_json_extract — JSON props extraction (events.props).
+  // ------------------------------------------------------------------
+  private val jsonExtract = GraftQuery(
+    "q_json_extract",
+    Some("""SELECT event_id, json_extract_string(props, '$.k') AS k
+      FROM events ORDER BY event_id"""),
+    (s, dir) => Tables(s, dir).events
+      .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+      .orderBy("event_id"))
+
+  // ------------------------------------------------------------------
+  // 16. q_line_list — flagship Tx_Curr line-list shape
+  //     (Tx_Curr_LineList.sql:1-157): filter to report window → latest
+  //     follow-up per client → status filter → dim joins → projection
+  //     with CASE mapping, date math, Ethiopian rendering.
+  // ------------------------------------------------------------------
+  private val lineList = GraftQuery(
+    "q_line_list",
+    Some(s"""WITH fu AS (SELECT * FROM events WHERE ts <= TIMESTAMP '$EventsEnd'),
+      latest AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM fu) t WHERE rn = 1),
+      tx AS (SELECT * FROM latest WHERE event_type IN ('view', 'click', 'purchase', 'signup'))
+      SELECT tx.user_id AS patient_id,
+        CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'AUTO' WHEN 'BUILDING' THEN 'BLD'
+          WHEN 'FURNITURE' THEN 'FURN' WHEN 'HOUSEHOLD' THEN 'HH'
+          WHEN 'MACHINERY' THEN 'MACH' ELSE 'OTHER' END AS seg_code,
+        strftime(tx.ts, '%Y-%m-%d') AS followup_date_gc,
+        ${EC.duckdbDMY("tx.ts")} AS followup_date_ec,
+        date_diff('day', CAST(tx.ts AS DATE), DATE '$EventsEnd') AS days_since_followup,
+        (year(DATE '$EventsEnd') * 12 + month(DATE '$EventsEnd'))
+          - (year(CAST(tx.ts AS DATE)) * 12 + month(CAST(tx.ts AS DATE))) AS months_since_followup,
+        tx.event_type AS followup_status,
+        tx.value AS measure,
+        strftime(CAST(tx.ts AS DATE) + 30, '%Y-%m-%d') AS next_visit_date,
+        c_name, n_name, r_name
+      FROM tx
+      LEFT JOIN customer ON tx.user_id = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      ORDER BY patient_id"""),
+    (s, dir) => lineListBuild(s, dir))
+
+  private def lineListBuild(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val fu = t.events.filter(col("ts") <= lit(EventsEnd))
+    val latest = LatestPerKey(fu, Seq(col("user_id")),
+      Seq(col("ts").desc, col("event_id").desc))
+    val tx = latest.filter(col("event_type").isin("view", "click", "purchase", "signup"))
+    tx.join(t.customer, col("user_id") === col("c_custkey"), "left")
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(
+        col("user_id").as("patient_id"),
+        when(col("c_mktsegment") === "AUTOMOBILE", "AUTO")
+          .when(col("c_mktsegment") === "BUILDING", "BLD")
+          .when(col("c_mktsegment") === "FURNITURE", "FURN")
+          .when(col("c_mktsegment") === "HOUSEHOLD", "HH")
+          .when(col("c_mktsegment") === "MACHINERY", "MACH")
+          .otherwise("OTHER").as("seg_code"),
+        date_format(col("ts"), "yyyy-MM-dd").as("followup_date_gc"),
+        EC.ethiopianDMY(col("ts")).as("followup_date_ec"),
+        DateFns.daysBetween(col("ts"), lit(EventsEnd)).as("days_since_followup"),
+        DateFns.periodDiff(lit(EventsEnd), col("ts")).as("months_since_followup"),
+        col("event_type").as("followup_status"),
+        col("value").as("measure"),
+        date_format(DateFns.addDays(col("ts"), 30), "yyyy-MM-dd").as("next_visit_date"),
+        col("c_name"), col("n_name"), col("r_name"))
+      .orderBy("patient_id")
+  }
+
+  /** Flagship for SparkEntry.entry. */
+  def lineListEntry(s: SparkSession, dir: String): DataFrame = lineListBuild(s, dir)
+
+  val queries: Seq[GraftQuery] = Seq(
+    aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
+    periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
+    distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LatestPerKey, Relational}
+import graft.functions.{EthiopianCalendar => EC}
+
+class RelationalSpec extends SparkSpec {
+
+  test("every registered query runs and projects its declared shape") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      assert(df.count() >= 0, name)
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("latest per key picks max ts with id tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", "a"),
+      (1L, 11L, "2024-01-02 00:00:00", "b"),
+      (1L, 12L, "2024-01-02 00:00:00", "c"), // same ts, higher id wins
+      (2L, 20L, "2024-01-01 00:00:00", "d"))
+      .toDF("k", "id", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = LatestPerKey(df, Seq(col("k")), Seq(col("ts").desc, col("id").desc))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "c", 2L -> "d"))
+  }
+
+  test("ethiopian Column conversion agrees with scalar conversion") {
+    import spark.implicits._
+    val dates = Seq("1995-06-15", "2000-01-01", "2023-09-12", "2024-01-21")
+    val got = dates.toDF("d")
+      .select(EC.ethiopianDMY(col("d")).as("ec")).as[String].collect()
+    val want = dates.map { s =>
+      val (y, m, dd) = EC.toEthiopian(java.time.LocalDate.parse(s))
+      s"$dd/$m/$y"
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("plans keep filters on the scan and broadcast dims") {
+    val plan = Relational.lineListEntry(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dim joins should broadcast")
+  }
+}
