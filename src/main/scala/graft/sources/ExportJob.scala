@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+
+/** The reference tool's export pipeline (export.py:229-349 +
+  * zip_files_with_checksum export.py:145-210), Spark-first:
+  *
+  *   1. run every named query,
+  *   2. append constant facility columns (Region/Woreda/Facility/
+  *      HMISCode in the reference; arbitrary here),
+  *   3. one CSV per query,
+  *   4. zip the CSVs, SHA-256 the zip, package zip+checksum.
+  *
+  * Scale: the CSV is written by Spark's distributed csv sink (every
+  * partition writes its own part file in parallel) and the parts are
+  * then stream-concatenated on the driver — file-level IO, never
+  * rows-in-memory, so a 100 TB export streams through. The zip stage
+  * is also streaming (4 MiB buffers).
+  */
+object ExportJob {
+
+  final case class Result(
+      packagePath: Path,
+      innerZip: String,
+      checksum: String,
+      csvFiles: Seq[String])
+
+  def run(
+      spark: SparkSession,
+      queries: Map[String, DataFrame],
+      constants: Seq[(String, String)],
+      outDir: Path,
+      tag: String): Result = {
+    Files.createDirectories(outDir)
+    val csvs = queries.toSeq.sortBy(_._1).map { case (name, df0) =>
+      val df = constants.foldLeft(df0) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+      val partDir = outDir.resolve(s".parts_$name")
+      df.write.mode("overwrite").option("header", "true").csv(partDir.toString)
+      val csv = outDir.resolve(s"${name}_$tag.csv")
+      mergeCsvParts(partDir, csv)
+      deleteRecursively(partDir)
+      csv
+    }
+
+    val innerZip = outDir.resolve(s"$tag.zip")
+    zip(innerZip, csvs.map(p => p.getFileName.toString -> p))
+    val checksum = sha256(innerZip)
+    val checksumFile = outDir.resolve(s"${tag}_checksum.txt")
+    Files.write(checksumFile, checksum.getBytes(StandardCharsets.UTF_8))
+
+    val pkg = outDir.resolve(s"${tag}_packaged.zip")
+    zip(pkg, Seq(
+      innerZip.getFileName.toString -> innerZip,
+      checksumFile.getFileName.toString -> checksumFile))
+    // mirror the reference's cleanup of intermediates (export.py:204-210,317-326)
+    Files.deleteIfExists(innerZip)
+    Files.deleteIfExists(checksumFile)
+    csvs.foreach(Files.deleteIfExists(_))
+    Result(pkg, s"$tag.zip", checksum, csvs.map(_.getFileName.toString))
+  }
+
+  /** Concatenate Spark csv part files into one CSV, keeping a single
+    * header row. Streams at file level — O(buffer) memory.
+    */
+  private def mergeCsvParts(partDir: Path, target: Path): Unit = {
+    val parts = Files.list(partDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val out = new BufferedOutputStream(new FileOutputStream(target.toFile), 4 << 20)
+    try {
+      var first = true
+      parts.foreach { p =>
+        val lines = Files.newBufferedReader(p)
+        try {
+          var line = lines.readLine() // header
+          if (first && line != null) {
+            out.write((line + "\n").getBytes(StandardCharsets.UTF_8)); first = false
+          }
+          line = lines.readLine()
+          while (line != null) {
+            out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
+            line = lines.readLine()
+          }
+        } finally lines.close()
+      }
+    } finally out.close()
+  }
+
+  private def zip(target: Path, entries: Seq[(String, Path)]): Unit = {
+    val zos = new ZipOutputStream(new BufferedOutputStream(
+      new FileOutputStream(target.toFile), 4 << 20))
+    try entries.foreach { case (name, p) =>
+      zos.putNextEntry(new ZipEntry(name))
+      val in = new BufferedInputStream(new FileInputStream(p.toFile), 4 << 20)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { zos.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
+  def sha256(p: Path): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val in = new BufferedInputStream(new FileInputStream(p.toFile), 4 << 20)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+import scala.io.Source
+
+import graft.sources.ExportJob
+
+class ExportJobSpec extends SparkSpec {
+
+  test("export runs queries, appends constants, zips with checksum") {
+    val t = Tables(spark, sf)
+    val out = Files.createTempDirectory("graft_export")
+    val res = ExportJob.run(
+      spark,
+      Map(
+        "regions" -> t.region,
+        "top_nations" -> t.nation.limit(5)),
+      constants = Seq("Region" -> "Addis", "Facility" -> "TestFacility", "HMISCode" -> "H123"),
+      outDir = out,
+      tag = "TestFacilityH123_Tir_2016")
+
+    assert(Files.exists(res.packagePath))
+    val zf = new ZipFile(res.packagePath.toFile)
+    val names = zf.entries().asScala.map(_.getName).toSet
+    assert(names == Set("TestFacilityH123_Tir_2016.zip",
+      "TestFacilityH123_Tir_2016_checksum.txt"))
+
+    // checksum in the package matches the sha256 of the inner zip
+    val chkEntry = zf.getEntry("TestFacilityH123_Tir_2016_checksum.txt")
+    val recorded = Source.fromInputStream(zf.getInputStream(chkEntry)).mkString.trim
+    assert(recorded == res.checksum)
+    assert(recorded.matches("[0-9a-f]{64}"))
+
+    // inner zip holds one csv per query with the constant columns appended
+    val innerEntry = zf.getEntry("TestFacilityH123_Tir_2016.zip")
+    val tmpInner = Files.createTempFile("inner", ".zip")
+    Files.copy(zf.getInputStream(innerEntry), tmpInner,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val inner = new ZipFile(tmpInner.toFile)
+    val csvNames = inner.entries().asScala.map(_.getName).toSet
+    assert(csvNames == Set("regions_TestFacilityH123_Tir_2016.csv",
+      "top_nations_TestFacilityH123_Tir_2016.csv"))
+    val csv = Source.fromInputStream(
+      inner.getInputStream(inner.getEntry("regions_TestFacilityH123_Tir_2016.csv")))
+      .getLines().toSeq
+    assert(csv.head.split(",").takeRight(3).toSeq == Seq("Region", "Facility", "HMISCode"))
+    assert(csv.tail.nonEmpty && csv.tail.forall(_.endsWith("Addis,TestFacility,H123")))
+    inner.close(); zf.close()
+  }
+}
