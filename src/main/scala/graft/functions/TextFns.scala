@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-pipeline operators (SURVEY.md §2.3).
+  * Everything is Column arithmetic — no UDFs — so the hot path stays
+  * in whole-stage codegen and the SQL-expressible pieces have exact
+  * DuckDB twins for the oracle.
+  */
+object TextFns {
+
+  /** Single-space word tokens (the corpus is single-spaced; identical
+    * to DuckDB string_split(text,' ')).
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  def distinctWords(text: Column): Column = array_distinct(words(text))
+
+  /** Word k-grams as strings ("shingles"). For texts shorter than k
+    * words, one shingle covering the whole text.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = words(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** Character k-gram hash array (for fingerprinting). */
+  def charShingleHashes(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => xxhash64(substr(text, i, lit(k))))
+
+  /** Jaccard similarity of two string arrays (distinct-set semantics,
+    * exact integer sizes divided in double — deterministic).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Number of non-overlapping occurrences of a literal in text —
+    * (len(s) - len(replace(s, lit, ''))) / len(lit), the classic
+    * mirrorable construction.
+    */
+  def countOccurrences(text: Column, literal: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(literal), "")))
+      / literal.length).cast("int")
+
+  /** Count of regex matches (ASCII-only patterns to keep Java and
+    * DuckDB/RE2 semantics identical).
+    */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+}

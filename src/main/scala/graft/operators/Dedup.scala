@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VectorFns}
+
+/** Deduplication family (SURVEY.md §2.3): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant is candidate-generation by
+  * equi-join on a bucket key (LSH band, simhash chunk, prefix) —
+  * shuffle O(n·bands), verify O(candidate pairs). Nothing is O(n²)
+  * in rows; the only cross product is within a bucket.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact duplicate groups by content hash (md5 of raw text). */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ----------------------------------------------------------- minhash
+
+  /** MinHash parameters: k permutations in b bands of r rows
+    * (k = b·r). Universal-hash constants from a fixed seed so every
+    * run and executor agrees.
+    */
+  val MinhashK = 64
+  val Bands = 16
+  val RowsPerBand: Int = MinhashK / Bands
+  private val P = 2147483647L // 2^31-1, Mersenne prime
+  private val rng = {
+    val r = new scala.util.Random(42)
+    Array.fill(MinhashK)((1L + r.nextInt(Int.MaxValue - 1).toLong,
+      r.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** doc → (id, shingles, sig[k]) with sig_i = min over shingles of
+    * ((a_i·h + b_i) mod P), h = xxhash64(shingle) folded into [0, P).
+    * The signature is a native one-pass expression
+    * (plans.native.MinHashSignature) — k registers updated per
+    * shingle, no per-permutation array materialization.
+    */
+  def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val shingles = TextFns.wordShingles(lower(col(textCol)), shingleK)
+    val sig = graft.plans.native.minhashSig(shingles, MinhashK, P,
+      rng.map(_._1).toSeq, rng.map(_._2).toSeq)
+    docs.select(col(idCol).as("doc_id"), shingles.as("shingles"), sig.as("sig"))
+  }
+
+  /** Candidate pairs from LSH banding + exact Jaccard verification.
+    * Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    */
+  def minhashLsh(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", threshold: Double = 0.8): DataFrame = {
+    // persist for the same recompute-amplification reason as
+    // simhashPairs (16 bands × 2 join sides).
+    val signed = minhashSignature(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = signed.select(col("doc_id"), col("shingles"),
+      explode(array((0 until Bands).map { j =>
+        struct(lit(j).as("band"),
+          xxhash64(lit(j), concat_ws(",", slice(col("sig"), j * RowsPerBand + 1, RowsPerBand)))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val cands = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit weighted SimHash: bit i is the sign of
+    * Σ_token (2·bit_i(xxhash64(token)) − 1) over ALL tokens, i.e.
+    * term-frequency-weighted — which separates near-identical docs
+    * from merely same-vocabulary docs far better than set semantics
+    * on small-vocabulary corpora.
+    */
+  def simhash(text: Column): Column =
+    graft.plans.native.simhash64(TextFns.words(lower(text)))
+
+  /** Near-dup pairs by SimHash: candidates share one of four 16-bit
+    * chunks (pigeonhole guarantees recall for hamming <= 3; in
+    * practice catches far wider because near-dups share most tokens),
+    * verified with bit_count(a XOR b) <= maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 6): DataFrame = {
+    // persist: the signature feeds 4 exploded chunks × 2 self-join
+    // sides — without a materialization barrier Catalyst collapses the
+    // projections and recomputes the 64-bit aggregate tree 8×.
+    val sh = docs.select(col(idCol).as("doc_id"),
+      simhash(col(textCol)).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("chunk_id"),
+          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+    val a = chunked.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ----------------------------------------- exact n-gram Jaccard pairs
+
+  /** Exact word-set Jaccard for candidate pairs sharing a text prefix
+    * (cheap high-recall blocking for this corpus; swap the blocking
+    * key for minhash bands at lower expected overlap).
+    */
+  def prefixJaccardPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", prefixLen: Int = 40,
+      threshold: Double = 0.5): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, prefixLen).as("pre"),
+      TextFns.distinctWords(col(textCol)).as("ws"))
+    val a = d.select(col("pre"), col("doc_id").as("doc_a"), col("ws").as("ws_a"))
+    val b = d.select(col("pre"), col("doc_id").as("doc_b"), col("ws").as("ws_b"))
+    a.join(b, Seq("pre"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", TextFns.jaccard(col("ws_a"), col("ws_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // -------------------------------------------- embedding cosine pairs
+
+  /** Cosine near-dup pairs, probe side restricted by `probeFilter`
+    * (brute force baseline; see Similarity.lshTopK for the bucketed
+    * scale path).
+    */
+  def embeddingNearDup(emb: DataFrame, probeFilter: Column,
+      tau: Double): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    val probes = base.filter(probeFilter)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val others = base
+      .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    probes.join(others, col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        VectorFns.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(round(col("cos"), 6) > tau)
+      .select("vec_a", "vec_b")
+  }
+}

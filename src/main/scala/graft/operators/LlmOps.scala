@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.3) registered as
+  * driver-checkable queries over documents/embeddings. Oracle SQL is
+  * generated from the same constant tables the Column code uses, so
+  * both sides share one definition of markers/patterns/thresholds.
+  */
+object LlmOps {
+
+  // ------------------------------------------------------- shared SQL
+
+  /** DuckDB twin of TextFns.countOccurrences (exact literal count via
+    * replace-length; quotient is always integral so the cast is safe).
+    */
+  private def occSql(expr: String, lit: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$lit', ''))) / ${lit.length} AS INT)"
+
+  private val padSql = "(' ' || lower(text) || ' ')"
+
+  private def langScoreSql(markers: Seq[String]): String =
+    markers.map(m => occSql(padSql, s" $m ")).mkString("(", " + ", ")")
+
+  // ---------------------------------------------------------- queries
+
+  private val exactDedup = GraftQuery(
+    "d_exact_dedup",
+    Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY text_hash"""),
+    (s, dir) => Dedup.exactGroups(Tables(s, dir).documents)
+      .orderBy("text_hash"))
+
+  private val minhashLsh = GraftQuery(
+    "d_minhash_lsh",
+    None, // LSH banding is not SQL-expressible; property-tested in MinHashSpec
+    (s, dir) => Dedup.minhashLsh(Tables(s, dir).documents, threshold = 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_a", "doc_b"))
+
+  private val simhashQ = GraftQuery(
+    "d_simhash",
+    None, // 64-bit simhash + banding not SQL-expressible; see SimHashSpec
+    (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, maxHamming = 10)
+      .orderBy("doc_a", "doc_b"))
+
+  private val ngramJaccard = GraftQuery(
+    "d_ngram_jaccard",
+    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 40) AS pre,
+        list_distinct(string_split(text, ' ')) AS ws FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+      FROM d a JOIN d b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => Dedup.prefixJaccardPairs(Tables(s, dir).documents,
+        prefixLen = 40, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_a", "doc_b"))
+
+  private val embedNearDup = GraftQuery(
+    "d_embed_neardup",
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      p AS (SELECT * FROM n WHERE vec_id % 10 = 0)
+      SELECT p.vec_id AS vec_a, n.vec_id AS vec_b
+      FROM p JOIN n ON p.vec_id < n.vec_id
+      WHERE round(list_inner_product(p.v, n.v) / (p.nrm * n.nrm), 6) > 0.4
+      ORDER BY vec_a, vec_b"""),
+    (s, dir) => Dedup.embeddingNearDup(Tables(s, dir).embeddings,
+        col("vec_id") % 10 === 0, tau = 0.4)
+      .orderBy("vec_a", "vec_b"))
+
+  private val annTopK = GraftQuery(
+    "d_ann_topk",
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      p AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+      pairs AS (SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+          list_inner_product(p.v, n.v) / (p.nrm * n.nrm) AS cos
+        FROM p JOIN n ON p.vec_id <> n.vec_id),
+      ranked AS (SELECT probe_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+        FROM pairs)
+      SELECT probe_id, rank, neighbor_id, round(cos, 4) AS cos_r
+      FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank"""),
+    (s, dir) => Similarity.bruteForceTopK(Tables(s, dir).embeddings,
+        col("vec_id") % 50 === 0, k = 5)
+      .orderBy("probe_id", "rank"))
+
+  private val langIdQ = GraftQuery(
+    "d_langid",
+    Some {
+      val scores = TextAnalysis.Markers
+        .map { case (l, ms) => s"${langScoreSql(ms)} AS s_$l" }
+      val best = TextAnalysis.Markers.map { case (l, _) => s"s_$l" }
+        .reduceRight((a, b) => s"greatest($a, $b)")
+      val cases = TextAnalysis.Markers
+        .map { case (l, _) => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'" }
+        .mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM documents),
+        b AS (SELECT *, $best AS best FROM scored)
+        SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred
+        FROM b ORDER BY doc_id"""
+    },
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id"))
+
+  private val qualityQ = GraftQuery(
+    "d_quality",
+    Some {
+      val stopSql = langScoreSql(Seq("the", "and", "of", "to", "a", "in", "is"))
+      s"""WITH m AS (SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct,
+        len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+        $stopSql AS n_stop
+        FROM documents)
+      SELECT doc_id, n_chars, n_tokens,
+        round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+        round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        round(CAST(n_digits AS DOUBLE) / n_chars, 6) AS digit_ratio,
+        round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+        CASE WHEN n_tokens < 5 THEN 0.0 ELSE round(
+          (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.4 ELSE 0.2 END)
+          + (CASE WHEN (CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens) BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+          + (CASE WHEN (CAST(n_punct AS DOUBLE) / n_chars) <= 0.1 THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN n_stop > 0 THEN 0.1 ELSE 0.0 END), 4) END AS quality_score
+      FROM m ORDER BY doc_id"""
+    },
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id") +: TextAnalysis.quality(col("text")): _*)
+      .orderBy("doc_id"))
+
+  private val tokenCountQ = GraftQuery(
+    "d_token_count",
+    Some("""SELECT doc_id,
+      len(string_split(text, ' ')) AS ws_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
+      len(list_distinct(string_split(lower(text), ' '))) AS distinct_tokens
+      FROM documents ORDER BY doc_id"""),
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id") +: TextAnalysis.tokenCounts(col("text")): _*)
+      .orderBy("doc_id"))
+
+  private val fingerprintQ = GraftQuery(
+    "d_fingerprint",
+    None, // xxhash64-based winnowing has no SQL twin; see TextAnalysisSpec
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id") +: TextAnalysis.fingerprint(col("text")): _*)
+      .orderBy("doc_id"))
+
+  val queries: Seq[GraftQuery] = Seq(
+    exactDedup, minhashLsh, simhashQ, ngramJaccard, embedNearDup, annTopK,
+    langIdQ, qualityQ, tokenCountQ, fingerprintQ)
+}

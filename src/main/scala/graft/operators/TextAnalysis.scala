@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.3 #28-31):
+  * language ID, quality scoring, token counting, fingerprinting.
+  * All pure Column arithmetic (codegen, SQL-mirrorable except the
+  * fingerprint which uses xxhash64).
+  */
+object TextAnalysis {
+
+  /** Stopword markers per language for the n-gram/marker heuristic.
+    * Scores are occurrence counts of ' marker ' in the padded text —
+    * the classic replace-length construction, identical in any SQL
+    * dialect.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est"),
+    "zh" -> Seq("de", "shi", "bu", "zai", "le"))
+
+  private def padded(text: Column): Column = concat(lit(" "), lower(text), lit(" "))
+
+  /** Score for one language = Σ occurrences of its markers. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => TextFns.countOccurrences(padded(text), s" $m "))
+      .reduce(_ + _)
+
+  /** Predicted language: argmax score, first-listed wins ties
+    * (deterministic; 'und' = undetermined when all scores are 0).
+    */
+  def langId(text: Column): Column = {
+    val scores = Markers.map { case (l, ms) => l -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, l).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics + a composite score in [0,1]. Heuristics follow
+    * the public Gopher/C4-style rules: length bounds, word length,
+    * punctuation/digit density, stopword density.
+    */
+  def quality(text: Column): Seq[Column] = {
+    val nChars = length(text)
+    val toks = TextFns.words(text)
+    val nTokens = size(toks)
+    val avgTokLen = (nChars - nTokens + 1).cast("double") / nTokens.cast("double")
+    val punct = TextFns.countMatches(text, "[!-/:-@\\[-`{-~]")
+    val digits = TextFns.countMatches(text, "[0-9]")
+    val stop = langScore(text, Seq("the", "and", "of", "to", "a", "in", "is"))
+    val punctRatio = punct.cast("double") / nChars.cast("double")
+    val digitRatio = digits.cast("double") / nChars.cast("double")
+    val stopRatio = stop.cast("double") / nTokens.cast("double")
+    val score =
+      when(nTokens < 5, 0.0).otherwise(
+        round(
+          when(nChars.between(100, 2000), 0.4).otherwise(0.2)
+            + when(avgTokLen.between(3, 10), 0.3).otherwise(0.0)
+            + when(punctRatio <= 0.1, 0.2).otherwise(0.0)
+            + when(stopRatio > 0, 0.1).otherwise(0.0), 4))
+    Seq(nChars.as("n_chars"), nTokens.as("n_tokens"),
+      round(avgTokLen, 4).as("avg_token_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(digitRatio, 6).as("digit_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Whitespace tokens + BPE-ish segment count (letter runs, digit
+    * runs, punctuation runs — ASCII so Java and RE2 regex agree).
+    */
+  def tokenCounts(text: Column): Seq[Column] = Seq(
+    size(TextFns.words(text)).as("ws_tokens"),
+    TextFns.countMatches(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").as("bpe_ish_tokens"),
+    size(array_distinct(TextFns.words(lower(text)))).as("distinct_tokens"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * hash char k-grams, take the min hash of each sliding window of w
+    * — the distinct mins are the document's fingerprints. Returned
+    * here as (n_fingerprints, min_fingerprint) summary columns.
+    */
+  def fingerprint(text: Column, k: Int = 5, w: Int = 4): Seq[Column] = {
+    val fps = graft.plans.native.winnowing(text, k, w)
+    Seq(size(fps).as("n_fingerprints"), array_min(fps).as("min_fingerprint"))
+  }
+}

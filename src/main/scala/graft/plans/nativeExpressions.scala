@@ -1,0 +1,216 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftshim.GraftShim.{column, expression}
+
+/** Native Catalyst expressions for the §2.3 hot loops.
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) are
+  * evaluated interpreted — a lambda dispatch + boxing per element.
+  * These expressions replace the per-row inner loops with tight
+  * primitive Scala (and, for the dot product, generated Java), which
+  * is what makes minhash/simhash/ANN viable at 100 TB.
+  *
+  * (Reference capability: near-dup/similarity ops are additions per
+  * the brief; no counterpart in /root/reference.)
+  */
+object native {
+
+  /** Σ aᵢ·bᵢ over two float arrays, in double, with generated code. */
+  case class FloatDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): FloatDotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** MinHash signature over an array of shingle strings: sig_j =
+    * min over shingles of ((a_j·h + b_j) mod p), h = xxhash64 bytes
+    * folded into [0, p). One pass over the shingles, k registers.
+    */
+  case class MinHashSignature(child: Expression, k: Int, p: Long,
+      as: Seq[Long], bs: Seq[Long])
+      extends UnaryExpression with CodegenFallback {
+    private val aArr = as.toArray
+    private val bArr = bs.toArray
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(k)(p)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = ((h0 % p) + p) % p
+        var j = 0
+        while (j < k) {
+          val v = (aArr(j) * h + bArr(j)) % p
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  /** Weighted 64-bit SimHash over an array of token strings. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var sim = 0L; var j = 0
+      while (j < 64) { if (counts(j) >= 0) sim |= (1L << j); j += 1 }
+      sim
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+
+  /** Random-hyperplane LSH signature over a float array: bit j of the
+    * result is the sign of the projection onto pseudo-random ±1
+    * hyperplane (planeOffset + j), weights derived from xxhash64(plane,
+    * dim). Matches VectorFns.hyperplaneSignature semantics.
+    */
+  case class HyperplaneSignature(child: Expression, bits: Int, planeOffset: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        val plane = planeOffset + j
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          // xxhash64 of the two longs (plane, i) with spark's seed 42,
+          // matching xxhash64(lit(plane), i) column semantics
+          var h = XXH64.hashLong(plane.toLong, 42L)
+          h = XXH64.hashLong(i.toLong, h)
+          val w = if ((((h % 2) + 2) % 2) == 0L) 1.0 else -1.0
+          acc += arr.getFloat(i).toDouble * w
+          i += 1
+        }
+        if (acc >= 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): HyperplaneSignature =
+      copy(child = c)
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) in
+    * one pass over the text: hash every char k-gram, take the min of
+    * each sliding window of w hashes, return the distinct mins sorted.
+    * (The HOF formulation re-evaluates the k-gram array per window —
+    * O(n²) interpreted; this is O(n·w) primitive.)
+    */
+  case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val nChars = text.numChars()
+      val nGrams = math.max(nChars - (k - 1), 1)
+      val hashes = new Array[Long](nGrams)
+      var i = 0
+      while (i < nGrams) {
+        val s = text.substringSQL(i + 1, k)
+        hashes(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+      val nWin = math.max(nGrams - (w - 1), 1)
+      val mins = new java.util.TreeSet[java.lang.Long]()
+      i = 0
+      while (i < nWin) {
+        var m = hashes(i)
+        var j = i + 1
+        val end = math.min(i + w, nGrams)
+        while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        mins.add(m)
+        i += 1
+      }
+      val out = new Array[Long](mins.size())
+      val it = mins.iterator(); var x = 0
+      while (it.hasNext) { out(x) = it.next(); x += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): WinnowingFingerprints =
+      copy(child = c)
+  }
+
+  // ------------------------------------------------------ Column API
+
+  def floatDot(a: Column, b: Column): Column =
+    column(FloatDotProduct(expression(a), expression(b)))
+
+  def minhashSig(shingles: Column, k: Int, p: Long,
+      as: Seq[Long], bs: Seq[Long]): Column =
+    column(MinHashSignature(expression(shingles), k, p, as, bs))
+
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+
+  def hyperplaneSig(vec: Column, bits: Int, planeOffset: Int): Column =
+    column(HyperplaneSignature(expression(vec), bits, planeOffset))
+
+  def winnowing(text: Column, k: Int, w: Int): Column =
+    column(WinnowingFingerprints(expression(text), k, w))
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Expression↔Column conversion private[sql]; custom
+  * Catalyst expressions still need it. This shim is the single place
+  * graft crosses that boundary (same technique public extension
+  * libraries use to register native expressions).
+  */
+object GraftShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class LlmOpsSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sf).documents
+
+  test("minhash LSH finds the exact-jaccard near-dup pairs") {
+    // ground truth: prefix-blocked exact word-set jaccard >= 0.8
+    val truth = Dedup.prefixJaccardPairs(docs, prefixLen = 40, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashLsh(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} pairs")
+  }
+
+  test("simhash hamming distance is small exactly for near-dup pairs") {
+    val planted = Dedup.prefixJaccardPairs(docs, prefixLen = 40, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    val recall = (planted & pairs).size.toDouble / planted.size
+    assert(recall >= 0.7, s"simhash recall $recall (candidate chunks bound recall)")
+  }
+
+  test("lsh ann overlaps brute-force top-k") {
+    val emb = Tables(spark, sf).embeddings
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") % 50 === 0, k = 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random embeddings have weak neighbor structure; wide buckets
+    // (4 bits) + 8 tables give the collision rate recall needs here
+    val lsh = Similarity.lshTopK(emb, col("vec_id") % 50 === 0, k = 5,
+      bits = 4, nTables = 8)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.3, s"lsh recall $recall vs brute force")
+    assert(lsh.size <= brute.size)
+  }
+
+  test("native dot product matches interpreted HOF dot product") {
+    import graft.functions.VectorFns
+    val emb = Tables(spark, sf).embeddings.limit(50)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")))
+      .limit(500)
+    val diff = pairs
+      .select(abs(VectorFns.dot(col("ea"), col("eb"))
+        - VectorFns.dotHof(col("ea"), col("eb"))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(diff == 0.0, s"native vs HOF dot differ by $diff")
+  }
+
+  test("fingerprints are deterministic and bounded") {
+    val a = docs.select(col("doc_id") +: TextAnalysis.fingerprint(col("text")): _*)
+      .orderBy("doc_id").collect()
+    val b = docs.select(col("doc_id") +: TextAnalysis.fingerprint(col("text")): _*)
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    a.foreach { r => assert(r.getInt(1) > 0) }
+  }
+
+  test("langid returns a known code and quality score in [0,1]") {
+    val rows = docs
+      .select(TextAnalysis.langId(col("text")).as("pred"),
+        TextAnalysis.quality(col("text")).last)
+      .collect()
+    val langs = Set("en", "de", "es", "fr", "zh", "und")
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(0)))
+      val q = r.getDouble(1)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+}
