@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+
+/** Demo entry: stream the events table through the windowed-count
+  * pipeline via a real file streaming source.
+  *
+  *   runMain graft.streaming.StreamingMain <sfDir>
+  */
+object StreamingMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-stream")
+    // raw (pre-conversion) schema for the file source, then the same
+    // nanos->micros conversion Tables.events applies
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // FileStreamSource wants a directory: stage the table file into one
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val fileStream = spark.readStream
+      .schema(raw.schema)
+      .format("parquet")
+      .option("maxFilesPerTrigger", "1")
+      .load(stage.toString)
+    val stream =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        fileStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else fileStream
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("win").orderBy("window_start", "event_type")
+    val n = out.count()
+    out.show(8, truncate = false)
+    println(s"[stream] windows_emitted=$n")
+    spark.stop()
+  }
+}

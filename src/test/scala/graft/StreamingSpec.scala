@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts with watermark match batch computation") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:45:00"), 1, "view", 2.0),
+      Event(3, ts("2024-01-01 11:05:00"), 2, "click", 3.0),
+      Event(4, ts("2024-01-01 11:55:00"), 2, "view", 4.0))
+    mem.addData(events: _*)
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Event(5, ts("2024-01-01 13:00:00"), 1, "view", 5.0)) // advances watermark
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wc")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = EventStream.windowedCountsBatch(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.subsetOf(streamed ++ batch) && streamed.subsetOf(batch),
+      s"streamed=$streamed batch=$batch")
+  }
+
+  test("sessionization closes on event-time gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 7, "click", 2.0),
+      // > 30 min event-time gap: closes the first session inline
+      Event(3, ts("2024-01-01 11:00:00"), 7, "view", 10.0))
+    q.processAllAvailable()
+    // other-user event far in the future advances the watermark past
+    // 11:00 + 30min -> user 7's open session closes via timeout
+    mem.addData(Event(4, ts("2024-01-01 16:00:00"), 9, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(5, ts("2024-01-01 16:01:00"), 9, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess").as[EventStream.Session].collect()
+      .sortBy(_.first_ts.getTime)
+    assert(sessions.length == 2, sessions.mkString(";"))
+    assert(sessions(0).user_id == 7 && sessions(0).n_events == 2
+      && sessions(0).total_value == 3.0 && sessions(0).closed)
+    assert(sessions(1).user_id == 7 && sessions(1).n_events == 1
+      && sessions(1).total_value == 10.0 && sessions(1).closed)
+  }
+}
