@@ -1,16 +1,31 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query wall seconds at the
+  * SPARK_GRAFT_SF_DIR scale factor. A warm-up pass (untimed) runs
+  * first so timings measure the operators, not session/JIT/parquet-
+  * footer warm-up; disable with SPARK_GRAFT_WARMUP=0.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.tune(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queries = SparkEntry.queries
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
+      queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache() // drop operator-internal persists
+    }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

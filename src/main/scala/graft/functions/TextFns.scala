@@ -20,7 +20,11 @@ object TextFns {
   /** Word k-grams as strings ("shingles"). For texts shorter than k
     * words, one shingle covering the whole text.
     */
-  def wordShingles(text: Column, k: Int): Column = {
+  def wordShingles(text: Column, k: Int): Column =
+    graft.plans.native.wordShingles(text, k)
+
+  /** HOF reference formulation of [[wordShingles]] (for tests). */
+  def wordShinglesHof(text: Column, k: Int): Column = {
     val toks = words(text)
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),

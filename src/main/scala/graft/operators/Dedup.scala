@@ -57,26 +57,30 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", threshold: Double = 0.8): DataFrame = {
-    // persist for the same recompute-amplification reason as
-    // simhashPairs (16 bands × 2 join sides).
+    // persist: the signature feeds 16 bands × 2 join sides — without a
+    // materialization barrier Catalyst recomputes it per branch.
     val signed = minhashSignature(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = signed.select(col("doc_id"), col("shingles"),
+    // band on ids only — the shingle arrays must NOT ride the band
+    // shuffle (16× duplication of the heaviest column); they are
+    // re-joined once, only for verification of the candidate pairs.
+    val banded = signed.select(col("doc_id"),
       explode(array((0 until Bands).map { j =>
         struct(lit(j).as("band"),
           xxhash64(lit(j), concat_ws(",", slice(col("sig"), j * RowsPerBand + 1, RowsPerBand)))
             .as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    val cands = a.join(b, Seq("band", "bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cands = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    val sh = signed.select(col("doc_id"), col("shingles"))
     cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

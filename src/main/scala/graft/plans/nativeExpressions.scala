@@ -155,6 +155,35 @@ object native {
       copy(child = c)
   }
 
+  /** Distinct word k-gram shingles of a single-space-tokenized text,
+    * first-occurrence order (same semantics as the HOF
+    * sequence/slice/concat_ws + array_distinct formulation, one pass
+    * and no per-shingle array copies).
+    */
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val toks = text.split(space, -1)
+      val n = toks.length
+      val m = math.max(n - (k - 1), 1)
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      var i = 0
+      while (i < m) {
+        val slice = java.util.Arrays.copyOfRange(toks, i, math.min(i + k, n))
+        seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, slice: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) in
     * one pass over the text: hash every char k-gram, take the min of
     * each sliding window of w hashes, return the distinct mins sorted.
@@ -213,4 +242,7 @@ object native {
 
   def winnowing(text: Column, k: Int, w: Int): Column =
     column(WinnowingFingerprints(expression(text), k, w))
+
+  def wordShingles(text: Column, k: Int): Column =
+    column(WordShingles(expression(text), k))
 }

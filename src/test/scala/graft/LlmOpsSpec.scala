@@ -45,6 +45,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.size <= brute.size)
   }
 
+  test("native word shingles match HOF word shingles") {
+    import graft.functions.TextFns
+    val d = docs.limit(100)
+    val mismatches = d.select(
+        TextFns.wordShingles(lower(col("text")), 3).as("a"),
+        TextFns.wordShinglesHof(lower(col("text")), 3).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(mismatches == 0)
+  }
+
   test("native dot product matches interpreted HOF dot product") {
     import graft.functions.VectorFns
     val emb = Tables(spark, sf).embeddings.limit(50)

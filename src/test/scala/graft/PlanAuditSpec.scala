@@ -1,0 +1,47 @@
+package graft
+
+/** Plan-shape assertions (SURVEY.md §5): the declarative formulations
+  * must actually produce the physical plans the 100 TB design relies
+  * on — filters/projections at the parquet scan, broadcast dimension
+  * joins, map-side partial aggregation, codegen'd stages.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize THIS query execution so AQE finalizes it
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter+projection reach the parquet scan") {
+    val p = planOf("q_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema"), p)
+    // projection pruning: untouched wide columns are not in ReadSchema
+    assert(!p.contains("l_returnflag"), "unneeded column read: " + p)
+  }
+
+  test("aggregation is partial (map-side) before the shuffle") {
+    val p = planOf("q_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p) // *(n) = codegen stage
+  }
+
+  test("dimension joins broadcast; no shuffle of the dims") {
+    assert(planOf("q_join_multi").contains("BroadcastHashJoin"))
+    assert(planOf("q_line_list").contains("BroadcastHashJoin"))
+  }
+
+  test("semi/anti joins use semi/anti physical joins") {
+    assert(planOf("q_semi_join").contains("LeftSemi"))
+    assert(planOf("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("latest-per-key uses a single shuffle with window group limit") {
+    val p = planOf("q_latest_per_key")
+    assert(p.contains("Window"), p)
+    // Spark 3.5+/4.x pushes rn=1 into the sort (WindowGroupLimit)
+    assert(p.contains("WindowGroupLimit") || p.contains("Limit"), p)
+  }
+}
