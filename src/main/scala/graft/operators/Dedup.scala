@@ -38,6 +38,15 @@ object Dedup {
       r.nextInt(Int.MaxValue).toLong))
   }
 
+  /** Raw minhash expression over a shingle-array child (for SQL
+    * function registration).
+    */
+  def minhashExpression(
+      shingles: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    graft.plans.native.MinHashSignature(shingles, MinhashK, P,
+      rng.map(_._1).toSeq, rng.map(_._2).toSeq)
+
   /** doc → (id, shingles, sig[k]) with sig_i = min over shingles of
     * ((a_i·h + b_i) mod P), h = xxhash64(shingle) folded into [0, P).
     * The signature is a native one-pass expression

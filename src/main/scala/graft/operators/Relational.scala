@@ -434,7 +434,77 @@ object Relational {
   /** Flagship for SparkEntry.entry. */
   def lineListEntry(s: SparkSession, dir: String): DataFrame = lineListBuild(s, dir)
 
+  // ------------------------------------------------------------------
+  // 20. q_pivot_agg — conditional-aggregate rollup + CONCAT_WS of the
+  //     flags (PMTCT_HEI_LineList.sql "CASE WHEN MAX(bcg_taken)='Yes'
+  //     THEN 'BCG' END" vaccine block under CONCAT_WS).
+  // ------------------------------------------------------------------
+  private val pivotAgg = GraftQuery(
+    "q_pivot_agg",
+    Some("""WITH f AS (SELECT user_id,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+        MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+        MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+        MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error
+        FROM events GROUP BY user_id)
+      SELECT user_id, has_view, has_click, has_purchase, has_signup, has_error,
+        concat_ws(',',
+          CASE WHEN has_view = 1 THEN 'VIEW' END,
+          CASE WHEN has_click = 1 THEN 'CLICK' END,
+          CASE WHEN has_purchase = 1 THEN 'PURCHASE' END,
+          CASE WHEN has_signup = 1 THEN 'SIGNUP' END,
+          CASE WHEN has_error = 1 THEN 'ERROR' END) AS flags
+      FROM f ORDER BY user_id"""),
+    (s, dir) => {
+      def flag(t: String) =
+        max(when(col("event_type") === t, 1).otherwise(0)).as(s"has_$t")
+      Tables(s, dir).events
+        .groupBy("user_id")
+        .agg(flag("view"), flag("click"), flag("purchase"), flag("signup"), flag("error"))
+        .select(col("user_id"), col("has_view"), col("has_click"),
+          col("has_purchase"), col("has_signup"), col("has_error"),
+          concat_ws(",",
+            when(col("has_view") === 1, "VIEW"),
+            when(col("has_click") === 1, "CLICK"),
+            when(col("has_purchase") === 1, "PURCHASE"),
+            when(col("has_signup") === 1, "SIGNUP"),
+            when(col("has_error") === 1, "ERROR")).as("flags"))
+        .orderBy("user_id")
+    })
+
+  // ------------------------------------------------------------------
+  // 21. q_outcome_summary — cohort outcome classification + counts
+  //     (Tx_Curr_OutComeList.sql: latest follow-up per client bucketed
+  //     into outcome categories).
+  // ------------------------------------------------------------------
+  private val outcomeSummary = GraftQuery(
+    "q_outcome_summary",
+    Some(s"""WITH latest AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '$EventsEnd') t WHERE rn = 1)
+      SELECT CASE event_type
+          WHEN 'error' THEN 'LOST'
+          WHEN 'purchase' THEN 'ACTIVE_BUYER'
+          WHEN 'signup' THEN 'NEW'
+          ELSE 'ACTIVE' END AS outcome,
+        COUNT(*) AS n
+      FROM latest GROUP BY 1 ORDER BY outcome"""),
+    (s, dir) => {
+      val latest = LatestPerKey(
+        Tables(s, dir).events.filter(col("ts") <= lit(EventsEnd)),
+        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+      latest
+        .groupBy(when(col("event_type") === "error", "LOST")
+          .when(col("event_type") === "purchase", "ACTIVE_BUYER")
+          .when(col("event_type") === "signup", "NEW")
+          .otherwise("ACTIVE").as("outcome"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("outcome")
+    })
+
   val queries: Seq[GraftQuery] = Seq(
+    pivotAgg, outcomeSummary,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
     periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
