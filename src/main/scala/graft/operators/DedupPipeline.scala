@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** End-to-end corpus deduplication: exact + near-dup edges → connected
+  * components → keep the min doc_id per component.
+  *
+  * Components use HashToMin-style min-label propagation: every round
+  * each doc takes the min label among itself and its neighbors — one
+  * shuffle per round, converges in O(log(component diameter)) rounds
+  * (near-dup components are tiny in practice, so 2-3 rounds). This is
+  * the scalable formulation: no driver-side graph, no O(n²) state,
+  * every step an equi-join on doc_id.
+  */
+object DedupPipeline {
+
+  /** (doc_id, label=component representative) for every doc. */
+  def componentLabels(docs: DataFrame, edges: DataFrame,
+      maxRounds: Int = 10): DataFrame = {
+    // undirected: propagate both ways
+    val both = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = both
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    both.unpersist()
+    labels
+  }
+
+  /** Duplicate edges from exact hash groups + minhash near-dups. */
+  def duplicateEdges(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // exact: every doc in a hash group links to the group min
+    val exact = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rep", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val near = Dedup.minhashLsh(docs, threshold = threshold)
+      .select("doc_a", "doc_b")
+    exact.union(near)
+  }
+
+  /** The kept corpus (one representative per duplicate component) plus
+    * a `component` column for lineage.
+    */
+  def dedupedCorpus(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val labels = componentLabels(docs, duplicateEdges(docs, threshold))
+    docs.join(labels, "doc_id")
+      .filter(col("doc_id") === col("label"))
+      .withColumnRenamed("label", "component")
+  }
+}

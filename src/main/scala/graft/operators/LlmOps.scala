@@ -159,7 +159,15 @@ object LlmOps {
       .select(col("doc_id") +: TextAnalysis.fingerprint(col("text")): _*)
       .orderBy("doc_id"))
 
+  private val dedupCorpus = GraftQuery(
+    "d_dedup_corpus",
+    None, // iterative connected components not SQL-expressible; PipelineSpec
+          // checks it against a driver-side union-find oracle
+    (s, dir) => DedupPipeline.dedupedCorpus(Tables(s, dir).documents)
+      .select("doc_id", "component", "lang", "source")
+      .orderBy("doc_id"))
+
   val queries: Seq[GraftQuery] = Seq(
     exactDedup, minhashLsh, simhashQ, ngramJaccard, embedNearDup, annTopK,
-    langIdQ, qualityQ, tokenCountQ, fingerprintQ)
+    langIdQ, qualityQ, tokenCountQ, fingerprintQ, dedupCorpus)
 }

@@ -68,6 +68,62 @@ object Similarity {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into k Voronoi
+    * cells via KMeans centroids trained on a sample; each probe scans
+    * only its nProbe nearest cells. The classic trade: train once,
+    * then candidate generation is an equi-join on cell id — corpus
+    * stays partitioned by cell, probes replicate nProbe× (tiny side).
+    */
+  def ivfTopK(emb: DataFrame, probeFilter: Column, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, trainSample: Int = 2000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+
+    val base = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setMaxIter(10).setFeaturesCol("features")
+      .fit(base.limit(trainSample))
+    val assigned = model.transform(base)
+      .withColumnRenamed("prediction", "cell")
+      .drop("features")
+
+    // probe → its nProbe nearest cells, by exact distance to the
+    // (broadcast) centroid table
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat)) }.toSeq)
+      .toDF("cell", "centroid")
+    val probes = assigned.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
+        col("nrm").as("nrm_p"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        graft.functions.VectorFns.dot(col("emb_p"), col("emb_p"))
+          - lit(2.0) * graft.functions.VectorFns.dot(col("emb_p"), col("centroid"))
+          + graft.functions.VectorFns.dot(col("centroid"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("dist2"), col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select("probe_id", "emb_p", "nrm_p", "cell")
+
+    val cands = probeCells.join(assigned, Seq("cell"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cos",
+        graft.functions.VectorFns.dot(col("emb_p"), col("embedding"))
+          / (col("nrm_p") * col("nrm")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    val out = cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_r"))
+    out
+  }
+
   /** Hyperplane signature whose planes are offset per table (plane
     * index j + tbl·bits), so tables are independent.
     */
