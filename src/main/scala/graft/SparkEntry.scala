@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All registered capabilities (SURVEY.md §2). */
-  def all: Seq[GraftQuery] = operators.Relational.queries ++ operators.LlmOps.queries
+  def all: Seq[GraftQuery] =
+    operators.Relational.queries ++ operators.LineLists.queries ++
+      operators.LlmOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.DateFns
+
+/** The rest of the reference's report family (SURVEY.md §2.1 #16):
+  * each query mirrors the distinguishing logic of one
+  * /root/reference/sql_queries report, mapped onto the test schema.
+  * All oracle-backed.
+  */
+object LineLists {
+
+  private val End = "2024-01-21" // REPORT_END_DATE analog
+
+  // ------------------------------------------------------------------
+  // Tx_Curr_VLEligible_LineList.sql — eligibility window: latest
+  // follow-up per client, eligible when enough time has passed since
+  // the anchor date.
+  // ------------------------------------------------------------------
+  private val vlEligible = GraftQuery(
+    "q_ll_eligible",
+    Some(s"""WITH latest AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '$End') t WHERE rn = 1)
+      SELECT user_id,
+        strftime(ts, '%Y-%m-%d') AS last_seen,
+        date_diff('day', CAST(ts AS DATE), DATE '$End') AS days_since,
+        CASE WHEN event_type <> 'error'
+              AND date_diff('day', CAST(ts AS DATE), DATE '$End') >= 7
+          THEN 'Eligible' ELSE 'NotEligible' END AS eligibility
+      FROM latest ORDER BY user_id"""),
+    (s, dir) => {
+      val latest = LatestPerKey(
+        Tables(s, dir).events.filter(col("ts") <= lit(End)),
+        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+      latest.select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("last_seen"),
+          DateFns.daysBetween(col("ts"), lit(End)).as("days_since"),
+          when(col("event_type") =!= "error"
+              && DateFns.daysBetween(col("ts"), lit(End)) >= 7, "Eligible")
+            .otherwise("NotEligible").as("eligibility"))
+        .orderBy("user_id")
+    })
+
+  // ------------------------------------------------------------------
+  // Tx_Curr_TPT_LineList.sql — course completion: first start vs last
+  // completion event per client, completed iff both exist and the
+  // course fits the window (inh_start_date/inh_date_completed shape).
+  // ------------------------------------------------------------------
+  private val tptCourse = GraftQuery(
+    "q_ll_course",
+    Some("""WITH c AS (SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup' THEN ts END) AS start_ts,
+        MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS complete_ts
+        FROM events GROUP BY user_id)
+      SELECT user_id,
+        strftime(start_ts, '%Y-%m-%d') AS course_start,
+        strftime(complete_ts, '%Y-%m-%d') AS course_complete,
+        CASE WHEN start_ts IS NOT NULL AND complete_ts IS NOT NULL
+              AND complete_ts >= start_ts
+              AND date_diff('day', CAST(start_ts AS DATE), CAST(complete_ts AS DATE)) <= 180
+          THEN 'Completed'
+          WHEN start_ts IS NOT NULL THEN 'Started' ELSE 'NotStarted' END AS course_status
+      FROM c ORDER BY user_id"""),
+    (s, dir) => Tables(s, dir).events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("start_ts"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("complete_ts"))
+      .select(col("user_id"),
+        date_format(col("start_ts"), "yyyy-MM-dd").as("course_start"),
+        date_format(col("complete_ts"), "yyyy-MM-dd").as("course_complete"),
+        when(col("start_ts").isNotNull && col("complete_ts").isNotNull
+            && col("complete_ts") >= col("start_ts")
+            && DateFns.daysBetween(col("start_ts"), col("complete_ts")) <= 180,
+          "Completed")
+          .when(col("start_ts").isNotNull, "Started")
+          .otherwise("NotStarted").as("course_status"))
+      .orderBy("user_id"))
+
+  // ------------------------------------------------------------------
+  // Tx_Curr_HVL_LineList.sql — threshold classification on the latest
+  // measurement (viral load >= 1000 copies shape).
+  // ------------------------------------------------------------------
+  private val highValue = GraftQuery(
+    "q_ll_threshold",
+    Some(s"""WITH m AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase' AND ts <= TIMESTAMP '$End') t
+        WHERE rn = 1)
+      SELECT user_id, value AS last_measure,
+        strftime(ts, '%Y-%m-%d') AS measured_on,
+        CASE WHEN value >= 250 THEN 'High' WHEN value >= 50 THEN 'Low'
+          ELSE 'Suppressed' END AS measure_band
+      FROM m ORDER BY user_id"""),
+    (s, dir) => {
+      val m = LatestPerKey(
+        Tables(s, dir).events
+          .filter(col("event_type") === "purchase" && col("ts") <= lit(End)),
+        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+      m.select(col("user_id"), col("value").as("last_measure"),
+          date_format(col("ts"), "yyyy-MM-dd").as("measured_on"),
+          when(col("value") >= 250, "High")
+            .when(col("value") >= 50, "Low")
+            .otherwise("Suppressed").as("measure_band"))
+        .orderBy("user_id")
+    })
+
+  // ------------------------------------------------------------------
+  // Tx_Curr_CCA_LineList.sql — two independent latest-per-key CTEs
+  // joined per client (latest screening vs latest result, compare
+  // dates — the latestDSD/latest-follow-up dual-CTE shape).
+  // ------------------------------------------------------------------
+  private val dualLatest = GraftQuery(
+    "q_ll_dual_latest",
+    Some(s"""WITH scr AS (SELECT * FROM (
+        SELECT user_id, ts, event_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'view' AND ts <= TIMESTAMP '$End') t WHERE rn = 1),
+      res AS (SELECT * FROM (
+        SELECT user_id, ts, event_id, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'click' AND ts <= TIMESTAMP '$End') t WHERE rn = 1)
+      SELECT scr.user_id,
+        strftime(scr.ts, '%Y-%m-%d') AS screened_on,
+        strftime(res.ts, '%Y-%m-%d') AS result_on,
+        CASE WHEN res.ts IS NULL THEN 'AwaitingResult'
+          WHEN res.ts >= scr.ts THEN 'ResultReceived'
+          ELSE 'ResultStale' END AS screening_status,
+        res.value AS result_value
+      FROM scr LEFT JOIN res ON scr.user_id = res.user_id
+      ORDER BY scr.user_id"""),
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      def latestOf(t: String, extra: Seq[String]) = LatestPerKey(
+        ev.filter(col("event_type") === t && col("ts") <= lit(End)),
+        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+        .select((Seq("user_id", "ts", "event_id") ++ extra).map(col): _*)
+      val scr = latestOf("view", Nil)
+        .withColumnRenamed("ts", "scr_ts").withColumnRenamed("event_id", "scr_id")
+      val res = latestOf("click", Seq("value"))
+        .withColumnRenamed("ts", "res_ts").withColumnRenamed("event_id", "res_id")
+      scr.join(res, Seq("user_id"), "left")
+        .select(col("user_id"),
+          date_format(col("scr_ts"), "yyyy-MM-dd").as("screened_on"),
+          date_format(col("res_ts"), "yyyy-MM-dd").as("result_on"),
+          when(col("res_ts").isNull, "AwaitingResult")
+            .when(col("res_ts") >= col("scr_ts"), "ResultReceived")
+            .otherwise("ResultStale").as("screening_status"),
+          col("value").as("result_value"))
+        .orderBy("user_id")
+    })
+
+  val queries: Seq[GraftQuery] =
+    Seq(vlEligible, tptCourse, highValue, dualLatest)
+}
