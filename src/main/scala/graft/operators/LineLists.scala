@@ -152,6 +152,36 @@ object LineLists {
         .orderBy("user_id")
     })
 
+  // ------------------------------------------------------------------
+  // As-of join: each view event annotated with the user's most recent
+  // purchase at-or-before it (temporal enrichment; DuckDB's native
+  // ASOF JOIN is the oracle).
+  // ------------------------------------------------------------------
+  private val asofJoin = GraftQuery(
+    "q_asof_join",
+    Some("""SELECT l.event_id, l.user_id,
+        strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        r.value AS right_value,
+        strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS right_ts
+      FROM (SELECT * FROM events WHERE event_type = 'view') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND r.ts <= l.ts
+      ORDER BY l.event_id"""),
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asOf(views, purchases, keyCol = "user_id", tsCol = "ts",
+          payloadCols = Seq("value", "ts"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          col("right_value"),
+          date_format(col("right_ts"), "yyyy-MM-dd HH:mm:ss").as("right_ts"))
+        .orderBy("event_id")
+    })
+
   val queries: Seq[GraftQuery] =
-    Seq(vlEligible, tptCourse, highValue, dualLatest)
+    Seq(vlEligible, tptCourse, highValue, dualLatest, asofJoin)
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("as-of picks latest right at-or-before each left row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 7L, "2024-01-01 10:00:00"),
+      (2L, 7L, "2024-01-01 12:00:00"),
+      (3L, 8L, "2024-01-01 09:00:00")) // user 8 has no predecessor
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val right = Seq(
+      (7L, "2024-01-01 09:30:00", 10.0),
+      (7L, "2024-01-01 10:00:00", 20.0), // same instant as left 1 → visible
+      (7L, "2024-01-01 11:30:00", 30.0),
+      (8L, "2024-01-01 23:00:00", 99.0)) // after left 3 → not visible
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("value"))
+      .select("event_id", "right_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(20.0)) // equal-ts right visible
+    assert(out(2L) == Some(30.0)) // latest preceding, not just any
+    assert(out(3L) == None)       // no predecessor → null
+  }
+}
