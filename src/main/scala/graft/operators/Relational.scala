@@ -503,8 +503,25 @@ object Relational {
         .orderBy("outcome")
     })
 
+  // ------------------------------------------------------------------
+  // 22. q_approx_stats — sketch aggregates (HLL distinct, t-digest-ish
+  //     quantiles): the constant-memory alternatives to q_distinct /
+  //     exact percentiles at 100 TB. Rows-only (sketch internals are
+  //     engine-specific; exactness is covered by q_distinct).
+  // ------------------------------------------------------------------
+  private val approxStats = GraftQuery(
+    "q_approx_stats",
+    None,
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+      .orderBy("l_returnflag"))
+
   val queries: Seq[GraftQuery] = Seq(
-    pivotAgg, outcomeSummary,
+    pivotAgg, outcomeSummary, approxStats,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
     periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
