@@ -32,10 +32,10 @@ object Relational {
   private val aggPricing = GraftQuery(
     "q_agg_pricing",
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       COUNT(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
       GROUP BY l_returnflag, l_linestatus
@@ -218,7 +218,7 @@ object Relational {
   private val aggTop = GraftQuery(
     "q_agg_top",
     Some("""SELECT c_custkey, c_name,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS revenue,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE) AS revenue,
       COUNT(*) AS n_orders
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_custkey, c_name
@@ -331,7 +331,7 @@ object Relational {
     "q_window_time",
     Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
       COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
     (s, dir) => Tables(s, dir).events
       .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
