@@ -35,10 +35,19 @@ object ExportMain {
       "Event_LineList" -> graft.operators.Relational.lineListEntry(spark, sfDir),
       "Event_Window" -> windowed)
 
-    val tag = s"Facility0H123_${Months(m - 1)}_$y"
+    // constants come from the dim tables, first row — mirroring the
+    // facility_details/hmiscode lookups in export.py:257-279
+    val firstNation = t.nation.orderBy("n_nationkey").limit(1)
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name").head()
+    val (regionName, facilityName) = (firstNation.getString(0), firstNation.getString(1))
+    val hmis = s"H${t.nation.orderBy("n_nationkey").limit(1).head().getInt(0)}23"
+    val facilitySan = facilityName.replace(" ", "").replace("_", "")
+
+    val tag = s"$facilitySan${hmis}_${Months(m - 1)}_$y"
     val res = ExportJob.run(spark, queries,
-      constants = Seq("Region" -> "Region0", "Woreda" -> "Woreda0",
-        "Facility" -> "Facility0", "HMISCode" -> "H123"),
+      constants = Seq("Region" -> regionName, "Woreda" -> s"${regionName}_W0",
+        "Facility" -> facilityName, "HMISCode" -> hmis),
       outDir = Paths.get(outDir), tag = tag)
     println(s"[export] package=${res.packagePath} sha256=${res.checksum} files=${res.csvFiles.mkString(",")}")
     spark.stop()
