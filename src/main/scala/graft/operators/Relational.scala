@@ -520,8 +520,65 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
       .orderBy("l_returnflag"))
 
+  // ------------------------------------------------------------------
+  // 23. q_window_suite — the rest of the window-function family
+  //     (reference uses ROW_NUMBER/LAG; rank/dense_rank/ntile/
+  //     running aggregates complete the surface).
+  // ------------------------------------------------------------------
+  private val windowSuite = GraftQuery(
+    "q_window_suite",
+    Some("""SELECT user_id, event_id,
+      RANK() OVER w AS rnk,
+      DENSE_RANK() OVER w AS drnk,
+      NTILE(4) OVER w AS quartile,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_value,
+      LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id,
+      FIRST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+      ORDER BY user_id, event_id"""),
+    (s, dir) => {
+      val byValue = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events.select(
+          col("user_id"), col("event_id"),
+          rank().over(byValue).as("rnk"),
+          dense_rank().over(byValue).as("drnk"),
+          ntile(4).over(byValue).as("quartile"),
+          sum(dec(col("value"), 18, 6))
+            .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value"),
+          lead(col("event_id"), 1).over(byTime).as("next_event_id"),
+          first(col("event_id")).over(byTime).as("first_event_id"))
+        .orderBy("user_id", "event_id")
+    })
+
+  // ------------------------------------------------------------------
+  // 24. q_rollup — hierarchical subtotals (ROLLUP), the OLAP-report
+  //     generalization of the tool's per-facility/overall summaries.
+  // ------------------------------------------------------------------
+  private val rollupQ = GraftQuery(
+    "q_rollup",
+    Some("""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      COALESCE(l_linestatus, '(all)') AS linestatus,
+      COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""),
+    (s, dir) => Tables(s, dir).lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus"))
+
   val queries: Seq[GraftQuery] = Seq(
-    pivotAgg, outcomeSummary, approxStats,
+    pivotAgg, outcomeSummary, approxStats, windowSuite, rollupQ,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
     periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
