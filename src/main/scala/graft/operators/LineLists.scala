@@ -182,6 +182,45 @@ object LineLists {
         .orderBy("event_id")
     })
 
+  // ------------------------------------------------------------------
+  // Batch sessionization — gaps-and-islands: session boundary when the
+  // gap to the previous event exceeds 30 minutes; running sum of
+  // boundary flags numbers the sessions. The batch twin of
+  // streaming.EventStream.sessionize (same gap rule).
+  // ------------------------------------------------------------------
+  private val sessionizeBatch = GraftQuery(
+    "q_sessionize_batch",
+    Some("""WITH g AS (SELECT user_id, ts, event_id, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+              OR date_diff('second', LAG(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_start
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM g)
+      SELECT user_id, session_no, COUNT(*) AS n_events,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+      FROM s GROUP BY user_id, session_no
+      ORDER BY user_id, session_no"""),
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir).events
+        .withColumn("is_start",
+          when(lag(col("ts"), 1).over(w).isNull
+              || unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_no", sum(col("is_start")).over(run))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy("user_id", "session_no")
+    })
+
   val queries: Seq[GraftQuery] =
-    Seq(vlEligible, tptCourse, highValue, dualLatest, asofJoin)
+    Seq(vlEligible, tptCourse, highValue, dualLatest, asofJoin, sessionizeBatch)
 }

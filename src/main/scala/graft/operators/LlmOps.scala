@@ -159,6 +159,27 @@ object LlmOps {
       .select(col("doc_id") +: TextAnalysis.fingerprint(col("text")): _*)
       .orderBy("doc_id"))
 
+  private val editDistance = GraftQuery(
+    "d_edit_distance",
+    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 40) AS pre,
+        substr(text, 1, 200) AS head FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        levenshtein(a.head, b.head) AS edit_dist
+      FROM d a JOIN d b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"),
+        substring(col("text"), 1, 40).as("pre"),
+        substring(col("text"), 1, 200).as("head"))
+      d.select(col("pre"), col("doc_id").as("doc_a"), col("head").as("head_a"))
+        .join(d.select(col("pre"), col("doc_id").as("doc_b"), col("head").as("head_b")),
+          Seq("pre"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("head_a"), col("head_b")).as("edit_dist"))
+        .orderBy("doc_a", "doc_b")
+    })
+
   private val dedupCorpus = GraftQuery(
     "d_dedup_corpus",
     None, // iterative connected components not SQL-expressible; PipelineSpec
@@ -169,5 +190,5 @@ object LlmOps {
 
   val queries: Seq[GraftQuery] = Seq(
     exactDedup, minhashLsh, simhashQ, ngramJaccard, embedNearDup, annTopK,
-    langIdQ, qualityQ, tokenCountQ, fingerprintQ, dedupCorpus)
+    langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus)
 }
