@@ -38,6 +38,39 @@ class StreamingSpec extends SparkSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("streaming sessions agree with the batch gaps-and-islands query") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // real events table, streamed in one batch + a watermark-advancing
+    // sentinel far in the future so every real session closes
+    val ds = graft.operators.TypedOps.events(spark, sf)
+      .map(e => Event(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_x")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(ds.collect().toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(Event(-1, ts("2030-01-01 00:00:00"), -1, "sentinel", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(-2, ts("2030-01-01 00:01:00"), -1, "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_x").as[EventStream.Session]
+      .filter(_.user_id >= 0)
+      .collect().map(s => (s.user_id, s.first_ts.getTime / 1000,
+        s.last_ts.getTime / 1000, s.n_events)).toSet
+    val batch = SparkEntry.queries("q_sessionize_batch")(spark, sf)
+      .collect().map { r =>
+        (r.getLong(0),
+          java.sql.Timestamp.valueOf(r.getString(4)).getTime / 1000,
+          java.sql.Timestamp.valueOf(r.getString(5)).getTime / 1000,
+          r.getLong(2))
+      }.toSet
+    assert(streamed == batch,
+      s"only-streamed=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("sessionization closes on event-time gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
