@@ -225,10 +225,16 @@ object Relational {
       ORDER BY revenue DESC, c_custkey LIMIT 10"""),
     (s, dir) => {
       val t = Tables(s, dir)
-      t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
-        .groupBy("c_custkey", "c_name")
-        .agg(sum(dec(col("o_totalprice"), 14)).cast("double").as("revenue"),
+      // pre-aggregate the fact side BEFORE the join: the join then
+      // moves |customers| rows instead of |orders| (at 100 TB the
+      // difference between shuffling the fact table and a dim-sized
+      // aggregate). Catalyst doesn't push aggregates through joins.
+      val perCust = t.orders.groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"), 14)).as("rev_dec"),
           count(lit(1)).as("n_orders"))
+      perCust.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_dec").cast("double").as("revenue"), col("n_orders"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     })
