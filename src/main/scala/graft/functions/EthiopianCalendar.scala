@@ -52,6 +52,15 @@ object EthiopianCalendar {
     concat(d.cast("string"), lit("/"), m.cast("string"), lit("/"), y.cast("string"))
   }
 
+  /** Inverse Column form: Ethiopian (year, month 1-13, day) columns →
+    * Gregorian date. Same arithmetic as [[toGregorian]].
+    */
+  def gregorianDate(yE: Column, mE: Column, dE: Column): Column = {
+    val j = lit(EpochJdn) + lit(365L) + lit(365L) * (yE - 1) +
+      floor(yE / 4) + lit(30L) * (mE - 1) + (dE - 1)
+    date_add(to_date(lit("1970-01-01")), (j - lit(UnixEpochJdn)).cast("int"))
+  }
+
   // ---------------------------------------------------------------- Scala
 
   /** Gregorian LocalDate → (ethYear, ethMonth 1..13, ethDay 1..30). */

@@ -55,7 +55,13 @@ object GraftExtensions {
       info("graft_hyperplane_sig",
         "graft_hyperplane_sig(vec, bits, planeOffset) - LSH signature"),
       (args: Seq[Expression]) => native.HyperplaneSignature(args(0),
-        intArg(args(1), "bits"), intArg(args(2), "planeOffset"))))
+        intArg(args(1), "bits"), intArg(args(2), "planeOffset"))),
+    (FunctionIdentifier("graft_ethiopian_dmy"),
+      info("graft_ethiopian_dmy",
+        "graft_ethiopian_dmy(date) - Ethiopian calendar 'D/M/Y' string"),
+      (args: Seq[Expression]) => native.EthiopianDMY(
+        org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+          org.apache.spark.sql.types.DateType))))
 
   /** Retrofit registration into an already-created session. */
   def registerAll(spark: SparkSession): Unit =

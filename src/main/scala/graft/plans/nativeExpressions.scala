@@ -226,6 +226,26 @@ object native {
       copy(child = c)
   }
 
+  /** Ethiopian 'D/M/Y' rendering of a DATE child (days since epoch) —
+    * native twin of functions.EthiopianCalendar.ethiopianDMY for SQL
+    * registration (a Column-composed tree can't be registered as a
+    * function in Spark 4).
+    */
+  case class EthiopianDMY(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val days = input.asInstanceOf[Int].toLong
+      val (y, m, d) = graft.functions.EthiopianCalendar
+        .toEthiopian(java.time.LocalDate.ofEpochDay(days))
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"$d/$m/$y")
+    }
+
+    override protected def withNewChildInternal(c: Expression): EthiopianDMY =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------ Column API
 
   def floatDot(a: Column, b: Column): Column =

@@ -32,6 +32,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("graft_ethiopian_dmy usable in SQL") {
+    GraftExtensions.registerAll(spark)
+    val v = spark.sql("SELECT graft_ethiopian_dmy(DATE '2024-01-21') AS ec").head().getString(0)
+    assert(v == "12/5/2016") // Tir 12, 2016 EC
+  }
+
   test("graft_dot usable in SQL over embeddings") {
     GraftExtensions.registerAll(spark)
     Tables(spark, sf).embeddings.createOrReplaceTempView("emb_sql")

@@ -44,6 +44,17 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("ethiopian Column inverse roundtrips through gregorianDate") {
+    import spark.implicits._
+    val dates = Seq("1995-06-15", "2000-01-01", "2023-09-11", "2024-01-21", "2016-02-29")
+    val bad = dates.toDF("d")
+      .select(col("d"),
+        EC.gregorianDate(EC.ethYear(col("d")), EC.ethMonth(col("d")), EC.ethDay(col("d")))
+          .cast("string").as("rt"))
+      .filter(col("d") =!= col("rt")).count()
+    assert(bad == 0)
+  }
+
   test("plans keep filters on the scan and broadcast dims") {
     val plan = Relational.lineListEntry(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "dim joins should broadcast")
