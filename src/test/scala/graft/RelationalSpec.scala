@@ -32,6 +32,21 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> "c", 2L -> "d"))
   }
 
+  test("latest-per-key aggregation form equals window form and partial-aggregates") {
+    val ev = Tables(spark, sf).events
+    val win = LatestPerKey(ev, Seq(col("user_id")),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = LatestPerKey.viaAggregation(ev, Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id")
+    agg.collect()
+    assert(agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == win)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"),
+      "expected map-side partial aggregation:\n" + plan)
+  }
+
   test("ethiopian Column conversion agrees with scalar conversion") {
     import spark.implicits._
     val dates = Seq("1995-06-15", "2000-01-01", "2023-09-12", "2024-01-21")
