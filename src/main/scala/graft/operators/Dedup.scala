@@ -164,6 +164,40 @@ object Dedup {
     * (brute force baseline; see Similarity.lshTopK for the bucketed
     * scale path).
     */
+  /** LSH-bucketed cosine near-dup — the scale path: candidates must
+    * share a hyperplane-signature bucket in one of `nTables` tables,
+    * so the pair space is O(Σ bucket²) instead of O(n²); exact cosine
+    * verifies. Recall < 1 by construction (tune bits/nTables).
+    */
+  def embeddingNearDupLsh(emb: DataFrame, tau: Double,
+      bits: Int = 8, nTables: Int = 4): DataFrame = {
+    import graft.functions.VectorFns
+    val base = emb.select(col("vec_id"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = base.select(col("vec_id"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          VectorFns.hyperplaneSignature(col("embedding"), bits, t * bits).as("sig"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("b.tbl"), col("b.sig"))
+    val cands = bucketed.select(col("tbl"), col("sig"), col("vec_id").as("vec_a"))
+      .join(bucketed.select(col("tbl"), col("sig"), col("vec_id").as("vec_b")),
+        Seq("tbl", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .dropDuplicates("vec_a", "vec_b")
+    cands
+      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "vec_b")
+      .withColumn("cos",
+        VectorFns.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(round(col("cos"), 6) > tau)
+      .select("vec_a", "vec_b")
+  }
+
   def embeddingNearDup(emb: DataFrame, probeFilter: Column,
       tau: Double): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"),

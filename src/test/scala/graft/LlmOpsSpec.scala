@@ -45,6 +45,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.size <= brute.size)
   }
 
+  test("lsh near-dup finds a subset of brute-force pairs with real recall") {
+    val emb = Tables(spark, sf).embeddings
+    // brute force over ALL pairs at this small SF
+    val brute = Dedup.embeddingNearDup(emb, lit(true), tau = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, tau = 0.35, bits = 4, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH must not invent pairs")
+    if (brute.nonEmpty) {
+      val recall = (brute & lsh).size.toDouble / brute.size
+      assert(recall > 0.3, s"recall $recall over ${brute.size} pairs")
+    }
+  }
+
   test("native word shingles match HOF word shingles") {
     import graft.functions.TextFns
     val d = docs.limit(100)
