@@ -221,6 +221,30 @@ object LineLists {
         .orderBy("user_id", "session_no")
     })
 
+  // ------------------------------------------------------------------
+  // Range join — events inside 30-minute windows opened by signup
+  // events (bucketized equi-join vs Spark's nested-loop fallback;
+  // DuckDB plans the same query as an IEJoin and is the oracle).
+  // ------------------------------------------------------------------
+  private val rangeJoin = GraftQuery(
+    "q_range_join",
+    Some("""WITH iv AS (SELECT event_id AS iv_id, ts AS start_ts,
+        ts + INTERVAL 30 MINUTE AS end_ts FROM events WHERE event_type = 'signup')
+      SELECT e.event_id, iv.iv_id
+      FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+      ORDER BY e.event_id, iv.iv_id"""),
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("iv_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+      RangeJoin.pointInInterval(ev.select("event_id", "ts"), "ts",
+          iv, "start_ts", "end_ts", bucketSeconds = 1800)
+        .select("event_id", "iv_id")
+        .orderBy("event_id", "iv_id")
+    })
+
   val queries: Seq[GraftQuery] =
-    Seq(vlEligible, tptCourse, highValue, dualLatest, asofJoin, sessionizeBatch)
+    Seq(vlEligible, tptCourse, highValue, dualLatest, asofJoin,
+      sessionizeBatch, rangeJoin)
 }
