@@ -188,7 +188,17 @@ object LlmOps {
       .select("doc_id", "component", "lang", "source")
       .orderBy("doc_id"))
 
+  private val mediaFeatures = GraftQuery(
+    "d_media_features",
+    None, // synthetic binary media (no media table in testdata); the
+          // dataflow shape is what's exercised — see MediaOpsSpec
+    (s, _) => MediaOps.extractFeatures(
+        MediaOps.syntheticMedia(s, 200).repartition(8))
+      .select(col("media_id"), col("mime"), col("n_bytes"))
+      .orderBy("media_id"))
+
   val queries: Seq[GraftQuery] = Seq(
     exactDedup, minhashLsh, simhashQ, ngramJaccard, embedNearDup, annTopK,
-    langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus)
+    langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
+    mediaFeatures)
 }

@@ -68,7 +68,9 @@ object ExportJob {
   }
 
   /** Concatenate Spark csv part files into one CSV, keeping a single
-    * header row. Streams at file level — O(buffer) memory.
+    * header row. Bytes are copied verbatim after the header line of
+    * each part (a line-based merge would normalize newlines inside
+    * quoted multiline fields); O(buffer) memory.
     */
   private def mergeCsvParts(partDir: Path, target: Path): Unit = {
     val parts = Files.list(partDir).iterator().asScala
@@ -78,18 +80,20 @@ object ExportJob {
     try {
       var first = true
       parts.foreach { p =>
-        val lines = Files.newBufferedReader(p)
+        val in = new BufferedInputStream(new FileInputStream(p.toFile), 4 << 20)
         try {
-          var line = lines.readLine() // header
-          if (first && line != null) {
-            out.write((line + "\n").getBytes(StandardCharsets.UTF_8)); first = false
+          // scan past the header line (headers never contain newlines)
+          var b = in.read()
+          val header = new java.io.ByteArrayOutputStream()
+          while (b >= 0 && b != '\n') { header.write(b); b = in.read() }
+          if (first && (header.size() > 0 || b == '\n')) {
+            out.write(header.toByteArray); out.write('\n'); first = false
           }
-          line = lines.readLine()
-          while (line != null) {
-            out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
-            line = lines.readLine()
-          }
-        } finally lines.close()
+          // raw byte copy of the remainder
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
       }
     } finally out.close()
   }
