@@ -16,14 +16,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupPipeline {
 
-  /** (doc_id, label=component representative) for every doc. */
+  /** (doc_id, label=component representative) for every doc that
+    * appears in an edge. Propagation runs over edge-touched vertices
+    * only — duplicate components are a sliver of the corpus at any
+    * scale, so each round's joins move |touched| rows, not |docs|;
+    * untouched docs are their own representative (handled by the
+    * caller's left join + coalesce).
+    */
   def componentLabels(docs: DataFrame, edges: DataFrame,
       maxRounds: Int = 10): DataFrame = {
     // undirected: propagate both ways
     val both = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var labels = both.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var round = 0
@@ -66,8 +74,9 @@ object DedupPipeline {
     */
   def dedupedCorpus(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val labels = componentLabels(docs, duplicateEdges(docs, threshold))
-    docs.join(labels, "doc_id")
-      .filter(col("doc_id") === col("label"))
-      .withColumnRenamed("label", "component")
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("label"), col("doc_id")))
+      .filter(col("doc_id") === col("component"))
+      .drop("label")
   }
 }
