@@ -188,6 +188,18 @@ object LlmOps {
       .select("doc_id", "component", "lang", "source")
       .orderBy("doc_id"))
 
+  private val consistentSample = GraftQuery(
+    "d_consistent_sample",
+    Some("""SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS hr
+        FROM documents) t
+      WHERE hr <= 5 ORDER BY lang, doc_id"""),
+    (s, dir) => Sampling.consistentSample(
+        Tables(s, dir).documents, Seq("lang"), "doc_id", k = 5)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id"))
+
   private val mediaFeatures = GraftQuery(
     "d_media_features",
     None, // synthetic binary media (no media table in testdata); the
@@ -200,5 +212,5 @@ object LlmOps {
   val queries: Seq[GraftQuery] = Seq(
     exactDedup, minhashLsh, simhashQ, ngramJaccard, embedNearDup, annTopK,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
-    mediaFeatures)
+    consistentSample, mediaFeatures)
 }

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Consistent sampling for training-data pipelines: per group, keep
+  * the k rows with the smallest md5(id) — a deterministic "bottom-k
+  * by hash" sample that is stable across runs, engines, partitionings
+  * and incremental re-runs (a row's membership never depends on what
+  * else is in the group, so samples from different shards/days union
+  * cleanly — the property random sampling lacks).
+  */
+object Sampling {
+
+  def consistentSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__hr", row_number().over(w))
+      .filter(col("__hr") <= k)
+      .drop("__hr")
+  }
+
+  /** Fraction variant: keep rows whose hash falls in the bottom
+    * `fraction` of the md5 space (first 8 hex chars as a uniform
+    * 32-bit draw). Same consistency property, no per-group shuffle.
+    */
+  def consistentFraction(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+        < lit((fraction * (1L << 32)).toLong))
+}
