@@ -583,8 +583,98 @@ object Relational {
         col("n"), col("sum_qty"))
       .orderBy("returnflag", "linestatus"))
 
+  // ------------------------------------------------------------------
+  // 25. q_string_funs2 — wider string surface (split_part/pad/reverse/
+  //     repeat/translate/regexp_extract).
+  // ------------------------------------------------------------------
+  private val stringFuns2 = GraftQuery(
+    "q_string_funs2",
+    Some("""SELECT p_partkey,
+      split_part(p_type, ' ', 1) AS type_head,
+      lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      rpad(p_brand, 12, '.') AS brand_pad,
+      reverse(p_brand) AS brand_rev,
+      repeat(left(p_name, 2), 2) AS name2x,
+      translate(p_brand, '#', '-') AS brand_dash,
+      regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+      FROM part ORDER BY p_partkey"""),
+    (s, dir) => Tables(s, dir).part
+      .select(col("p_partkey"),
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        rpad(col("p_brand"), 12, ".").as("brand_pad"),
+        reverse(col("p_brand")).as("brand_rev"),
+        repeat(substring(col("p_name"), 1, 2), 2).as("name2x"),
+        translate(col("p_brand"), "#", "-").as("brand_dash"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
+      .orderBy("p_partkey"))
+
+  // ------------------------------------------------------------------
+  // 26. q_math_funs — exact-arithmetic math surface (abs/sign/floor/
+  //     ceil/round/sqrt/mod are IEEE-exact; libm-dependent fns like
+  //     exp/ln are deliberately excluded from the oracle set).
+  // ------------------------------------------------------------------
+  private val mathFuns = GraftQuery(
+    "q_math_funs",
+    Some("""SELECT c_custkey,
+      abs(c_acctbal) AS abs_bal,
+      sign(c_acctbal) AS sign_bal,
+      floor(c_acctbal) AS floor_bal,
+      ceil(c_acctbal) AS ceil_bal,
+      round(c_acctbal, 1) AS round_bal,
+      sqrt(abs(c_acctbal)) AS sqrt_bal,
+      CAST(c_custkey % 7 AS BIGINT) AS mod7
+      FROM customer ORDER BY c_custkey"""),
+    (s, dir) => Tables(s, dir).customer
+      .select(col("c_custkey"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        signum(col("c_acctbal")).as("sign_bal"),
+        floor(col("c_acctbal")).as("floor_bal"),
+        ceil(col("c_acctbal")).as("ceil_bal"),
+        round(col("c_acctbal"), 1).as("round_bal"),
+        sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+        (col("c_custkey") % 7).as("mod7"))
+      .orderBy("c_custkey"))
+
+  // ------------------------------------------------------------------
+  // 27. q_percentile — exact linear-interpolation quantiles (Spark
+  //     percentile ≡ DuckDB quantile_cont, both h=(n-1)p).
+  // ------------------------------------------------------------------
+  private val percentileQ = GraftQuery(
+    "q_percentile",
+    Some("""SELECT l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag"))
+
+  // ------------------------------------------------------------------
+  // 28. q_cube — full cross-dimension subtotals (CUBE).
+  // ------------------------------------------------------------------
+  private val cubeQ = GraftQuery(
+    "q_cube",
+    Some("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      COALESCE(o_orderpriority, '(all)') AS priority,
+      COUNT(*) AS n
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""),
+    (s, dir) => Tables(s, dir).orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"))
+      .orderBy("status", "priority"))
+
   val queries: Seq[GraftQuery] = Seq(
     pivotAgg, outcomeSummary, approxStats, windowSuite, rollupQ,
+    stringFuns2, mathFuns, percentileQ, cubeQ,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
     periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
