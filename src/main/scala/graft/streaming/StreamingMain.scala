@@ -31,15 +31,30 @@ object StreamingMain {
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         fileStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else fileStream
+    // production shape: parquet file sink + checkpoint (exactly-once;
+    // a restart resumes from the checkpoint instead of reprocessing)
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_sink")
     val q = EventStream.windowedCounts(stream)
-      .writeStream.format("memory").queryName("win")
+      .writeStream.format("parquet")
+      .option("path", s"$sinkDir/out")
+      .option("checkpointLocation", s"$sinkDir/chk")
       .outputMode("append").start()
     q.processAllAvailable()
     q.stop()
-    val out = spark.table("win").orderBy("window_start", "event_type")
+    val out = spark.read.parquet(s"$sinkDir/out")
+      .orderBy("window_start", "event_type")
     val n = out.count()
     out.show(8, truncate = false)
-    println(s"[stream] windows_emitted=$n")
+    // restart against the same checkpoint: no new input -> no new rows
+    val q2 = EventStream.windowedCounts(stream)
+      .writeStream.format("parquet")
+      .option("path", s"$sinkDir/out")
+      .option("checkpointLocation", s"$sinkDir/chk")
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val n2 = spark.read.parquet(s"$sinkDir/out").count()
+    println(s"[stream] windows_emitted=$n after_restart=$n2 exactly_once=${n == n2}")
     spark.stop()
   }
 }
