@@ -188,6 +188,19 @@ object LlmOps {
       .select("doc_id", "component", "lang", "source")
       .orderBy("doc_id"))
 
+  private val contamination = GraftQuery(
+    "d_contamination",
+    None, // xxhash-based fingerprints have no SQL twin; self-overlap
+          // and disjointness properties in LlmOpsSpec
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      TextAnalysis.contamination(
+          candidates = docs.filter(col("source") =!= "src0"),
+          benchmark = docs.filter(col("source") === "src0"))
+        .filter(col("overlap_ratio") > 0.5)
+        .orderBy("doc_id")
+    })
+
   private val consistentSample = GraftQuery(
     "d_consistent_sample",
     Some("""SELECT lang, doc_id FROM (
@@ -212,5 +225,5 @@ object LlmOps {
   val queries: Seq[GraftQuery] = Seq(
     exactDedup, minhashLsh, simhashQ, ngramJaccard, embedNearDup, annTopK,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
-    consistentSample, mediaFeatures)
+    consistentSample, contamination, mediaFeatures)
 }

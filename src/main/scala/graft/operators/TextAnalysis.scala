@@ -88,4 +88,31 @@ object TextAnalysis {
     val fps = graft.plans.native.winnowing(text, k, w)
     Seq(size(fps).as("n_fingerprints"), array_min(fps).as("min_fingerprint"))
   }
+
+  /** Contamination check (the decontamination op every training
+    * pipeline runs): how much of each candidate document's winnowing
+    * fingerprint set appears in the benchmark corpus. Exploded
+    * fingerprints equi-join — shuffle O(Σ fps), never doc×doc.
+    * Returns (doc_id, n_fingerprints, n_hits, overlap_ratio).
+    */
+  def contamination(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 20, w: Int = 8): DataFrame = {
+    // k=20 chars ≈ a 3-4 word exact span: short k-grams (the dedup
+    // default k=5) collide near-universally on small-vocabulary
+    // corpora and would flag everything as contaminated.
+    def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(graft.plans.native.winnowing(col(textCol), k, w)).as("fp"))
+    val candFps = fps(candidates)
+    val benchFps = fps(benchmark).select(col("fp")).distinct()
+    val total = candFps.groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("n_fingerprints"))
+    val hits = candFps.join(benchFps, "fp")
+      .groupBy("doc_id").agg(countDistinct(col("fp")).as("n_hits"))
+    total.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fingerprints"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_fingerprints"), 6).as("overlap_ratio"))
+  }
 }

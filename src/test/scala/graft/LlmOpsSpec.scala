@@ -82,6 +82,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(diff == 0.0, s"native vs HOF dot differ by $diff")
   }
 
+  test("contamination: self-overlap is total, disjoint text is near zero") {
+    import graft.operators.TextAnalysis
+    val d = docs.limit(50)
+    val self = TextAnalysis.contamination(d, d)
+    assert(self.filter(col("overlap_ratio") < 1.0).count() == 0,
+      "every doc fully overlaps itself")
+    // unrelated docs: independent word-salad rarely shares exact
+    // 20-char spans, so near-total overlap should not occur
+    val other = docs.filter(col("doc_id") >= 250).limit(50)
+    val cross = TextAnalysis.contamination(d, other)
+    val high = cross.filter(col("overlap_ratio") > 0.9).count()
+    assert(high == 0, s"$high docs near-fully contaminated against unrelated corpus")
+  }
+
   test("fingerprints are deterministic and bounded") {
     val a = docs.select(col("doc_id") +: TextAnalysis.fingerprint(col("text")): _*)
       .orderBy("doc_id").collect()
