@@ -672,9 +672,45 @@ object Relational {
         col("n"))
       .orderBy("status", "priority"))
 
+  // ------------------------------------------------------------------
+  // 29. q_having — post-aggregation filter.
+  // ------------------------------------------------------------------
+  private val havingQ = GraftQuery(
+    "q_having",
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+      ORDER BY o_custkey"""),
+    (s, dir) => Tables(s, dir).orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 12)
+      .orderBy("o_custkey"))
+
+  // ------------------------------------------------------------------
+  // 30. q_scalar_subquery — orders above the global mean price.
+  //     Cross-engine-exact: compare price·count > totalsum (all exact
+  //     decimal math) instead of dividing (decimal division scale
+  //     rules differ between engines).
+  // ------------------------------------------------------------------
+  private val scalarSubquery = GraftQuery(
+    "q_scalar_subquery",
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      WHERE CAST(o_totalprice AS DECIMAL(14,4)) * (SELECT COUNT(*) FROM orders)
+            > (SELECT SUM(CAST(o_totalprice AS DECIMAL(14,4))) FROM orders)
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val orders = Tables(s, dir).orders
+      val totals = orders.agg(count(lit(1)).as("__n"),
+        sum(dec(col("o_totalprice"), 14)).as("__sum"))
+      orders.crossJoin(broadcast(totals))
+        .filter(dec(col("o_totalprice"), 14) * col("__n") > col("__sum"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    })
+
   val queries: Seq[GraftQuery] = Seq(
     pivotAgg, outcomeSummary, approxStats, windowSuite, rollupQ,
-    stringFuns2, mathFuns, percentileQ, cubeQ,
+    stringFuns2, mathFuns, percentileQ, cubeQ, havingQ, scalarSubquery,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
     periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
