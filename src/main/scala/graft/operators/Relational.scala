@@ -708,9 +708,66 @@ object Relational {
         .orderBy("o_orderkey")
     })
 
+  // ------------------------------------------------------------------
+  // 31. q_array_funs — array surface over tokenized text (size/
+  //     contains/sorted-join/element access; DuckDB list twins).
+  // ------------------------------------------------------------------
+  private val arrayFuns = GraftQuery(
+    "q_array_funs",
+    Some("""SELECT p_partkey,
+      len(string_split(p_type, ' ')) AS n_words,
+      list_contains(string_split(p_type, ' '), 'STANDARD') AS has_standard,
+      array_to_string(list_sort(string_split(p_type, ' ')), ',') AS sorted_words,
+      string_split(p_type, ' ')[1] AS first_word
+      FROM part ORDER BY p_partkey"""),
+    (s, dir) => {
+      val words = split(col("p_type"), " ")
+      Tables(s, dir).part
+        .select(col("p_partkey"),
+          size(words).as("n_words"),
+          array_contains(words, "STANDARD").as("has_standard"),
+          array_join(sort_array(words), ",").as("sorted_words"),
+          element_at(words, 1).as("first_word"))
+        .orderBy("p_partkey")
+    })
+
+  // ------------------------------------------------------------------
+  // 32. q_regex_funs — regex replace with capture-group backrefs
+  //     (Java $1 vs DuckDB \1 spellings, same semantics).
+  // ------------------------------------------------------------------
+  private val regexFuns = GraftQuery(
+    "q_regex_funs",
+    Some("""SELECT p_partkey,
+      regexp_replace(p_brand, '#([0-9]+)', '-\1') AS brand_dashed,
+      regexp_matches(p_name, '^[a-z]+ ') AS starts_word
+      FROM part ORDER BY p_partkey"""),
+    (s, dir) => Tables(s, dir).part
+      .select(col("p_partkey"),
+        regexp_replace(col("p_brand"), "#([0-9]+)", "-$1").as("brand_dashed"),
+        col("p_name").rlike("^[a-z]+ ").as("starts_word"))
+      .orderBy("p_partkey"))
+
+  // ------------------------------------------------------------------
+  // 33. q_bool_agg — every/any/count_if conditional aggregates.
+  // ------------------------------------------------------------------
+  private val boolAgg = GraftQuery(
+    "q_bool_agg",
+    Some("""SELECT o_custkey,
+      bool_and(o_totalprice > 1000) AS all_over_1k,
+      bool_or(o_orderstatus = 'F') AS any_final,
+      COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+    (s, dir) => Tables(s, dir).orders
+      .groupBy("o_custkey")
+      .agg(every(col("o_totalprice") > 1000).as("all_over_1k"),
+        some(col("o_orderstatus") === "F").as("any_final"),
+        count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"))
+      .orderBy("o_custkey"))
+
   val queries: Seq[GraftQuery] = Seq(
     pivotAgg, outcomeSummary, approxStats, windowSuite, rollupQ,
     stringFuns2, mathFuns, percentileQ, cubeQ, havingQ, scalarSubquery,
+    arrayFuns, regexFuns, boolAgg,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
     periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
