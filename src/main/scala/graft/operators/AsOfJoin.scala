@@ -21,6 +21,12 @@ object AsOfJoin {
 
   /** left(keyCol, tsCol, ...) ⟕asof right(keyCol, tsCol, payload...).
     * Right payload columns arrive null when no right row precedes.
+    *
+    * Constraint: payload columns must be non-null in right rows — the
+    * carry uses last(ignoreNulls) per column, so a legitimately-null
+    * payload cell would be filled from an OLDER right row (columns
+    * would mix across rows). Wrap nullable payloads in a struct
+    * column first if needed.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       payloadCols: Seq[String], tieRightFirst: Boolean = true): DataFrame = {

@@ -764,10 +764,28 @@ object Relational {
         count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"))
       .orderBy("o_custkey"))
 
+  // ------------------------------------------------------------------
+  // 34. q_month_arith — month-granularity arithmetic (DATE_ADD month
+  //     intervals with day clamping, last_day, month truncation).
+  // ------------------------------------------------------------------
+  private val monthArith = GraftQuery(
+    "q_month_arith",
+    Some("""SELECT o_orderkey,
+      strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+      strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+      FROM orders ORDER BY o_orderkey"""),
+    (s, dir) => Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        date_format(add_months(col("o_orderdate").cast("date"), 1), "yyyy-MM-dd").as("next_month"),
+        date_format(last_day(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+      .orderBy("o_orderkey"))
+
   val queries: Seq[GraftQuery] = Seq(
     pivotAgg, outcomeSummary, approxStats, windowSuite, rollupQ,
     stringFuns2, mathFuns, percentileQ, cubeQ, havingQ, scalarSubquery,
-    arrayFuns, regexFuns, boolAgg,
+    arrayFuns, regexFuns, boolAgg, monthArith,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
     periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)

@@ -18,6 +18,11 @@ object SkewJoin {
 
   def saltedJoin(fact: DataFrame, build: DataFrame, factKey: String,
       buildKey: String, nSalts: Int, joinType: String = "inner"): DataFrame = {
+    // the build side is replicated nSalts× — safe only for join types
+    // that never emit unmatched/duplicated BUILD rows
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin cannot preserve build-side semantics for $joinType")
     // salt from the whole fact row hash: rows of the SAME key spread
     // across salts, and the choice is deterministic (re-runnable)
     val salted = fact.withColumn("__salt_f",
