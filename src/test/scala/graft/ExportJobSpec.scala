@@ -9,6 +9,33 @@ import graft.sources.ExportJob
 
 class ExportJobSpec extends SparkSpec {
 
+  test("csv merge preserves quoted multiline fields byte-exactly") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_multiline")
+    val df = Seq(
+      (1L, "plain"),
+      (2L, "embedded\nnewline"),
+      (3L, "crlf\r\nline"),
+      (4L, "quote\"inside")).toDF("id", "v").repartition(3)
+    val res = ExportJob.run(spark, Map("ml" -> df), Nil, out, "mltest")
+    val zf = new ZipFile(res.packagePath.toFile)
+    val tmpInner = Files.createTempFile("inner", ".zip")
+    Files.copy(zf.getInputStream(zf.getEntry("mltest.zip")), tmpInner,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val inner = new ZipFile(tmpInner.toFile)
+    val csvPath = Files.createTempFile("ml", ".csv")
+    Files.copy(inner.getInputStream(inner.getEntry("ml_mltest.csv")), csvPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Spark's own csv reader must round-trip the merged file exactly
+    // reader options must match the writer's defaults (quote=", escape=\)
+    val back = spark.read.option("header", "true").option("multiLine", "true")
+      .csv(csvPath.toString)
+      .collect().map(r => r.getString(0).toLong -> r.getString(1)).toMap
+    assert(back == Map(1L -> "plain", 2L -> "embedded\nnewline",
+      3L -> "crlf\r\nline", 4L -> "quote\"inside"))
+    inner.close(); zf.close()
+  }
+
   test("export runs queries, appends constants, zips with checksum") {
     val t = Tables(spark, sf)
     val out = Files.createTempDirectory("graft_export")
