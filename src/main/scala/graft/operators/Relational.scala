@@ -782,10 +782,50 @@ object Relational {
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
       .orderBy("o_orderkey"))
 
+  // ------------------------------------------------------------------
+  // 35. q_encode_funs — binary encodings (base64/hex over utf8 bytes).
+  // ------------------------------------------------------------------
+  private val encodeFuns = GraftQuery(
+    "q_encode_funs",
+    Some("""SELECT n_nationkey,
+      to_base64(encode(n_name)) AS name_b64,
+      to_hex(n_nationkey) AS key_hex,
+      md5(n_name) AS name_md5
+      FROM nation ORDER BY n_nationkey"""),
+    (s, dir) => Tables(s, dir).nation
+      .select(col("n_nationkey"),
+        base64(col("n_name").cast("binary")).as("name_b64"),
+        hex(col("n_nationkey")).as("key_hex"),
+        md5(col("n_name")).as("name_md5"))
+      .orderBy("n_nationkey"))
+
+  // ------------------------------------------------------------------
+  // 36. q_date_parts — calendar field extraction (dow normalized to
+  //     DuckDB's 0=Sunday convention; Spark's is 1=Sunday).
+  // ------------------------------------------------------------------
+  private val dateParts = GraftQuery(
+    "q_date_parts",
+    Some("""SELECT o_orderkey,
+      year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+      quarter(o_orderdate) AS q,
+      dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+      dayofyear(CAST(o_orderdate AS DATE)) AS doy,
+      weekofyear(CAST(o_orderdate AS DATE)) AS woy
+      FROM orders ORDER BY o_orderkey"""),
+    (s, dir) => Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        weekofyear(col("o_orderdate")).as("woy"))
+      .orderBy("o_orderkey"))
+
   val queries: Seq[GraftQuery] = Seq(
     pivotAgg, outcomeSummary, approxStats, windowSuite, rollupQ,
     stringFuns2, mathFuns, percentileQ, cubeQ, havingQ, scalarSubquery,
-    arrayFuns, regexFuns, boolAgg, monthArith,
+    arrayFuns, regexFuns, boolAgg, monthArith, encodeFuns, dateParts,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
     periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
