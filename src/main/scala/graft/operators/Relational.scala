@@ -822,10 +822,33 @@ object Relational {
         weekofyear(col("o_orderdate")).as("woy"))
       .orderBy("o_orderkey"))
 
+  // ------------------------------------------------------------------
+  // 37. q_grouping_sets — explicit grouping-set selection (via the
+  //     engine's SQL surface; the DataFrame API covers rollup/cube).
+  // ------------------------------------------------------------------
+  private val groupingSets = GraftQuery(
+    "q_grouping_sets",
+    Some("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      COALESCE(o_orderpriority, '(all)') AS priority,
+      COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority"""),
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        COALESCE(o_orderpriority, '(all)') AS priority,
+        COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    })
+
   val queries: Seq[GraftQuery] = Seq(
     pivotAgg, outcomeSummary, approxStats, windowSuite, rollupQ,
     stringFuns2, mathFuns, percentileQ, cubeQ, havingQ, scalarSubquery,
     arrayFuns, regexFuns, boolAgg, monthArith, encodeFuns, dateParts,
+    groupingSets,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
     periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
