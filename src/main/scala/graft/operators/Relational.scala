@@ -844,11 +844,55 @@ object Relational {
         ORDER BY status, priority""")
     })
 
+  // ------------------------------------------------------------------
+  // 38. q_pivot_wide — true pivot API (values to columns).
+  // ------------------------------------------------------------------
+  private val pivotWide = GraftQuery(
+    "q_pivot_wide",
+    Some("""SELECT user_id,
+      COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    (s, dir) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val p = Tables(s, dir).events
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    })
+
+  // ------------------------------------------------------------------
+  // 39. q_unpivot — melt wide measures to (measure, value) rows.
+  // ------------------------------------------------------------------
+  private val unpivotQ = GraftQuery(
+    "q_unpivot",
+    Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem) t
+      ORDER BY l_orderkey, l_linenumber, measure"""),
+    (s, dir) => Tables(s, dir).lineitem
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity").as("quantity"),
+          col("l_discount").as("discount"), col("l_tax").as("tax")),
+        variableColumnName = "measure", valueColumnName = "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure"))
+
   val queries: Seq[GraftQuery] = Seq(
     pivotAgg, outcomeSummary, approxStats, windowSuite, rollupQ,
     stringFuns2, mathFuns, percentileQ, cubeQ, havingQ, scalarSubquery,
     arrayFuns, regexFuns, boolAgg, monthArith, encodeFuns, dateParts,
-    groupingSets,
+    groupingSets, pivotWide, unpivotQ,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
     periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
