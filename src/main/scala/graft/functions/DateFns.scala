@@ -37,6 +37,31 @@ object DateFns {
     ((year(bd) * 12 + month(bd)) - (year(ad) * 12 + month(ad))).cast("int")
   }
 
+  /** MySQL TIMESTAMPDIFF(MONTH, a, b): COMPLETE months from a to b —
+    * month-index diff adjusted toward zero when b's day-of-month has
+    * not yet reached a's (33 uses across the reference, e.g.
+    * Tx_Curr_HVL_LineList.sql, Tx_Curr_VLEligibleNew_LineList.sql).
+    * NOT the same as [[periodDiff]], which ignores day-of-month.
+    * Sign-aware: reversed arguments negate (MySQL behavior).
+    */
+  def monthsBetween(a: Column, b: Column): Column = {
+    val ad = a.cast("date"); val bd = b.cast("date")
+    val m = (year(bd) * 12 + month(bd)) - (year(ad) * 12 + month(ad))
+    when(m > 0 && dayofmonth(bd) < dayofmonth(ad), m - 1)
+      .when(m < 0 && dayofmonth(bd) > dayofmonth(ad), m + 1)
+      .otherwise(m).cast("int")
+  }
+
+  /** MySQL TIMESTAMPDIFF(WEEK, a, b): complete weeks = days/7
+    * truncated toward zero (5 uses, Tx_Curr_AHD_LineList.sql).
+    */
+  def weeksBetween(a: Column, b: Column): Column =
+    (daysBetween(a, b) / lit(7)).cast("int")
+
   /** MySQL DATE_ADD(a, INTERVAL n DAY). */
   def addDays(a: Column, n: Int): Column = date_add(a.cast("date"), n)
+
+  /** MySQL DATE_ADD(a, INTERVAL n MONTH) — end-of-month clamped, same
+    * rule as Spark/DuckDB add_months/interval arithmetic. */
+  def addMonths(a: Column, n: Int): Column = add_months(a.cast("date"), n)
 }

@@ -194,8 +194,8 @@ object LineLists {
         CASE WHEN LAG(ts) OVER w IS NULL
               OR date_diff('second', LAG(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_start
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      s AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM g)
+      s AS (SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no FROM g)
       SELECT user_id, session_no, COUNT(*) AS n_events,
         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,

@@ -180,6 +180,38 @@ object Relational {
       .orderBy("o_orderkey"))
 
   // ------------------------------------------------------------------
+  // 7b. q_month_diff — MySQL TIMESTAMPDIFF(MONTH/WEEK) COMPLETE-period
+  //     semantics (33 MONTH + 5 WEEK uses; Tx_Curr_HVL_LineList.sql,
+  //     Tx_Curr_AHD_LineList.sql). Distinct from q_period_diff:
+  //     day-of-month aware, truncates toward zero. Both directions are
+  //     computed so the sign-adjustment branches are exercised.
+  // ------------------------------------------------------------------
+  private val monthDiff = GraftQuery(
+    "q_month_diff",
+    Some(s"""WITH m AS (SELECT o_orderkey,
+        (year(DATE '$ReportEnd') * 12 + month(DATE '$ReportEnd'))
+          - (year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE))) AS mi,
+        day(DATE '$ReportEnd') AS db,
+        day(CAST(o_orderdate AS DATE)) AS da,
+        date_diff('day', CAST(o_orderdate AS DATE), DATE '$ReportEnd') AS dd
+      FROM orders)
+      SELECT o_orderkey,
+        CASE WHEN mi > 0 AND db < da THEN mi - 1
+             WHEN mi < 0 AND db > da THEN mi + 1
+             ELSE mi END AS months_to_end,
+        CASE WHEN -mi > 0 AND da < db THEN -mi - 1
+             WHEN -mi < 0 AND da > db THEN -mi + 1
+             ELSE -mi END AS months_back,
+        CAST(trunc(dd / 7.0) AS INTEGER) AS weeks_to_end
+      FROM m ORDER BY o_orderkey"""),
+    (s, dir) => Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        DateFns.monthsBetween(col("o_orderdate"), lit(ReportEnd)).as("months_to_end"),
+        DateFns.monthsBetween(lit(ReportEnd), col("o_orderdate")).as("months_back"),
+        DateFns.weeksBetween(col("o_orderdate"), lit(ReportEnd)).as("weeks_to_end"))
+      .orderBy("o_orderkey"))
+
+  // ------------------------------------------------------------------
   // 8. q_ethiopian_cal — fn_gregorian_to_ethiopian_calendar (19×;
   //    Tx_Curr_LineList.sql:94). Pure JDN arithmetic, codegen'd.
   // ------------------------------------------------------------------
@@ -618,9 +650,9 @@ object Relational {
     "q_math_funs",
     Some("""SELECT c_custkey,
       abs(c_acctbal) AS abs_bal,
-      sign(c_acctbal) AS sign_bal,
-      floor(c_acctbal) AS floor_bal,
-      ceil(c_acctbal) AS ceil_bal,
+      CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal,
+      CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+      CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
       round(c_acctbal, 1) AS round_bal,
       sqrt(abs(c_acctbal)) AS sqrt_bal,
       CAST(c_custkey % 7 AS BIGINT) AS mod7
@@ -894,6 +926,6 @@ object Relational {
     arrayFuns, regexFuns, boolAgg, monthArith, encodeFuns, dateParts,
     groupingSets, pivotWide, unpivotQ,
     aggPricing, filterProject, joinMulti, latestPerKey, caseMap, dateArith,
-    periodDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
+    periodDiff, monthDiff, ethiopianCal, lagWindow, aggTop, stringFuns, nullFuns,
     distinctQ, semiJoin, antiJoin, lineList, windowTime, unionAll, jsonExtract)
 }
