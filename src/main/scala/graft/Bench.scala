@@ -27,20 +27,31 @@ object Bench {
     }
     // min of 2 timed runs per query: the LSH/graph queries re-persist
     // internal state each run, and a single sample is noisy under 32
-    // concurrent local threads
-    val results = queries.map { case (name, fn) =>
+    // concurrent local threads. A failing query is reported in
+    // "errors" and its timing dropped — never folded into the totals
+    // as a fast success.
+    val results = queries.toSeq.map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            err = Some((t.getClass.getSimpleName + ": " +
+              Option(t.getMessage).getOrElse("")).take(160)
+              .replaceAll("""[\\"\n\r\t]""", " "))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache()
-      name -> times.min
+      (name, times.min, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

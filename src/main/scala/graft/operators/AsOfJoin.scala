@@ -22,34 +22,41 @@ object AsOfJoin {
   /** left(keyCol, tsCol, ...) ⟕asof right(keyCol, tsCol, payload...).
     * Right payload columns arrive null when no right row precedes.
     *
-    * Constraint: payload columns must be non-null in right rows — the
-    * carry uses last(ignoreNulls) per column, so a legitimately-null
-    * payload cell would be filled from an OLDER right row (columns
-    * would mix across rows). Wrap nullable payloads in a struct
-    * column first if needed.
+    * The whole right payload is carried as ONE struct, so output
+    * columns always come from the same right row — individually-null
+    * payload cells can never be filled from older rows. Ties on
+    * (key, ts) among right rows are broken deterministically:
+    * `tieBreakCol` (e.g. a right-side id — the LAST row in its
+    * ascending order wins) when given, else a stable hash of the
+    * payload, so results are identical across runs and partitionings.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      payloadCols: Seq[String], tieRightFirst: Boolean = true): DataFrame = {
+      payloadCols: Seq[String], tieRightFirst: Boolean = true,
+      tieBreakCol: Option[String] = None): DataFrame = {
     val lCols = left.columns
     // side 0 = right (sorts before left at equal ts so a same-instant
     // right row is visible to the left row when tieRightFirst)
     val sideOfRight = if (tieRightFirst) 0 else 2
+    val tie = tieBreakCol.map(col)
+      .getOrElse(xxhash64(payloadCols.map(col): _*))
     val taggedRight = right.select(
-      Seq(col(keyCol), col(tsCol).as("__ts"), lit(sideOfRight).as("__side")) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+      col(keyCol), col(tsCol).as("__ts"), lit(sideOfRight).as("__side"),
+      tie.as("__tie"),
+      struct(payloadCols.map(col): _*).as("__p"))
     val taggedLeft = left
       .withColumn("__ts", col(tsCol))
       .withColumn("__side", lit(1))
     val unioned = taggedLeft
       .unionByName(taggedRight, allowMissingColumns = true)
+    // left rows have __tie null; it only orders right rows among
+    // themselves (sides differ otherwise), so null placement is moot
     val w = Window.partitionBy(keyCol)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(lCols.map(col) ++
-        payloadCols.map(c => col(s"__p_$c").as(s"right_$c")): _*)
+        payloadCols.map(c => col("__p").getField(c).as(s"right_$c")): _*)
   }
 }

@@ -32,7 +32,7 @@ object DedupPipeline {
     var labels = both.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // truncate lineage at the loop entry
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -40,18 +40,38 @@ object DedupPipeline {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      // pointer jump (label := label's label): halves the remaining
+      // diameter each round => genuine O(log diameter) convergence,
+      // not the O(diameter) of plain neighbor propagation. Every label
+      // is a doc_id present in `stepped`, so the lookup is an
+      // equi-join on the same key space.
+      val jump = stepped.select(col("label").as("jkey"), col("doc_id"), col("old"))
+        .join(stepped.select(col("doc_id").as("jkey"), col("label").as("jlabel")),
+          Seq("jkey"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("jkey"), coalesce(col("jlabel"), col("jkey"))).as("label"))
+      // localCheckpoint (eager) both materializes the round and
+      // truncates the logical plan — without it the plan deepens every
+      // round (planner blow-up + full recompute on executor loss).
+      val next = jump
+        .withColumn("chg", (col("label") =!= col("old")).cast("long"))
+        .drop("old")
+        .localCheckpoint()
+      // convergence probe scans the just-checkpointed partitions —
+      // no extra join against the previous labels, no recompute
+      val changed = next.agg(sum(col("chg"))).head().getLong(0)
+      labels = next.drop("chg")
       converged = changed == 0
       round += 1
     }
     both.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentLabels did not converge in $maxRounds rounds — " +
+          "component diameter exceeds 2^rounds; raise maxRounds")
     labels
   }
 

@@ -239,7 +239,7 @@ object LineLists {
         .select(col("event_id").as("iv_id"), col("ts").as("start_ts"),
           (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
       RangeJoin.pointInInterval(ev.select("event_id", "ts"), "ts",
-          iv, "start_ts", "end_ts", bucketSeconds = 1800)
+          iv, "start_ts", "end_ts") // width auto-derived from interval stats
         .select("event_id", "iv_id")
         .orderBy("event_id", "iv_id")
     })

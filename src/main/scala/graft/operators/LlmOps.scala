@@ -61,8 +61,26 @@ object LlmOps {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b"))
 
+  /** The REGISTERED near-dup operator is the LSH scale path: candidate
+    * generation is an equi-join on (table, hyperplane-signature) —
+    * O(Σ bucket²), never probes×corpus. Recall < 1 by construction, so
+    * the check is rows-only; LlmOpsSpec gates recall vs the exact
+    * variant (d_embed_neardup_exact keeps the DuckDB oracle).
+    */
   private val embedNearDup = GraftQuery(
     "d_embed_neardup",
+    None, // LSH recall < 1: rows-only; recall gated vs exact in LlmOpsSpec
+    (s, dir) => Dedup.embeddingNearDupLsh(Tables(s, dir).embeddings,
+        tau = 0.4, bits = 4, nTables = 8)
+      .orderBy("vec_a", "vec_b"))
+
+  /** Exact brute-force reference for d_embed_neardup (oracle-backed;
+    * BroadcastNestedLoopJoin is acceptable ONLY here — probe side is
+    * deliberately small, and this exists as the recall/correctness
+    * reference, not the scale path).
+    */
+  private val embedNearDupExact = GraftQuery(
+    "d_embed_neardup_exact",
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
@@ -75,8 +93,23 @@ object LlmOps {
         col("vec_id") % 10 === 0, tau = 0.4)
       .orderBy("vec_a", "vec_b"))
 
+  /** The REGISTERED ANN operator is the IVF scale path: corpus
+    * partitioned into KMeans cells, each probe scans nProbe cells —
+    * candidate generation is an equi-join on cell id. Rows-only
+    * (approximate); recall gated vs brute force in PipelineSpec.
+    */
   private val annTopK = GraftQuery(
     "d_ann_topk",
+    None, // IVF recall < 1: rows-only; recall gated vs brute in PipelineSpec
+    (s, dir) => Similarity.ivfTopK(Tables(s, dir).embeddings,
+        col("vec_id") % 50 === 0, k = 5)
+      .orderBy("probe_id", "rank"))
+
+  /** Exact top-k reference for d_ann_topk (oracle-backed recall
+    * baseline; see bruteForceTopK note on scale).
+    */
+  private val annTopKExact = GraftQuery(
+    "d_ann_topk_exact",
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
@@ -223,7 +256,8 @@ object LlmOps {
       .orderBy("media_id"))
 
   val queries: Seq[GraftQuery] = Seq(
-    exactDedup, minhashLsh, simhashQ, ngramJaccard, embedNearDup, annTopK,
+    exactDedup, minhashLsh, simhashQ, ngramJaccard,
+    embedNearDup, embedNearDupExact, annTopK, annTopKExact,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
     consistentSample, contamination, mediaFeatures)
 }

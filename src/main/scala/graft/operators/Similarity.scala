@@ -84,9 +84,12 @@ object Similarity {
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // orderBy before limit => TakeOrderedAndProject: the training
+    // sample (and thus the centroids) is deterministic across runs
+    // and partitionings.
     val model = new KMeans().setK(nCells).setSeed(42)
       .setMaxIter(10).setFeaturesCol("features")
-      .fit(base.limit(trainSample))
+      .fit(base.orderBy("vec_id").limit(trainSample))
     val assigned = model.transform(base)
       .withColumnRenamed("prediction", "cell")
       .drop("features")

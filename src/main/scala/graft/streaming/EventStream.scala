@@ -71,10 +71,15 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              // close when the watermark passes the session gap
+              // close when the watermark passes the session gap. If the
+              // expiry is already at/behind the watermark (late-arriving
+              // final event), clamp to watermark+1 — skipping the
+              // registration entirely would leave the session open and
+              // its state retained forever unless the key sees another
+              // event.
               val timeoutAt = s.last_ts.getTime + gapMinutes * 60000L
-              if (timeoutAt > state.getCurrentWatermarkMs())
-                state.setTimeoutTimestamp(timeoutAt)
+              state.setTimeoutTimestamp(
+                math.max(timeoutAt, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

@@ -36,6 +36,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("long-chain components converge within the round budget (pointer jumping)") {
+    // a 40-doc chain has diameter 39: plain neighbor propagation would
+    // need 39 rounds, so maxRounds=10 only works because the pointer
+    // jump halves the remaining diameter each round (O(log d))
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupPipeline.componentLabels(docs, edges, maxRounds = 10)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === 40)
+    assert(got.values.forall(_ == 0L), s"unconverged labels: $got")
+  }
+
+  test("componentLabels fails loudly instead of returning split components") {
+    import spark.implicits._
+    val docs = (0L until 10L).toDF("doc_id")
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // 1 round cannot settle a 10-node chain even with jumping
+    assertThrows[IllegalStateException] {
+      DedupPipeline.componentLabels(docs, edges, maxRounds = 1).collect()
+    }
+  }
+
   test("salted join equals plain join") {
     val t = Tables(spark, sf)
     val orders = t.orders

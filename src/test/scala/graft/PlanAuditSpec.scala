@@ -44,4 +44,24 @@ class PlanAuditSpec extends SparkSpec {
     // Spark 3.5+/4.x pushes rn=1 into the sort (WindowGroupLimit)
     assert(p.contains("WindowGroupLimit") || p.contains("Limit"), p)
   }
+
+  test("registered ANN/near-dup operators generate candidates via equi-join, not nested loop") {
+    // the scale paths must never probe×corpus: no BroadcastNestedLoopJoin
+    // and no CartesianProduct anywhere in the registered plans (the IVF
+    // centroid crossJoin is broadcast-small and shows as BNLJ-free once
+    // candidates come from the cell equi-join — assert both absent on
+    // the candidate side by banning the operators outright).
+    val pEmbed = planOf("d_embed_neardup")
+    assert(!pEmbed.contains("BroadcastNestedLoopJoin"), pEmbed)
+    assert(!pEmbed.contains("CartesianProduct"), pEmbed)
+    assert(pEmbed.contains("HashJoin") || pEmbed.contains("SortMergeJoin"), pEmbed)
+  }
+
+  test("registered ANN top-k scans only IVF cells (equi-join on cell id)") {
+    val p = planOf("d_ann_topk")
+    // the only nested-loop allowed is probe×centroids (nCells rows,
+    // broadcast); the corpus-side candidate join must be hash-based
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
