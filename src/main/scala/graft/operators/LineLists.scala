@@ -244,7 +244,248 @@ object LineLists {
         .orderBy("event_id", "iv_id")
     })
 
+  /** DuckDB snippet: MySQL TIMESTAMPDIFF(MONTH) complete months for
+    * b >= a (the only direction the reports use) — mirrors
+    * DateFns.monthsBetween.
+    */
+  private def moSql(a: String, b: String): String =
+    s"""((year(CAST($b AS DATE)) * 12 + month(CAST($b AS DATE)))
+       - (year(CAST($a AS DATE)) * 12 + month(CAST($a AS DATE)))
+       - CASE WHEN day(CAST($b AS DATE)) < day(CAST($a AS DATE)) THEN 1 ELSE 0 END)"""
+
+  // ------------------------------------------------------------------
+  // Tx_Curr_AHD_LineList.sql (427 lines) — the deepest composition in
+  // the reference: ONE wide base CTE, ~20 independent "latest non-null
+  // attribute per client" extractions (mixed orderings: by attribute
+  // date, by follow-up date; mixed report-window filters), a cohort
+  // from latest-follow-up + treatment-window rule, then a wide
+  // left-join of every extraction back onto the case row with
+  // multi-branch CASE staging (the AHD determination) and coalesce
+  // chains. Mirrored here attribute-for-attribute on the test schema:
+  // event_type = attribute shard, value = attribute, ts = its date.
+  // ------------------------------------------------------------------
+  private val ahd = GraftQuery(
+    "q_ll_ahd",
+    Some(s"""WITH fu AS (SELECT * FROM events),
+      win AS (SELECT * FROM fu WHERE ts <= TIMESTAMP '$End'),
+      click_l AS (SELECT user_id, value AS click_val FROM (
+        SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM win WHERE event_type = 'click') t WHERE rn = 1),
+      view_l AS (SELECT user_id, value AS view_val FROM (
+        SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM win WHERE event_type = 'view') t WHERE rn = 1),
+      err_l AS (SELECT user_id, value AS err_val FROM (
+        SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM fu WHERE event_type = 'error') t WHERE rn = 1),
+      purch_m AS (SELECT user_id, value AS max_purchase_val FROM (
+        SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+        FROM win WHERE event_type = 'purchase') t WHERE rn = 1),
+      signup_f AS (SELECT user_id, MIN(ts) AS signup_ts FROM fu
+        WHERE event_type = 'signup' GROUP BY user_id),
+      err_f AS (SELECT user_id, MIN(ts) AS first_err_ts FROM win
+        WHERE event_type = 'error' GROUP BY user_id),
+      latest_fu AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM win) t WHERE rn = 1),
+      tx AS (SELECT * FROM latest_fu
+        WHERE event_type IN ('view', 'click', 'purchase', 'signup')
+          AND CAST(ts AS DATE) + 30 >= DATE '$End')
+      SELECT tx.user_id AS patient_id,
+        strftime(tx.ts, '%Y-%m-%d') AS followup_on,
+        tx.event_type AS current_status,
+        ${moSql("signup_ts", s"DATE '$End'")} AS months_since_signup,
+        CAST(trunc(date_diff('day', CAST(first_err_ts AS DATE), DATE '$End') / 7.0) AS INTEGER) AS weeks_since_first_error,
+        COALESCE(click_val, view_val, max_purchase_val) AS coalesce_val,
+        COALESCE(max_purchase_val, err_val) AS dose_val,
+        CASE WHEN tx.event_type = 'view' AND view_val > 100 THEN 'Positive'
+             WHEN tx.event_type = 'view' AND view_val <= 100 THEN 'Negative'
+             ELSE '' END AS smear_analog,
+        CASE WHEN tx.event_type = 'click' AND click_val > 100 THEN 'Positive'
+             WHEN tx.event_type = 'click' AND click_val <= 100 THEN 'Negative'
+             ELSE '' END AS addl_analog,
+        CASE WHEN c_acctbal < 0 THEN 'Yes'
+             WHEN c_acctbal >= 0 AND err_val IS NOT NULL AND err_val > 200 THEN 'Yes'
+             WHEN c_acctbal >= 0 AND click_val IS NOT NULL
+                  AND c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+                  AND click_val > 250 THEN 'Yes'
+             ELSE 'No' END AS ahd_flag,
+        c_name
+      FROM tx
+      LEFT JOIN customer ON tx.user_id = c_custkey
+      LEFT JOIN click_l ON click_l.user_id = tx.user_id
+      LEFT JOIN view_l ON view_l.user_id = tx.user_id
+      LEFT JOIN err_l ON err_l.user_id = tx.user_id
+      LEFT JOIN purch_m ON purch_m.user_id = tx.user_id
+      LEFT JOIN signup_f ON signup_f.user_id = tx.user_id
+      LEFT JOIN err_f ON err_f.user_id = tx.user_id
+      WHERE tx.event_type <> 'error'
+      ORDER BY patient_id"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events
+      val win = ev.filter(col("ts") <= lit(End))
+      // "latest non-null attribute per client" — one per attribute
+      // shard, ordered by follow-up date (the reference's dominant
+      // ordering), one deliberately by the attribute itself
+      def latestVal(src: org.apache.spark.sql.DataFrame, typ: String, as: String) =
+        LatestPerKey(src.filter(col("event_type") === typ),
+            Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+          .select(col("user_id"), col("value").as(as))
+      val clickL = latestVal(win, "click", "click_val")
+      val viewL = latestVal(win, "view", "view_val")
+      val errL = latestVal(ev, "error", "err_val") // unwindowed, like the reference's mixed CTEs
+      val purchM = LatestPerKey(win.filter(col("event_type") === "purchase"),
+          Seq(col("user_id")), Seq(col("value").desc, col("event_id").desc))
+        .select(col("user_id"), col("value").as("max_purchase_val"))
+      val signupF = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val errF = win.filter(col("event_type") === "error")
+        .groupBy("user_id").agg(min("ts").as("first_err_ts"))
+      // cohort: latest follow-up per client, status + treatment-window
+      val latestFu = LatestPerKey(win,
+        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+      val tx = latestFu
+        .filter(col("event_type").isin("view", "click", "purchase", "signup"))
+        .filter(date_add(col("ts").cast("date"), 30) >= lit(End).cast("date"))
+      tx.join(t.customer, col("user_id") === col("c_custkey"), "left")
+        .join(clickL, Seq("user_id"), "left")
+        .join(viewL, Seq("user_id"), "left")
+        .join(errL, Seq("user_id"), "left")
+        .join(purchM, Seq("user_id"), "left")
+        .join(signupF, Seq("user_id"), "left")
+        .join(errF, Seq("user_id"), "left")
+        .filter(col("event_type") =!= "error") // faithful final guard (redundant with the cohort, as in the reference)
+        .select(col("user_id").as("patient_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("followup_on"),
+          col("event_type").as("current_status"),
+          DateFns.monthsBetween(col("signup_ts"), lit(End)).as("months_since_signup"),
+          DateFns.weeksBetween(col("first_err_ts"), lit(End)).as("weeks_since_first_error"),
+          coalesce(col("click_val"), col("view_val"), col("max_purchase_val")).as("coalesce_val"),
+          coalesce(col("max_purchase_val"), col("err_val")).as("dose_val"),
+          when(col("event_type") === "view" && col("view_val") > 100, "Positive")
+            .when(col("event_type") === "view" && col("view_val") <= 100, "Negative")
+            .otherwise("").as("smear_analog"),
+          when(col("event_type") === "click" && col("click_val") > 100, "Positive")
+            .when(col("event_type") === "click" && col("click_val") <= 100, "Negative")
+            .otherwise("").as("addl_analog"),
+          when(col("c_acctbal") < 0, "Yes")
+            .when(col("c_acctbal") >= 0 && col("err_val").isNotNull
+              && col("err_val") > 200, "Yes")
+            .when(col("c_acctbal") >= 0 && col("click_val").isNotNull
+              && col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+              && col("click_val") > 250, "Yes")
+            .otherwise("No").as("ahd_flag"),
+          col("c_name"))
+        .orderBy("patient_id")
+    })
+
+  // ------------------------------------------------------------------
+  // Tx_Curr_HVL_LineList.sql (356 lines) — dual-window eligibility
+  // with CHAINED anchoring: a latest-per-key anchor (the high
+  // measurement) opens a secondary window [anchor, REPORT_END] in
+  // which the EARLIEST qualifying event is the confirmatory result;
+  // a third extraction (switch) windows off the CONFIRMATORY event,
+  // two deep. Staging classifies by confirm value with a months-based
+  // overdue rule (TIMESTAMPDIFF(MONTH) complete-month semantics).
+  // ------------------------------------------------------------------
+  private val hvl = GraftQuery(
+    "q_ll_hvl",
+    Some(s"""WITH p AS (SELECT * FROM events
+        WHERE event_type = 'purchase' AND ts <= TIMESTAMP '$End'),
+      anchor AS (SELECT user_id, ts AS a_ts, value AS a_val FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM p WHERE value >= 200) t WHERE rn = 1),
+      confirm AS (SELECT user_id, c_ts, c_val FROM (
+        SELECT p.user_id, p.ts AS c_ts, p.value AS c_val,
+          ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY p.ts, p.event_id) AS rn
+        FROM p JOIN anchor ON p.user_id = anchor.user_id
+        WHERE p.ts > anchor.a_ts) t WHERE rn = 1),
+      support AS (SELECT user_id, s_ts FROM (
+        SELECT e.user_id, e.ts AS s_ts,
+          ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN anchor ON e.user_id = anchor.user_id
+        WHERE e.event_type = 'view' AND e.ts >= anchor.a_ts
+          AND e.ts <= TIMESTAMP '$End') t WHERE rn = 1),
+      switch AS (SELECT user_id, w_ts FROM (
+        SELECT e.user_id, e.ts AS w_ts,
+          ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN confirm ON e.user_id = confirm.user_id
+        WHERE e.event_type = 'signup' AND e.ts >= confirm.c_ts
+          AND e.ts <= TIMESTAMP '$End') t WHERE rn = 1)
+      SELECT anchor.user_id,
+        anchor.a_val AS anchor_measure,
+        strftime(anchor.a_ts, '%Y-%m-%d') AS anchor_on,
+        strftime(c_ts, '%Y-%m-%d') AS confirm_on,
+        strftime(s_ts, '%Y-%m-%d') AS support_on,
+        ${moSql("anchor.a_ts", s"COALESCE(c_ts, TIMESTAMP '$End')")} AS months_waiting,
+        CAST(trunc(date_diff('day', CAST(anchor.a_ts AS DATE), CAST(c_ts AS DATE)) / 7.0) AS INTEGER) AS weeks_to_confirm,
+        CASE WHEN c_ts IS NULL AND s_ts IS NULL THEN 'AwaitingSupport'
+             WHEN c_ts IS NULL AND ${moSql("anchor.a_ts", s"DATE '$End'")} < 3 THEN 'InWindow'
+             WHEN c_ts IS NULL THEN 'ConfirmOverdue'
+             WHEN c_val < 10 THEN 'Resuppressed'
+             WHEN c_val >= 50 THEN 'ConfirmedHigh'
+             ELSE 'Indeterminate' END AS confirm_status,
+        CASE WHEN c_val >= 50 AND w_ts IS NOT NULL THEN 'Switched'
+             WHEN c_val >= 50 THEN 'SwitchPending'
+             ELSE '' END AS switch_status,
+        c_name
+      FROM anchor
+      LEFT JOIN confirm ON confirm.user_id = anchor.user_id
+      LEFT JOIN support ON support.user_id = anchor.user_id
+      LEFT JOIN switch ON switch.user_id = anchor.user_id
+      LEFT JOIN customer ON anchor.user_id = c_custkey
+      ORDER BY anchor.user_id"""),
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events
+      val p = ev.filter(col("event_type") === "purchase" && col("ts") <= lit(End))
+      val anchor = LatestPerKey(p.filter(col("value") >= 200),
+          Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("ts").as("a_ts"), col("value").as("a_val"))
+      // chained: earliest qualifying event INSIDE the window the
+      // anchor opens — the extraction depends on the prior extraction
+      val confirm = LatestPerKey(
+          p.join(anchor, Seq("user_id")).filter(col("ts") > col("a_ts")),
+          Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_val"))
+      val support = LatestPerKey(
+          ev.filter(col("event_type") === "view" && col("ts") <= lit(End))
+            .join(anchor, Seq("user_id")).filter(col("ts") >= col("a_ts")),
+          Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("ts").as("s_ts"))
+      val switchD = LatestPerKey(
+          ev.filter(col("event_type") === "signup" && col("ts") <= lit(End))
+            .join(confirm, Seq("user_id")).filter(col("ts") >= col("c_ts")),
+          Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("ts").as("w_ts"))
+      anchor
+        .join(confirm, Seq("user_id"), "left")
+        .join(support, Seq("user_id"), "left")
+        .join(switchD, Seq("user_id"), "left")
+        .join(t.customer, col("user_id") === col("c_custkey"), "left")
+        .select(col("user_id"),
+          col("a_val").as("anchor_measure"),
+          date_format(col("a_ts"), "yyyy-MM-dd").as("anchor_on"),
+          date_format(col("c_ts"), "yyyy-MM-dd").as("confirm_on"),
+          date_format(col("s_ts"), "yyyy-MM-dd").as("support_on"),
+          DateFns.monthsBetween(col("a_ts"),
+            coalesce(col("c_ts"), lit(End).cast("timestamp"))).as("months_waiting"),
+          DateFns.weeksBetween(col("a_ts"), col("c_ts")).as("weeks_to_confirm"),
+          when(col("c_ts").isNull && col("s_ts").isNull, "AwaitingSupport")
+            .when(col("c_ts").isNull
+              && DateFns.monthsBetween(col("a_ts"), lit(End)) < 3, "InWindow")
+            .when(col("c_ts").isNull, "ConfirmOverdue")
+            .when(col("c_val") < 10, "Resuppressed")
+            .when(col("c_val") >= 50, "ConfirmedHigh")
+            .otherwise("Indeterminate").as("confirm_status"),
+          when(col("c_val") >= 50 && col("w_ts").isNotNull, "Switched")
+            .when(col("c_val") >= 50, "SwitchPending")
+            .otherwise("").as("switch_status"),
+          col("c_name"))
+        .orderBy("user_id")
+    })
+
   val queries: Seq[GraftQuery] =
     Seq(vlEligible, tptCourse, highValue, dualLatest, asofJoin,
-      sessionizeBatch, rangeJoin)
+      sessionizeBatch, rangeJoin, ahd, hvl)
 }
