@@ -441,9 +441,10 @@ object Relational {
       ORDER BY patient_id"""),
     (s, dir) => lineListBuild(s, dir))
 
-  private def lineListBuild(s: SparkSession, dir: String): DataFrame = {
+  private def lineListBuild(s: SparkSession, dir: String,
+      reportEnd: String = EventsEnd): DataFrame = {
     val t = Tables(s, dir)
-    val fu = t.events.filter(col("ts") <= lit(EventsEnd))
+    val fu = t.events.filter(col("ts") <= lit(reportEnd))
     val latest = LatestPerKey(fu, Seq(col("user_id")),
       Seq(col("ts").desc, col("event_id").desc))
     val tx = latest.filter(col("event_type").isin("view", "click", "purchase", "signup"))
@@ -460,8 +461,8 @@ object Relational {
           .otherwise("OTHER").as("seg_code"),
         date_format(col("ts"), "yyyy-MM-dd").as("followup_date_gc"),
         EC.ethiopianDMY(col("ts")).as("followup_date_ec"),
-        DateFns.daysBetween(col("ts"), lit(EventsEnd)).as("days_since_followup"),
-        DateFns.periodDiff(lit(EventsEnd), col("ts")).as("months_since_followup"),
+        DateFns.daysBetween(col("ts"), lit(reportEnd)).as("days_since_followup"),
+        DateFns.periodDiff(lit(reportEnd), col("ts")).as("months_since_followup"),
         col("event_type").as("followup_status"),
         col("value").as("measure"),
         date_format(DateFns.addDays(col("ts"), 30), "yyyy-MM-dd").as("next_visit_date"),
@@ -471,6 +472,17 @@ object Relational {
 
   /** Flagship for SparkEntry.entry. */
   def lineListEntry(s: SparkSession, dir: String): DataFrame = lineListBuild(s, dir)
+
+  /** The flagship parameterized by report end — the reference's
+    * COALESCE(REPORT_END_DATE, CURDATE()) surface (CURDATE ×6, e.g.
+    * Tx_Curr_AHD_LineList.sql:115): callers pass a runtime-chosen
+    * window end (ExportMain derives it from the Ethiopian month, or
+    * from today when none is given). The registered q_line_list is
+    * this query at the fixed oracle window.
+    */
+  def lineListAsOf(s: SparkSession, dir: String,
+      reportEnd: java.time.LocalDate): DataFrame =
+    lineListBuild(s, dir, reportEnd.toString)
 
   // ------------------------------------------------------------------
   // 20. q_pivot_agg — conditional-aggregate rollup + CONCAT_WS of the

@@ -60,7 +60,7 @@ object native {
     */
   case class MinHashSignature(child: Expression, k: Int, p: Long,
       as: Seq[Long], bs: Seq[Long])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     private val aArr = as.toArray
     private val bArr = bs.toArray
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -85,13 +85,39 @@ object native {
       new GenericArrayData(sig)
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+        val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+        val sig = ctx.freshName("sig"); val n = ctx.freshName("n")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val s = ctx.freshName("s"); val h = ctx.freshName("h")
+        val v = ctx.freshName("v")
+        s"""
+           |long[] $sig = new long[$k];
+           |java.util.Arrays.fill($sig, ${p}L);
+           |int $n = $arr.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+           |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+           |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+           |  $h = (($h % ${p}L) + ${p}L) % ${p}L;
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    long $v = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
+           |    if ($v < $sig[$j]) $sig[$j] = $v;
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
+         """.stripMargin
+      })
+
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
       copy(child = c)
   }
 
   /** Weighted 64-bit SimHash over an array of token strings. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
 
     override protected def nullSafeEval(input: Any): Any = {
@@ -114,6 +140,29 @@ object native {
       sim
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val counts = ctx.freshName("counts"); val n = ctx.freshName("n")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val s = ctx.freshName("s"); val h = ctx.freshName("h")
+        val sim = ctx.freshName("sim")
+        s"""
+           |int[] $counts = new int[64];
+           |int $n = $arr.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+           |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+           |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+           |  for (int $j = 0; $j < 64; $j++) {
+           |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+           |  }
+           |}
+           |long $sim = 0L;
+           |for (int $j = 0; $j < 64; $j++) { if ($counts[$j] >= 0) $sim |= (1L << $j); }
+           |${ev.value} = $sim;
+         """.stripMargin
+      })
+
     override protected def withNewChildInternal(c: Expression): SimHash64 =
       copy(child = c)
   }
@@ -124,7 +173,7 @@ object native {
     * dim). Matches VectorFns.hyperplaneSignature semantics.
     */
   case class HyperplaneSignature(child: Expression, bits: Int, planeOffset: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
 
     override protected def nullSafeEval(input: Any): Any = {
@@ -150,6 +199,29 @@ object native {
       }
       sig
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val acc = ctx.freshName("acc"); val h = ctx.freshName("h")
+        val w = ctx.freshName("w")
+        s"""
+           |int $n = $arr.numElements();
+           |long $sig = 0L;
+           |for (int $j = 0; $j < $bits; $j++) {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong((long) ($planeOffset + $j), 42L);
+           |    $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong((long) $i, $h);
+           |    double $w = (((($h % 2L) + 2L) % 2L) == 0L) ? 1.0 : -1.0;
+           |    $acc += ((double) $arr.getFloat($i)) * $w;
+           |  }
+           |  if ($acc >= 0) $sig |= (1L << $j);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
 
     override protected def withNewChildInternal(c: Expression): HyperplaneSignature =
       copy(child = c)

@@ -1,17 +1,26 @@
 package graft.sources
 
-import java.nio.file.Paths
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
 
 import org.apache.spark.sql.functions.col
-import graft.{GraftSession, Tables}
+import graft.{GraftSession, SparkEntry, Tables}
 import graft.functions.EthiopianCalendar
 
 /** CLI twin of the reference tool's run flow (export.py:352-387):
-  * the user picks an Ethiopian month + year, the tool derives the
-  * Gregorian report window, runs every configured query against it,
-  * and packages the CSVs.
+  * derive the Gregorian report window from an Ethiopian month + year,
+  * run every configured query, package the CSVs (zip + SHA-256).
+  *
+  * Two invocation modes:
   *
   *   runMain graft.sources.ExportMain <sfDir> <outDir> <ethMonth 1-13> <ethYear>
+  *   runMain graft.sources.ExportMain <sfDir> <outDir> <config.json>
+  *
+  * Config mode mirrors export_config.json: the JSON names the
+  * queries (tag → SparkEntry.queries key), the constant columns, and
+  * optionally the window. With no window configured the run is
+  * "as of now" — the Ethiopian month containing today, the
+  * COALESCE(REPORT_END_DATE, CURDATE()) behavior of the reference.
   */
 object ExportMain {
 
@@ -20,34 +29,65 @@ object ExportMain {
     "Megabit", "Miazia", "Ginbot", "Sene", "Hamle", "Nehassie", "Pagume")
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, mS, yS) = args.take(4)
-    val (m, y) = (mS.toInt, yS.toInt)
+    val (sfDir, outDir) = (args(0), args(1))
+    val config: Option[ExportConfig] =
+      if (args.length >= 3 && args(2).endsWith(".json"))
+        Some(ExportConfig.load(Paths.get(args(2))))
+      else None
+
+    // window: CLI args > config > "as of now" (CURDATE semantics)
+    val (m, y) = (config, args.drop(2)) match {
+      case (_, Array(mS, yS, _*)) if mS.forall(_.isDigit) => (mS.toInt, yS.toInt)
+      case (Some(c), _) if c.ethMonth.isDefined => (c.ethMonth.get, c.ethYear.get)
+      case _ =>
+        val (ey, em, _) = EthiopianCalendar.toEthiopian(LocalDate.now())
+        (em, ey)
+    }
     val (start, end) = EthiopianCalendar.reportWindow(m, y)
     println(s"[export] window ${Months(m - 1)} $y -> [$start, $end]")
 
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-export")
     val t = Tables(spark, sfDir)
-    // report queries over the window — the line-list family, windowed on
-    // the event timestamp like REPORT_START/END_DATE substitution
-    val windowed = t.events.filter(
-      col("ts") >= start.toString && col("ts") < end.plusDays(1).toString)
-    val queries = Map(
-      "Event_LineList" -> graft.operators.Relational.lineListEntry(spark, sfDir),
-      "Event_Window" -> windowed)
 
-    // constants come from the dim tables, first row — mirroring the
-    // facility_details/hmiscode lookups in export.py:257-279
-    val firstNation = t.nation.orderBy("n_nationkey").limit(1)
-      .join(t.region, col("n_regionkey") === col("r_regionkey"))
-      .select("r_name", "n_name").head()
-    val (regionName, facilityName) = (firstNation.getString(0), firstNation.getString(1))
-    val hmis = s"H${t.nation.orderBy("n_nationkey").limit(1).head().getInt(0)}23"
-    val facilitySan = facilityName.replace(" ", "").replace("_", "")
+    val queries: Map[String, org.apache.spark.sql.DataFrame] = config match {
+      case Some(c) =>
+        c.queries.map { case (tag, qname) =>
+          // the flagship takes the runtime window; the rest are the
+          // registered (fixed-window, oracle-matched) queries
+          val df =
+            if (qname == "q_line_list")
+              graft.operators.Relational.lineListAsOf(spark, sfDir, end)
+            else SparkEntry.queries.getOrElse(qname,
+              throw new IllegalArgumentException(
+                s"config names unknown query '$qname' for tag '$tag'"))(spark, sfDir)
+          tag -> df
+        }.toMap
+      case None =>
+        val windowed = t.events.filter(
+          col("ts") >= start.toString && col("ts") < end.plusDays(1).toString)
+        Map(
+          "Event_LineList" -> graft.operators.Relational.lineListAsOf(spark, sfDir, end),
+          "Event_Window" -> windowed)
+    }
 
-    val tag = s"$facilitySan${hmis}_${Months(m - 1)}_$y"
-    val res = ExportJob.run(spark, queries,
-      constants = Seq("Region" -> regionName, "Woreda" -> s"${regionName}_W0",
-        "Facility" -> facilityName, "HMISCode" -> hmis),
+    // constants from config, else from the dim tables, first row —
+    // mirroring the facility_details/hmiscode lookups (export.py:257-279)
+    val constants: Seq[(String, String)] = config.map(_.constants).filter(_.nonEmpty)
+      .getOrElse {
+        val firstNation = t.nation.orderBy("n_nationkey").limit(1)
+          .join(t.region, col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name").head()
+        val (regionName, facilityName) = (firstNation.getString(0), firstNation.getString(1))
+        val hmis = s"H${t.nation.orderBy("n_nationkey").limit(1).head().getInt(0)}23"
+        Seq("Region" -> regionName, "Woreda" -> s"${regionName}_W0",
+          "Facility" -> facilityName, "HMISCode" -> hmis)
+      }
+    val facility = constants.toMap.getOrElse("Facility", "Facility")
+    val hmisCode = constants.toMap.getOrElse("HMISCode", "H000")
+    val facilitySan = facility.replace(" ", "").replace("_", "")
+
+    val tag = s"$facilitySan${hmisCode}_${Months(m - 1)}_$y"
+    val res = ExportJob.run(spark, queries, constants,
       outDir = Paths.get(outDir), tag = tag)
     println(s"[export] package=${res.packagePath} sha256=${res.checksum} files=${res.csvFiles.mkString(",")}")
     spark.stop()

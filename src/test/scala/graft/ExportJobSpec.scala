@@ -76,4 +76,43 @@ class ExportJobSpec extends SparkSpec {
     assert(csv.tail.nonEmpty && csv.tail.forall(_.endsWith("Addis,TestFacility,H123")))
     inner.close(); zf.close()
   }
+
+  test("export config parses tags, constants and window (export_config.json semantics)") {
+    val c = graft.sources.ExportConfig.load(
+      java.nio.file.Paths.get("config/export_config.json"))
+    assert(c.queries.toMap.get("Tx_Curr_LineList").contains("q_line_list"))
+    assert(c.queries.size == 12) // every reference report has a tag
+    assert(c.constants.toMap.get("HMISCode").contains("H12323"))
+    assert(c.ethMonth.contains(5) && c.ethYear.contains(2016))
+    // every configured query name resolves in the registry
+    c.queries.foreach { case (tag, q) =>
+      assert(SparkEntry.queries.contains(q), s"$tag -> $q not registered") }
+    // window absent => as-of-now (CURDATE) semantics
+    val noWin = graft.sources.ExportConfig.parse("""{"queries":{"a":"q_line_list"}}""")
+    assert(noWin.ethMonth.isEmpty && noWin.constants.isEmpty)
+  }
+
+  test("as-of window: lineListAsOf at the oracle end equals registered q_line_list") {
+    val fixed = SparkEntry.queries("q_line_list")(spark, sf)
+      .collect().map(_.toString).sorted
+    val asOf = graft.operators.Relational.lineListAsOf(spark, sf,
+        java.time.LocalDate.parse("2024-01-21"))
+      .collect().map(_.toString).sorted
+    assert(asOf.sameElements(fixed))
+    // an earlier end can only shrink or equal the cohort, never error
+    val earlier = graft.operators.Relational.lineListAsOf(spark, sf,
+        java.time.LocalDate.parse("2024-01-10")).count()
+    assert(earlier > 0 && earlier <= fixed.length)
+  }
+
+  test("reportWindowAsOf picks the Ethiopian month containing today") {
+    import graft.functions.EthiopianCalendar._
+    val today = java.time.LocalDate.parse("2024-01-15")
+    val (start, end) = reportWindowAsOf(today)
+    val (y, m, _) = toEthiopian(today)
+    assert((start, end) == reportWindow(m, y))
+    assert(!start.isAfter(end))
+    // the window always spans 30 days (21st -> 20th of consecutive months)
+    assert(java.time.temporal.ChronoUnit.DAYS.between(start, end) == 29)
+  }
 }

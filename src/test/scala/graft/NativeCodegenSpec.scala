@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.native
+
+/** The hot native expressions must participate in whole-stage codegen
+  * (VERDICT r1 #8): no CodegenFallback in the generated code, and the
+  * generated path must agree with the interpreted path bit-for-bit.
+  */
+class NativeCodegenSpec extends SparkSpec {
+
+  private val P = 4294967311L
+  private val as = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private val bs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+
+  private def hotDf = {
+    import spark.implicits._
+    Seq(
+      ("alpha beta gamma delta epsilon zeta", Array(0.1f, -0.4f, 0.9f, 0.2f)),
+      ("one two three four five six seven eight", Array(-1.0f, 0.5f, 0.25f, -0.75f)))
+      .toDF("text", "vec")
+      .select(
+        native.minhashSig(split(col("text"), " "), 8, P, as, bs).as("mh"),
+        native.simhash64(split(col("text"), " ")).as("sh"),
+        native.hyperplaneSig(col("vec"), 12, 24).as("hp"))
+  }
+
+  test("minhash/simhash/hyperplane generate code — no fallback marker") {
+    val plan = hotDf.queryExecution.executedPlan
+    val code = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(code.contains("WholeStageCodegen"), code.take(500))
+    assert(!code.contains("CodegenFallback"), code.take(2000))
+  }
+
+  test("generated code compiles and matches the interpreted evaluation") {
+    // forbid silent fallback: a janino compile error must throw, not
+    // quietly revert to the interpreted path
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = hotDf.collect()
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = hotDf.collect()
+      assert(rows.map(_.toString).toSeq === interpreted.map(_.toString).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+}
