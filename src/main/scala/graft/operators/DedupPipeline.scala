@@ -29,9 +29,14 @@ object DedupPipeline {
     val both = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = both.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
+    // initialization IS the first propagation round: label(v) =
+    // min(v, min neighbor) from one aggregation over the edge list —
+    // star-shaped components (exact-dup groups, most LSH cliques)
+    // converge here, so the loop only has to verify stability
+    var labels = both
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
       .localCheckpoint() // truncate lineage at the loop entry
     var converged = false
     var round = 0

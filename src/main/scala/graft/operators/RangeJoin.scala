@@ -35,8 +35,12 @@ object RangeJoin {
     */
   def autoBucketSeconds(intervals: DataFrame,
       startCol: String, endCol: String): Long = {
+    // cast("timestamp") first: sources written without timezone info
+    // (e.g. plain-micros parquet) read back as TIMESTAMP_NTZ, which
+    // unix_micros rejects
     val med = intervals
-      .select((unix_micros(col(endCol)) - unix_micros(col(startCol))).as("len"))
+      .select((unix_micros(col(endCol).cast("timestamp"))
+        - unix_micros(col(startCol).cast("timestamp"))).as("len"))
       .agg(expr("approx_percentile(len, 0.5)"))
       .head()
     val micros = if (med.isNullAt(0)) 1000000L else med.getLong(0)
@@ -63,11 +67,12 @@ object RangeJoin {
     // past the computed range and be silently dropped. The occasional
     // extra bucket (end exactly on a boundary, exclusive) only adds
     // candidates that the exact re-filter removes.
-    var l = left.withColumn("__bucket", floor(unix_timestamp(col(tsCol)) / w))
+    var l = left.withColumn("__bucket",
+      floor(unix_timestamp(col(tsCol).cast("timestamp")) / w))
     var iv = intervals.withColumn("__bucket",
       explode(sequence(
-        floor(unix_timestamp(col(startCol)) / w),
-        floor(unix_timestamp(col(endCol)) / w))))
+        floor(unix_timestamp(col(startCol).cast("timestamp")) / w),
+        floor(unix_timestamp(col(endCol).cast("timestamp")) / w))))
     val joinKeys =
       if (nSalts <= 1) Seq("__bucket") ++ alsoOn
       else {
