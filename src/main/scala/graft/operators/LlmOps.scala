@@ -246,6 +246,105 @@ object LlmOps {
       .select("lang", "doc_id")
       .orderBy("lang", "doc_id"))
 
+  /** Within-document repetition (the public Gopher repetition rule):
+    * share of word 3-grams that are duplicates of an earlier 3-gram in
+    * the same doc. High ratio = boilerplate/spam → filtered before
+    * training. Distinct shingles come from the native one-pass
+    * expression; totals are plain arithmetic.
+    */
+  private val repetition = GraftQuery(
+    "d_repetition",
+    Some("""WITH m AS (SELECT doc_id,
+        string_split(text, ' ') AS ws,
+        greatest(len(string_split(text, ' ')) - 2, 1) AS total3
+      FROM documents),
+      g AS (SELECT doc_id, total3,
+        len(list_distinct(list_transform(
+          generate_series(1, CAST(total3 AS INT)),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS distinct3
+      FROM m)
+      SELECT doc_id, CAST(total3 AS INT) AS total3, CAST(distinct3 AS INT) AS distinct3,
+        round(1.0 - CAST(distinct3 AS DOUBLE) / total3, 6) AS repetition_ratio
+      FROM g ORDER BY doc_id"""),
+    (s, dir) => {
+      import graft.plans.native
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          greatest(size(split(col("text"), " ")) - 2, lit(1)).as("total3"),
+          size(native.wordShingles(col("text"), 3)).as("distinct3"))
+        .select(col("doc_id"), col("total3"), col("distinct3"),
+          round(lit(1.0) - col("distinct3").cast("double") / col("total3"), 6)
+            .as("repetition_ratio"))
+        .orderBy("doc_id")
+    })
+
+  /** Corpus-wide top bigrams by DOCUMENT frequency (vocab/stopword
+    * construction; doc-frequency, not term-frequency, so each doc
+    * votes once — the dedup-robust statistic). One explode + one
+    * count shuffle; top-k via global sort of the (tiny) aggregate.
+    */
+  private val topNgrams = GraftQuery(
+    "d_top_ngrams",
+    Some("""WITH b AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS bigram
+        FROM documents)
+      SELECT bigram, COUNT(*) AS doc_freq FROM b
+      GROUP BY bigram ORDER BY doc_freq DESC, bigram LIMIT 50"""),
+    (s, dir) => {
+      import graft.plans.native
+      Tables(s, dir).documents
+        .select(explode(native.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("bigram"))
+        .limit(50)
+    })
+
+  /** Fixed-window token chunking with overlap (context-window prep:
+    * size 32, stride 24). Chunk construction is explode(sequence) +
+    * slice — NO higher-order lambda capturing the token array (the
+    * O(n²) interpreted trap), so the whole op stays in codegen.
+    */
+  private val chunk = GraftQuery(
+    "d_chunk",
+    Some("""WITH m AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        len(string_split(text, ' ')) AS n FROM documents),
+      c AS (SELECT doc_id, ws,
+        unnest(generate_series(0, CAST(greatest((n - 9) // 24, 0) AS INT))) AS chunk_id
+      FROM m)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        array_to_string(ws[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk
+      FROM c ORDER BY doc_id, chunk_id"""),
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          greatest(floor((col("n") - 9) / 24), lit(0)).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("ws"), col("chunk_id") * 24 + 1, lit(32)), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id"))
+
+  /** Per-(source, lang) corpus statistics — the pipeline's reporting
+    * surface (mean tokens, char bounds, doc counts). Integer sums stay
+    * exact; the mean divides two exact integers so it is
+    * order-independent and oracle-safe.
+    */
+  private val domainStats = GraftQuery(
+    "d_domain_stats",
+    Some("""SELECT source, lang, COUNT(*) AS n_docs,
+        round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM documents GROUP BY source, lang ORDER BY source, lang"""),
+    (s, dir) => Tables(s, dir).documents
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(size(split(col("text"), " "))).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("source", "lang"))
+
   private val mediaFeatures = GraftQuery(
     "d_media_features",
     None, // synthetic binary media (no media table in testdata); the
@@ -259,5 +358,6 @@ object LlmOps {
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
-    consistentSample, contamination, mediaFeatures)
+    consistentSample, contamination, mediaFeatures,
+    repetition, topNgrams, chunk, domainStats)
 }
