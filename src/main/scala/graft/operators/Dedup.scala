@@ -106,24 +106,34 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.plans.native.simhash64(TextFns.words(lower(text)))
 
-  /** Near-dup pairs by SimHash: candidates share one of four 16-bit
-    * chunks (pigeonhole guarantees recall for hamming <= 3; in
-    * practice catches far wider because near-dups share most tokens),
-    * verified with bit_count(a XOR b) <= maxHamming.
+  /** Near-dup pairs by SimHash: candidates share one of EIGHT 16-bit
+    * windows — the four aligned chunks (pigeonhole: guaranteed recall
+    * for hamming <= 3) plus the four chunks of the signature rotated
+    * by 8 bits. The rotated decomposition catches most hamming 4-8
+    * pairs whose errors straddle aligned-chunk boundaries (errors
+    * must hit ALL EIGHT windows to hide, which random bit flips
+    * rarely do). Verified with bit_count(a XOR b) <= maxHamming.
     */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 6): DataFrame = {
-    // persist: the signature feeds 4 exploded chunks × 2 self-join
+    // persist: the signature feeds 8 exploded chunks × 2 self-join
     // sides — without a materialization barrier Catalyst collapses the
-    // projections and recomputes the 64-bit aggregate tree 8×.
+    // projections and recomputes the 64-bit aggregate tree 16×.
     val sh = docs.select(col(idCol).as("doc_id"),
       simhash(col(textCol)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rotl(sim, 8): the second, offset-by-8 windowing
+    val rot = shiftleft(col("simhash"), 8)
+      .bitwiseOR(shiftrightunsigned(col("simhash"), 56))
     val chunked = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { j =>
-        struct(lit(j).as("chunk_id"),
-          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
-      }: _*)).as("c"))
+      explode(array(
+        (0 until 4).map { j =>
+          struct(lit(j).as("chunk_id"),
+            shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+        } ++ (0 until 4).map { j =>
+          struct(lit(j + 4).as("chunk_id"),
+            shiftrightunsigned(rot, j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+        }: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
     val a = chunked.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))

@@ -86,6 +86,19 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of d_exact_dedup for
+    * continuous ingestion: an event is dropped when its dedup key was
+    * already seen within the watermark horizon. State is keyed by the
+    * dedup key and evicted by the watermark, so memory is bounded by
+    * (arrival rate × delay), not stream length — the property that
+    * matters at 100 TB/day.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch-equivalent of windowedCounts for parity checks. */
   def windowedCountsBatch(events: DataFrame): DataFrame =
     events

@@ -21,11 +21,24 @@ class LlmOpsSpec extends SparkSpec {
   test("simhash hamming distance is small exactly for near-dup pairs") {
     val planted = Dedup.prefixJaccardPairs(docs, prefixLen = 40, threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    // BLOCKING recall (no hamming cut): the dual 16-bit windowing
+    // (aligned + rotated-by-8) guarantees hamming<=3 and empirically
+    // recovers most of 4-8; a hard guarantee at higher radii needs
+    // combinatorially many tables (Manku et al., WWW'07), which the
+    // corpus-level dedup doesn't need because minhash LSH is the
+    // primary near-dup edge source
+    val blocked = Dedup.simhashPairs(docs, maxHamming = 63)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockingRecall = (planted & blocked).size.toDouble / planted.size
+    assert(blockingRecall >= 0.85, s"simhash blocking recall $blockingRecall")
+    // the hamming<=6 cut is SEMANTICS (far pairs are meant to drop);
+    // it must still keep the large majority of planted near-dups
     val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(planted.nonEmpty)
+    assert(pairs.subsetOf(blocked))
     val recall = (planted & pairs).size.toDouble / planted.size
-    assert(recall >= 0.7, s"simhash recall $recall (candidate chunks bound recall)")
+    assert(recall >= 0.7, s"simhash recall at ham<=6: $recall")
   }
 
   test("lsh ann overlaps brute-force top-k") {

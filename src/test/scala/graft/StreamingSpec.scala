@@ -71,6 +71,31 @@ class StreamingSpec extends SparkSpec {
       s"only-streamed=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming dedup drops within-watermark duplicates, keeps the rest") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.dedupStream(mem.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+      Event(2, ts("2024-01-01 10:03:00"), 7, "view", 2.0), // dup key in window
+      Event(3, ts("2024-01-01 10:04:00"), 7, "click", 3.0),
+      Event(4, ts("2024-01-01 10:05:00"), 8, "view", 4.0))
+    q.processAllAvailable()
+    // advance the watermark far past the horizon, then the same key
+    // again: state was evicted, so the event is KEPT (bounded state,
+    // horizon-scoped semantics)
+    mem.addData(Event(5, ts("2024-01-01 12:00:00"), 9, "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(6, ts("2024-01-01 12:01:00"), 7, "view", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup").as[Event].collect().map(_.event_id).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L), kept.toSeq.sorted.mkString(","))
+  }
+
   test("sessionization closes on event-time gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
