@@ -345,6 +345,27 @@ object LlmOps {
         max(col("n_chars")).as("max_chars"))
       .orderBy("source", "lang"))
 
+  /** Domain mixing (see Sampling.mixSample): capped proportional
+    * quotas per source + consistent hash fill.
+    */
+  private val mixSampleQ = GraftQuery(
+    "d_mix_sample",
+    Some("""WITH d AS (SELECT source, COUNT(*) AS n_d FROM documents GROUP BY source),
+      t AS (SELECT SUM(n_d) AS n FROM d),
+      q AS (SELECT source,
+          CAST(least(greatest(floor(100.0 * n_d / n + 0.5), 1), 25) AS INT) AS quota
+        FROM d, t),
+      r AS (SELECT doc_id, documents.source AS source, quota,
+          ROW_NUMBER() OVER (PARTITION BY documents.source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS hr
+        FROM documents JOIN q ON documents.source = q.source)
+      SELECT source, doc_id FROM r WHERE hr <= quota
+      ORDER BY source, doc_id"""),
+    (s, dir) => Sampling.mixSample(Tables(s, dir).documents,
+        domainCol = "source", idCol = "doc_id", totalTarget = 100)
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id"))
+
   private val mediaFeatures = GraftQuery(
     "d_media_features",
     None, // synthetic binary media (no media table in testdata); the
@@ -359,5 +380,5 @@ object LlmOps {
     embedNearDup, embedNearDupExact, annTopK, annTopKExact,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
     consistentSample, contamination, mediaFeatures,
-    repetition, topNgrams, chunk, domainStats)
+    repetition, topNgrams, chunk, domainStats, mixSampleQ)
 }

@@ -30,4 +30,32 @@ object Sampling {
     df.filter(
       conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
         < lit((fraction * (1L << 32)).toLong))
+
+  /** Domain-mixing sampler (pretraining data mixing): per-domain
+    * quotas proportional to domain size, floored at `minQuota` and
+    * capped at `maxQuota` (the cap flattens dominant domains — the
+    * practical effect of temperature resampling), then the
+    * consistent bottom-k-by-hash rows of each domain fill its quota.
+    * Quota arithmetic is one exact-integer product and one IEEE
+    * division, so quotas are bit-identical across engines — the whole
+    * op is oracle-able. Two shuffles total (domain counts + per-domain
+    * window), both on the domain key.
+    */
+  def mixSample(df: DataFrame, domainCol: String, idCol: String,
+      totalTarget: Int, minQuota: Int = 1, maxQuota: Int = 25): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n_d"))
+    val total = counts.agg(sum("__n_d").as("__n"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .select(col(domainCol),
+        least(greatest(
+            floor(lit(totalTarget.toDouble) * col("__n_d") / col("__n") + 0.5),
+            lit(minQuota.toLong)), lit(maxQuota.toLong))
+          .cast("int").as("__quota"))
+    val w = Window.partitionBy(domainCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(quotas, Seq(domainCol))
+      .withColumn("__hr", row_number().over(w))
+      .filter(col("__hr") <= col("__quota"))
+      .drop("__hr", "__quota")
+  }
 }

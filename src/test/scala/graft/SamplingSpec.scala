@@ -32,4 +32,28 @@ class SamplingSpec extends SparkSpec {
     val frac = full.size.toDouble / docs.count()
     assert(frac > 0.2 && frac < 0.4, s"got $frac")
   }
+
+  test("mix sample honors per-domain quota bounds and is partition-stable") {
+    val docs = Tables(spark, sf).documents
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixSample(df, "source", "doc_id", totalTarget = 100,
+          minQuota = 1, maxQuota = 25)
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = run(docs)
+    assert(a == run(docs.repartition(17)))
+    // every domain respects [min, cap] and no domain exceeds its size
+    val perDomain = a.groupBy(_._1).view.mapValues(_.size).toMap
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perDomain.foreach { case (d, k) =>
+      assert(k >= 1 && k <= 25, s"$d quota $k")
+      assert(k <= sizes(d), s"$d sampled $k of ${sizes(d)}")
+    }
+    // dominant domains are flattened by the cap: sampled share of the
+    // biggest domain is below its population share when capped
+    val (bigDom, bigN) = sizes.maxBy(_._2)
+    if (100.0 * bigN / sizes.values.sum > 25)
+      assert(perDomain(bigDom) == 25)
+  }
 }
