@@ -327,33 +327,38 @@ object LineLists {
       // "latest non-null attribute per client" — one per attribute
       // shard, ordered by follow-up date (the reference's dominant
       // ordering), one deliberately by the attribute itself
-      def latestVal(src: org.apache.spark.sql.DataFrame, typ: String, as: String) =
-        LatestPerKey(src.filter(col("event_type") === typ),
-            Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
-          .select(col("user_id"), col("value").as(as))
-      val clickL = latestVal(win, "click", "click_val")
-      val viewL = latestVal(win, "view", "view_val")
-      val errL = latestVal(ev, "error", "err_val") // unwindowed, like the reference's mixed CTEs
-      val purchM = LatestPerKey(win.filter(col("event_type") === "purchase"),
-          Seq(col("user_id")), Seq(col("value").desc, col("event_id").desc))
-        .select(col("user_id"), col("value").as("max_purchase_val"))
-      val signupF = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts").as("signup_ts"))
-      val errF = win.filter(col("event_type") === "error")
-        .groupBy("user_id").agg(min("ts").as("first_err_ts"))
-      // cohort: latest follow-up per client, status + treatment-window
-      val latestFu = LatestPerKey(win,
-        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
-      val tx = latestFu
+      // SCALE NOTE: the reference computes each extraction as its own
+      // ROW_NUMBER CTE — 7 independent shuffles on the same key. The
+      // Spark-first form fuses every same-source extraction into ONE
+      // HashAggregate (conditional max/min over structs — max/min skip
+      // NULLs, so `max(when(type, struct(ts,id,value)))` IS
+      // "latest-where-type" with map-side partial aggregation): the
+      // shuffle moves |users| pre-reduced rows, not |events|, and the
+      // whole report needs 2 aggregations (windowed + unwindowed
+      // frames) instead of 7 window shuffles. Results are identical —
+      // the oracle above still mirrors the reference's CTE form.
+      def latestStruct(typ: String) =
+        max(when(col("event_type") === typ,
+          struct(col("ts"), col("event_id"), col("value"))))
+      val winAgg = win.groupBy("user_id").agg(
+        latestStruct("click").getField("value").as("click_val"),
+        latestStruct("view").getField("value").as("view_val"),
+        max(when(col("event_type") === "purchase",
+          struct(col("value"), col("event_id")))).getField("value").as("max_purchase_val"),
+        min(when(col("event_type") === "error", col("ts"))).as("first_err_ts"),
+        max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+          .as("__latest"))
+      val evAgg = ev.groupBy("user_id").agg(
+        latestStruct("error").getField("value").as("err_val"),
+        min(when(col("event_type") === "signup", col("ts"))).as("signup_ts"))
+      val tx = winAgg
+        .select(col("user_id"), col("click_val"), col("view_val"),
+          col("max_purchase_val"), col("first_err_ts"),
+          col("__latest.ts").as("ts"), col("__latest.event_type").as("event_type"))
         .filter(col("event_type").isin("view", "click", "purchase", "signup"))
         .filter(date_add(col("ts").cast("date"), 30) >= lit(End).cast("date"))
       tx.join(t.customer, col("user_id") === col("c_custkey"), "left")
-        .join(clickL, Seq("user_id"), "left")
-        .join(viewL, Seq("user_id"), "left")
-        .join(errL, Seq("user_id"), "left")
-        .join(purchM, Seq("user_id"), "left")
-        .join(signupF, Seq("user_id"), "left")
-        .join(errF, Seq("user_id"), "left")
+        .join(evAgg, Seq("user_id"), "left")
         .filter(col("event_type") =!= "error") // faithful final guard (redundant with the cohort, as in the reference)
         .select(col("user_id").as("patient_id"),
           date_format(col("ts"), "yyyy-MM-dd").as("followup_on"),
@@ -439,25 +444,32 @@ object LineLists {
       val t = Tables(s, dir)
       val ev = t.events
       val p = ev.filter(col("event_type") === "purchase" && col("ts") <= lit(End))
-      val anchor = LatestPerKey(p.filter(col("value") >= 200),
-          Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
-        .select(col("user_id"), col("ts").as("a_ts"), col("value").as("a_val"))
+      // SCALE NOTE: each extraction is an aggregation (min/max over a
+      // (ts, event_id, …) struct — lexicographic = the CTE's ORDER BY;
+      // aggregates skip NULLs), not a ROW_NUMBER window: partial
+      // aggregation reduces each chain step to |users| rows BEFORE its
+      // shuffle. The oracle keeps the reference's ROW_NUMBER form.
+      val anchor = p.groupBy("user_id")
+        .agg(max(when(col("value") >= 200,
+          struct(col("ts"), col("event_id"), col("value")))).as("a"))
+        .filter(col("a").isNotNull)
+        .select(col("user_id"), col("a.ts").as("a_ts"), col("a.value").as("a_val"))
       // chained: earliest qualifying event INSIDE the window the
       // anchor opens — the extraction depends on the prior extraction
-      val confirm = LatestPerKey(
-          p.join(anchor, Seq("user_id")).filter(col("ts") > col("a_ts")),
-          Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc))
-        .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_val"))
-      val support = LatestPerKey(
-          ev.filter(col("event_type") === "view" && col("ts") <= lit(End))
-            .join(anchor, Seq("user_id")).filter(col("ts") >= col("a_ts")),
-          Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc))
-        .select(col("user_id"), col("ts").as("s_ts"))
-      val switchD = LatestPerKey(
-          ev.filter(col("event_type") === "signup" && col("ts") <= lit(End))
-            .join(confirm, Seq("user_id")).filter(col("ts") >= col("c_ts")),
-          Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc))
-        .select(col("user_id"), col("ts").as("w_ts"))
+      val confirm = p.join(anchor, Seq("user_id")).filter(col("ts") > col("a_ts"))
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("c"))
+        .select(col("user_id"), col("c.ts").as("c_ts"), col("c.value").as("c_val"))
+      val support = ev.filter(col("event_type") === "view" && col("ts") <= lit(End))
+        .join(anchor, Seq("user_id")).filter(col("ts") >= col("a_ts"))
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("s"))
+        .select(col("user_id"), col("s.ts").as("s_ts"))
+      val switchD = ev.filter(col("event_type") === "signup" && col("ts") <= lit(End))
+        .join(confirm, Seq("user_id")).filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("w"))
+        .select(col("user_id"), col("w.ts").as("w_ts"))
       anchor
         .join(confirm, Seq("user_id"), "left")
         .join(support, Seq("user_id"), "left")
