@@ -66,38 +66,58 @@ object MediaOps {
 
   /** STUB resize: a real implementation transforms pixels; the stub
     * truncates/pads the payload deterministically, keeping the
-    * metadata arithmetic (aspect-correct target size) real.
+    * metadata arithmetic (aspect-correct target size) real. Batched
+    * via mapPartitions like extractFeatures — a real resampler would
+    * be initialized once per partition, never per row.
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val resized = udf { (payload: Array[Byte], w: Int, h: Int) =>
-      // ??? <- real pixel resample goes here
-      val outLen = math.max(1, payload.length.toLong * (targetW.toLong * targetH)
-        / math.max(1L, w.toLong * h)).toInt
-      java.util.Arrays.copyOf(payload, math.min(outLen, payload.length))
-    }
-    media
-      .withColumn("payload", resized(col("payload"),
-        coalesce(col("width"), lit(1)), coalesce(col("height"), lit(1))))
-      .withColumn("width", lit(targetW))
-      .withColumn("height", lit(targetH))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    media.select("media_id", "mime", "width", "height", "payload")
+      .mapPartitions { rows =>
+        // (real pixel resampler initialized HERE, once per partition)
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val w = if (r.isNullAt(2)) 1 else math.max(r.getInt(2), 1)
+          val h = if (r.isNullAt(3)) 1 else math.max(r.getInt(3), 1)
+          // ??? <- real pixel resample goes here
+          val outLen = math.max(1, payload.length.toLong * (targetW.toLong * targetH)
+            / (w.toLong * h)).toInt
+          Row(r.getLong(0), r.getString(1), targetW, targetH,
+            java.util.Arrays.copyOf(payload, math.min(outLen, payload.length)))
+        }
+      }(enc)
   }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
 
   /** Frame sampling for video-like payloads: split the payload into
     * `nFrames` evenly spaced chunks (stub for keyframe extraction),
-    * exploded to one row per frame — the real partition-explosion
-    * shape a video pipeline has.
+    * one output row per frame. The explosion happens INSIDE
+    * mapPartitions — one decoder pass per source row emits all its
+    * frames, the shape a real video pipeline has (vs. per-(row,frame)
+    * re-decode that an explode + UDF would do).
     */
   def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
-    val frame = udf { (payload: Array[Byte], idx: Int) =>
-      // ??? <- real keyframe decode goes here
-      val chunk = math.max(1, payload.length / nFrames)
-      val from = math.min(idx * chunk, math.max(payload.length - 1, 0))
-      java.util.Arrays.copyOfRange(payload, from, math.min(from + chunk, payload.length))
-    }
-    media
-      .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
-      .withColumn("frame", frame(col("payload"), col("frame_idx")))
-      .drop("payload")
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select("media_id", "mime", "payload")
+      .mapPartitions { rows =>
+        // (real demuxer/decoder initialized HERE, once per partition)
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          // ??? <- real keyframe decode goes here
+          val chunk = math.max(1, payload.length / nFrames)
+          (0 until nFrames).iterator.map { idx =>
+            val from = math.min(idx * chunk, math.max(payload.length - 1, 0))
+            Row(r.getLong(0), r.getString(1), idx,
+              java.util.Arrays.copyOfRange(payload, from,
+                math.min(from + chunk, payload.length)))
+          }
+        }
+      }(enc)
   }
 
   /** Deterministic synthetic media table for tests/demo. */

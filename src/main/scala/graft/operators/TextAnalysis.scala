@@ -103,16 +103,20 @@ object TextAnalysis {
     // corpora and would flag everything as contaminated.
     def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
       explode(graft.plans.native.winnowing(col(textCol), k, w)).as("fp"))
-    val candFps = fps(candidates)
+    // ONE winnowing pass per side: dedupe (doc, fp), left-join the
+    // benchmark set with a hit marker, and count totals + hits in the
+    // same aggregation — the old two-branch form (separate total and
+    // hit aggregates over the same exploded frame) ran the winnowing
+    // expression twice.
+    val candFps = fps(candidates).dropDuplicates("doc_id", "fp")
     val benchFps = fps(benchmark).select(col("fp")).distinct()
-    val total = candFps.groupBy("doc_id")
-      .agg(countDistinct(col("fp")).as("n_fingerprints"))
-    val hits = candFps.join(benchFps, "fp")
-      .groupBy("doc_id").agg(countDistinct(col("fp")).as("n_hits"))
-    total.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_fingerprints"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double")
-          / col("n_fingerprints"), 6).as("overlap_ratio"))
+      .withColumn("__hit", lit(1))
+    candFps.join(benchFps, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        count(col("__hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_fingerprints"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_fingerprints"), 6)
+          .as("overlap_ratio"))
   }
 }
