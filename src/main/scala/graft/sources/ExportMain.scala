@@ -48,6 +48,10 @@ object ExportMain {
 
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-export")
     val t = Tables(spark, sfDir)
+    // the 12 report queries all re-read the fact tables; one cached
+    // scan serves every report in the package (export.py runs its 12
+    // queries against the same warm MySQL — this is the Spark analog)
+    t.events.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
 
     val queries: Map[String, org.apache.spark.sql.DataFrame] = config match {
       case Some(c) =>

@@ -45,6 +45,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("Limit"), p)
   }
 
+  test("composite report extracts via fused partial aggregation, not per-CTE windows") {
+    // q_ll_ahd mirrors 7 reference ROW_NUMBER CTEs but must plan as
+    // conditional aggregates: no Window operator anywhere, and
+    // map-side partial_ aggregation present
+    val p = planOf("q_ll_ahd")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction")
+      && !p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("registered ANN/near-dup operators generate candidates via equi-join, not nested loop") {
     // the scale paths must never probe×corpus: no BroadcastNestedLoopJoin
     // and no CartesianProduct anywhere in the registered plans (the IVF
