@@ -61,7 +61,67 @@ object GraftExtensions {
         "graft_ethiopian_dmy(date) - Ethiopian calendar 'D/M/Y' string"),
       (args: Seq[Expression]) => native.EthiopianDMY(
         org.apache.spark.sql.catalyst.expressions.Cast(args.head,
-          org.apache.spark.sql.types.DateType))))
+          org.apache.spark.sql.types.DateType))),
+    // the reference's date-diff family (TIMESTAMPDIFF ×83 /
+    // PERIOD_DIFF ×2) as SQL functions. Builders construct the
+    // Catalyst trees directly (a composed Column tree returned from a
+    // function builder stays an unevaluable ColumnNodeExpression);
+    // the arithmetic mirrors graft.functions.DateFns node for node
+    // and DateFnsSpec/ExtensionsSpec pin both to the same values.
+    (FunctionIdentifier("graft_months_between"),
+      info("graft_months_between",
+        "graft_months_between(a, b) - MySQL TIMESTAMPDIFF(MONTH, a, b) complete months"),
+      (args: Seq[Expression]) => dateExprs.monthsBetween(args(0), args(1))),
+    (FunctionIdentifier("graft_weeks_between"),
+      info("graft_weeks_between",
+        "graft_weeks_between(a, b) - MySQL TIMESTAMPDIFF(WEEK, a, b) complete weeks"),
+      (args: Seq[Expression]) => dateExprs.weeksBetween(args(0), args(1))),
+    (FunctionIdentifier("graft_years_between"),
+      info("graft_years_between",
+        "graft_years_between(a, b) - MySQL TIMESTAMPDIFF(YEAR, a, b) complete years"),
+      (args: Seq[Expression]) => dateExprs.yearsBetween(args(0), args(1))),
+    (FunctionIdentifier("graft_period_diff"),
+      info("graft_period_diff",
+        "graft_period_diff(b, a) - MySQL PERIOD_DIFF month-index difference"),
+      (args: Seq[Expression]) => dateExprs.periodDiff(args(0), args(1))))
+
+  /** Catalyst-tree twins of graft.functions.DateFns. */
+  private object dateExprs {
+    import org.apache.spark.sql.catalyst.expressions.{Add, And, CaseWhen,
+      Cast, DateDiff, DayOfMonth, Divide, GreaterThan, If, LessThan, Month,
+      Multiply, Or, Subtract, Year, EqualTo}
+    import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType}
+
+    private def d(e: Expression) = Cast(e, DateType)
+    private def mi(x: Expression) =
+      Add(Multiply(Year(x), Literal(12)), Month(x))
+
+    def monthsBetween(a0: Expression, b0: Expression): Expression = {
+      val a = d(a0); val b = d(b0)
+      val m = Subtract(mi(b), mi(a))
+      Cast(CaseWhen(Seq(
+        (And(GreaterThan(m, Literal(0)), LessThan(DayOfMonth(b), DayOfMonth(a))),
+          Subtract(m, Literal(1))),
+        (And(LessThan(m, Literal(0)), GreaterThan(DayOfMonth(b), DayOfMonth(a))),
+          Add(m, Literal(1)))),
+        Some(m)), IntegerType)
+    }
+
+    def weeksBetween(a0: Expression, b0: Expression): Expression =
+      Cast(Divide(Cast(DateDiff(d(b0), d(a0)), DoubleType), Literal(7.0)),
+        IntegerType)
+
+    def yearsBetween(a0: Expression, b0: Expression): Expression = {
+      val a = d(a0); val b = d(b0)
+      val before = Or(LessThan(Month(b), Month(a)),
+        And(EqualTo(Month(b), Month(a)), LessThan(DayOfMonth(b), DayOfMonth(a))))
+      Cast(Subtract(Subtract(Year(b), Year(a)),
+        If(before, Literal(1), Literal(0))), IntegerType)
+    }
+
+    def periodDiff(b0: Expression, a0: Expression): Expression =
+      Cast(Subtract(mi(d(b0)), mi(d(a0))), IntegerType)
+  }
 
   /** Retrofit registration into an already-created session. */
   def registerAll(spark: SparkSession): Unit =

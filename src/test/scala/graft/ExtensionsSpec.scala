@@ -38,6 +38,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(v == "12/5/2016") // Tir 12, 2016 EC
   }
 
+  test("date-diff family usable in SQL with MySQL semantics") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        graft_months_between(DATE '2020-01-20', DATE '2020-03-15') AS m,
+        graft_months_between(DATE '2020-01-31', DATE '2020-02-29') AS m_eom,
+        graft_weeks_between(DATE '2020-01-01', DATE '2020-01-15') AS w,
+        graft_years_between(DATE '2019-06-10', DATE '2020-06-09') AS y,
+        graft_period_diff(DATE '2020-03-15', DATE '2020-01-20') AS p""").head()
+    assert(r.getInt(0) === 1)  // complete months, day-aware
+    assert(r.getInt(1) === 0)  // MySQL end-of-month behavior
+    assert(r.getInt(2) === 2)
+    assert(r.getInt(3) === 0)  // one day short of a complete year
+    assert(r.getInt(4) === 2)  // period diff ignores day-of-month
+  }
+
+  test("sql date functions equal the DateFns Column API over real data") {
+    GraftExtensions.registerAll(spark)
+    import org.apache.spark.sql.functions._
+    Tables(spark, sf).orders.createOrReplaceTempView("orders_sql")
+    val viaSql = spark.sql(
+      """SELECT o_orderkey,
+        graft_months_between(o_orderdate, DATE '2000-01-01') AS m,
+        graft_weeks_between(o_orderdate, DATE '2000-01-01') AS w
+        FROM orders_sql""")
+    val viaCol = Tables(spark, sf).orders.select(col("o_orderkey"),
+      functions.DateFns.monthsBetween(col("o_orderdate"), lit("2000-01-01")).as("m2"),
+      functions.DateFns.weeksBetween(col("o_orderdate"), lit("2000-01-01")).as("w2"))
+    val bad = viaSql.join(viaCol, "o_orderkey")
+      .filter(col("m") =!= col("m2") || col("w") =!= col("w2")).count()
+    assert(bad == 0)
+  }
+
   test("graft_dot usable in SQL over embeddings") {
     GraftExtensions.registerAll(spark)
     Tables(spark, sf).embeddings.createOrReplaceTempView("emb_sql")
