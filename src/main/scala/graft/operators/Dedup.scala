@@ -73,13 +73,7 @@ object Dedup {
     // band on ids only — the shingle arrays must NOT ride the band
     // shuffle (16× duplication of the heaviest column); they are
     // re-joined once, only for verification of the candidate pairs.
-    val banded = signed.select(col("doc_id"),
-      explode(array((0 until Bands).map { j =>
-        struct(lit(j).as("band"),
-          xxhash64(lit(j), concat_ws(",", slice(col("sig"), j * RowsPerBand + 1, RowsPerBand)))
-            .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val banded = bandedIds(signed)
     val cands = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
         Seq("band", "bucket"))
@@ -94,6 +88,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** (doc_id, band, bucket) rows from a signed frame — one row per
+    * band, ids only. Shared by the batch LSH join and the streaming
+    * stateful dedup (both sides MUST agree bit-for-bit on buckets so
+    * stream and batch find the same candidates).
+    */
+  def bandedIds(signed: DataFrame): DataFrame =
+    signed.select(col("doc_id"),
+      explode(array((0 until Bands).map { j =>
+        struct(lit(j).as("band"),
+          xxhash64(lit(j), concat_ws(",", slice(col("sig"), j * RowsPerBand + 1, RowsPerBand)))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
   // ----------------------------------------------------------- simhash
 

@@ -96,6 +96,40 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 5L, 6L), kept.toSeq.sorted.mkString(","))
   }
 
+  test("streaming minhash dedup finds every batch near-dup, across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables(spark, sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // split so planted pairs straddle the two micro-batches: streaming
+    // state must match batch-2 docs against batch-1 history
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.candidatePairs(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sdedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the batch pipeline's VERIFIED pairs (subset of the
+    // band candidates by construction — same signatures, same buckets)
+    val verified = graft.operators.Dedup.minhashLsh(docs.toSeq.toDF("doc_id", "text"),
+        threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty)
+    assert(verified.subsetOf(streamed),
+      s"missing cross-batch candidates: ${(verified -- streamed).take(5)}")
+    val crossBatch = verified.count(p => (p._1 % 2) != (p._2 % 2))
+    assert(crossBatch > 0, "test split produced no cross-batch pairs")
+  }
+
   test("sessionization closes on event-time gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
