@@ -497,7 +497,63 @@ object LineLists {
         .orderBy("user_id")
     })
 
+  // ------------------------------------------------------------------
+  // PMTCT_Maternal_LineList.sql — EPISODE WINDOWS: an enrollment event
+  // opens an episode that closes at the next enrollment (or the report
+  // end when none follows — COALESCE(discharge, REPORT_END_DATE)),
+  // and activity events are attributed to the episode containing
+  // them. Built with lead() over the per-user timeline (the interval
+  // construction the reference does with Enrollment ⟕ Discharge),
+  // then an equi-join on user + range predicate for attribution —
+  // per-user episode counts are tiny, so the join never explodes.
+  // ------------------------------------------------------------------
+  private val episode = GraftQuery(
+    "q_ll_episode",
+    Some(s"""WITH enr AS (SELECT user_id, event_id AS episode_id, ts AS e_start,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e_next
+      FROM events WHERE event_type = 'signup' AND ts <= TIMESTAMP '$End'),
+      ep AS (SELECT user_id, episode_id, e_start,
+        COALESCE(e_next, TIMESTAMP '$End') AS e_end FROM enr),
+      att AS (SELECT ep.user_id, ep.episode_id, ep.e_start, ep.e_end,
+          p.value, p.ts AS p_ts
+        FROM ep LEFT JOIN events p
+          ON p.user_id = ep.user_id AND p.event_type = 'purchase'
+         AND p.ts >= ep.e_start AND p.ts < ep.e_end)
+      SELECT user_id, episode_id,
+        strftime(e_start, '%Y-%m-%d %H:%M:%S') AS episode_start,
+        strftime(e_end, '%Y-%m-%d %H:%M:%S') AS episode_end,
+        COUNT(p_ts) AS n_purchases,
+        CAST(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0) AS VARCHAR) AS DOUBLE) AS total_value
+      FROM att GROUP BY user_id, episode_id, e_start, e_end
+      ORDER BY user_id, episode_id"""),
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ep = ev.filter(col("event_type") === "signup" && col("ts") <= lit(End))
+        .select(col("user_id"), col("event_id").as("episode_id"),
+          col("ts").as("e_start"), lead(col("ts"), 1).over(w).as("e_next"))
+        .withColumn("e_end", coalesce(col("e_next"), lit(End).cast("timestamp")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      // the range predicate MUST be part of the LEFT JOIN condition:
+      // joining on user alone and filtering afterwards would DROP
+      // episodes whose user has purchases but none inside the episode
+      ep.join(p,
+          ep("user_id") === p("p_user")
+            && p("p_ts") >= ep("e_start") && p("p_ts") < ep("e_end"), "left")
+        .groupBy("user_id", "episode_id", "e_start", "e_end")
+        .agg(count(col("p_ts")).as("n_purchases"),
+          coalesce(sum(col("value").cast("decimal(18,6)")),
+            lit(0).cast("decimal(18,6)")).cast("double").as("total_value"))
+        .select(col("user_id"), col("episode_id"),
+          date_format(col("e_start"), "yyyy-MM-dd HH:mm:ss").as("episode_start"),
+          date_format(col("e_end"), "yyyy-MM-dd HH:mm:ss").as("episode_end"),
+          col("n_purchases"), col("total_value"))
+        .orderBy("user_id", "episode_id")
+    })
+
   val queries: Seq[GraftQuery] =
     Seq(vlEligible, tptCourse, highValue, dualLatest, asofJoin,
-      sessionizeBatch, rangeJoin, ahd, hvl)
+      sessionizeBatch, rangeJoin, ahd, hvl, episode)
 }
