@@ -66,8 +66,11 @@ object DedupPipeline {
         .drop("old")
         .localCheckpoint()
       // convergence probe scans the just-checkpointed partitions —
-      // no extra join against the previous labels, no recompute
-      val changed = next.agg(sum(col("chg"))).head().getLong(0)
+      // no extra join against the previous labels, no recompute.
+      // coalesce: sum over an EMPTY label set (no duplicate edges at
+      // all) is NULL, which must read as converged, not NPE
+      val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .head().getLong(0)
       labels = next.drop("chg")
       converged = changed == 0
       round += 1

@@ -59,6 +59,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("empty edge set: every doc is its own component, no crash") {
+    import spark.implicits._
+    val docs = (0L until 5L).toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val labels = DedupPipeline.componentLabels(docs, edges)
+    assert(labels.count() === 0) // only edge-touched vertices get labels
+    val kept = DedupPipeline.dedupedCorpus(
+      docs.withColumn("text", concat(lit("unique text x"), col("doc_id"))))
+    assert(kept.count() === 5)
+  }
+
   test("salted join equals plain join") {
     val t = Tables(spark, sf)
     val orders = t.orders
