@@ -32,7 +32,8 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       payloadCols: Seq[String], tieRightFirst: Boolean = true,
-      tieBreakCol: Option[String] = None): DataFrame = {
+      tieBreakCol: Option[String] = None,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val lCols = left.columns
     // side 0 = right (sorts before left at equal ts so a same-instant
     // right row is visible to the left row when tieRightFirst)
@@ -42,7 +43,8 @@ object AsOfJoin {
     val taggedRight = right.select(
       col(keyCol), col(tsCol).as("__ts"), lit(sideOfRight).as("__side"),
       tie.as("__tie"),
-      struct(payloadCols.map(col): _*).as("__p"))
+      // carry the right row's own ts so tolerance can bound staleness
+      struct((payloadCols.map(col) :+ col(tsCol).as("__rts")): _*).as("__p"))
     val taggedLeft = left
       .withColumn("__ts", col(tsCol))
       .withColumn("__side", lit(1))
@@ -55,7 +57,16 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
-    carried.filter(col("__side") === 1)
+    // tolerance (pandas merge_asof / QuestDB semantics): a match older
+    // than the bound is no match at all — null the whole struct so
+    // every payload column drops together
+    val bounded = toleranceSeconds.fold(carried) { tol =>
+      carried.withColumn("__p",
+        when(unix_timestamp(col(tsCol).cast("timestamp"))
+          - unix_timestamp(col("__p").getField("__rts").cast("timestamp")) <= tol,
+          col("__p")))
+    }
+    bounded.filter(col("__side") === 1)
       .select(lCols.map(col) ++
         payloadCols.map(c => col("__p").getField(c).as(s"right_$c")): _*)
   }

@@ -47,6 +47,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getDouble(0) === 15.0)
   }
 
+  test("tolerance bounds match staleness (merge_asof semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, "2024-01-01 12:00:00"), (2L, 7L, "2024-01-01 10:30:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val right = Seq((7L, "2024-01-01 10:00:00", 10.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("value"),
+        toleranceSeconds = Some(3600L))
+      .select("event_id", "right_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(2L) == Some(10.0)) // 30 min stale: within tolerance
+    assert(out(1L) == None)       // 2 h stale: match dropped entirely
+  }
+
   test("nullable payload cells never mix across right rows (struct carry)") {
     import spark.implicits._
     val left = Seq((1L, 7L, "2024-01-01 12:00:00"))
