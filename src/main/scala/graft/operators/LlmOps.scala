@@ -234,6 +234,26 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** Scale path of d_contamination: broadcast bloom membership, no
+    * benchmark-set join (one-sided error — superset of exact hits;
+    * the no-false-negative property is spec-gated in LlmOpsSpec).
+    */
+  private val bloomContam = GraftQuery(
+    "d_bloom_decontam",
+    None, // bloom bit layout is engine-specific: rows-only + property spec
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      // sized to the actual benchmark fingerprint count: the filter
+      // binary rides every task closure, so oversizing it taxes each
+      // task for no FP-rate gain
+      TextAnalysis.bloomContamination(
+          candidates = docs.filter(col("source") =!= "src0"),
+          benchmark = docs.filter(col("source") === "src0"),
+          expectedItems = 1L << 17, numBits = 1L << 20)
+        .filter(col("maybe_overlap_ratio") > 0.5)
+        .orderBy("doc_id")
+    })
+
   private val consistentSample = GraftQuery(
     "d_consistent_sample",
     Some("""SELECT lang, doc_id FROM (
@@ -379,6 +399,6 @@ object LlmOps {
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
-    consistentSample, contamination, mediaFeatures,
+    consistentSample, contamination, bloomContam, mediaFeatures,
     repetition, topNgrams, chunk, domainStats, mixSampleQ)
 }

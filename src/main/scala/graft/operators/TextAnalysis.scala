@@ -119,4 +119,49 @@ object TextAnalysis {
         round(col("n_hits").cast("double") / col("n_fingerprints"), 6)
           .as("overlap_ratio"))
   }
+
+  /** Bloom-filter decontamination — the constant-memory scale path of
+    * [[contamination]]: the benchmark's fingerprint set becomes ONE
+    * broadcast bloom filter (bloom_filter_agg), and candidates check
+    * membership with might_contain — no shuffle of the benchmark set,
+    * no join. One-sided error: n_maybe_hits is a SUPERSET count of
+    * exact hits (possible false positives, never false negatives), so
+    * it is the right pre-filter before the exact [[contamination]]
+    * pass over the flagged slice.
+    */
+  def bloomContamination(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 20, w: Int = 8,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(graft.plans.native.winnowing(col(textCol), k, w)).as("fp"))
+    // BloomFilterAggregate/MightContain are catalyst-internal (Spark
+    // uses them for runtime join filters, no SQL registration) — build
+    // them through the shim
+    import org.apache.spark.sql.graftshim.GraftShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bfAgg = column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        expression(col("fp")), Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+    def mightContain(bf: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        expression(bf), expression(v)))
+    // might_contain requires a CONSTANT bloom: build it distributed,
+    // fetch the one ~numBits/8-byte binary, and inline it as a
+    // literal (exactly how Spark's runtime join-filter injection
+    // ships its blooms) — the candidates side then filters with zero
+    // joins and zero shuffles of the benchmark set
+    val bfBytes = fps(benchmark).agg(bfAgg.as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bfLit = column(Literal.create(bfBytes,
+      org.apache.spark.sql.types.BinaryType))
+    fps(candidates).dropDuplicates("doc_id", "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(when(mightContain(bfLit, col("fp")), 1L).otherwise(0L)).as("n_maybe_hits"))
+      .select(col("doc_id"), col("n_fingerprints"), col("n_maybe_hits"),
+        round(col("n_maybe_hits").cast("double") / col("n_fingerprints"), 6)
+          .as("maybe_overlap_ratio"))
+  }
 }

@@ -130,4 +130,21 @@ class LlmOpsSpec extends SparkSpec {
       assert(q >= 0.0 && q <= 1.0)
     }
   }
+
+  test("bloom decontamination never misses an exact hit (one-sided error)") {
+    val cands = docs.filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+    val bench = docs.filter(org.apache.spark.sql.functions.col("source") === "src0")
+    val exact = TextAnalysis.contamination(cands, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = TextAnalysis.bloomContamination(cands, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact.keySet == bloom.keySet) // same candidate docs
+    exact.foreach { case (id, hits) =>
+      assert(bloom(id) >= hits, s"doc $id: bloom ${bloom(id)} < exact $hits")
+    }
+    // false positives stay rare at this sizing
+    val fpExtra = bloom.map { case (id, m) => m - exact(id) }.sum.toDouble
+    val total = bloom.values.sum.toDouble
+    assert(total == 0 || fpExtra / math.max(total, 1) < 0.05, s"fp share ${fpExtra / total}")
+  }
 }
