@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.DateFns
@@ -30,18 +31,20 @@ object LineLists {
               AND date_diff('day', CAST(ts AS DATE), DATE '$End') >= 7
           THEN 'Eligible' ELSE 'NotEligible' END AS eligibility
       FROM latest ORDER BY user_id"""),
-    (s, dir) => {
+    (s, dir) => eligibleBuild(s, dir, End))
+
+  private def eligibleBuild(s: SparkSession, dir: String, end: String): DataFrame = {
       val latest = LatestPerKey(
-        Tables(s, dir).events.filter(col("ts") <= lit(End)),
+        Tables(s, dir).events.filter(col("ts") <= lit(end)),
         Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
       latest.select(col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd").as("last_seen"),
-          DateFns.daysBetween(col("ts"), lit(End)).as("days_since"),
+          DateFns.daysBetween(col("ts"), lit(end)).as("days_since"),
           when(col("event_type") =!= "error"
-              && DateFns.daysBetween(col("ts"), lit(End)) >= 7, "Eligible")
+              && DateFns.daysBetween(col("ts"), lit(end)) >= 7, "Eligible")
             .otherwise("NotEligible").as("eligibility"))
         .orderBy("user_id")
-    })
+  }
 
   // ------------------------------------------------------------------
   // Tx_Curr_TPT_LineList.sql — course completion: first start vs last
@@ -94,10 +97,12 @@ object LineLists {
         CASE WHEN value >= 250 THEN 'High' WHEN value >= 50 THEN 'Low'
           ELSE 'Suppressed' END AS measure_band
       FROM m ORDER BY user_id"""),
-    (s, dir) => {
+    (s, dir) => thresholdBuild(s, dir, End))
+
+  private def thresholdBuild(s: SparkSession, dir: String, end: String): DataFrame = {
       val m = LatestPerKey(
         Tables(s, dir).events
-          .filter(col("event_type") === "purchase" && col("ts") <= lit(End)),
+          .filter(col("event_type") === "purchase" && col("ts") <= lit(end)),
         Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
       m.select(col("user_id"), col("value").as("last_measure"),
           date_format(col("ts"), "yyyy-MM-dd").as("measured_on"),
@@ -105,7 +110,7 @@ object LineLists {
             .when(col("value") >= 50, "Low")
             .otherwise("Suppressed").as("measure_band"))
         .orderBy("user_id")
-    })
+  }
 
   // ------------------------------------------------------------------
   // Tx_Curr_CCA_LineList.sql — two independent latest-per-key CTEs
@@ -131,10 +136,12 @@ object LineLists {
         res.value AS result_value
       FROM scr LEFT JOIN res ON scr.user_id = res.user_id
       ORDER BY scr.user_id"""),
-    (s, dir) => {
+    (s, dir) => dualLatestBuild(s, dir, End))
+
+  private def dualLatestBuild(s: SparkSession, dir: String, end: String): DataFrame = {
       val ev = Tables(s, dir).events
       def latestOf(t: String, extra: Seq[String]) = LatestPerKey(
-        ev.filter(col("event_type") === t && col("ts") <= lit(End)),
+        ev.filter(col("event_type") === t && col("ts") <= lit(end)),
         Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
         .select((Seq("user_id", "ts", "event_id") ++ extra).map(col): _*)
       val scr = latestOf("view", Nil)
@@ -150,7 +157,7 @@ object LineLists {
             .otherwise("ResultStale").as("screening_status"),
           col("value").as("result_value"))
         .orderBy("user_id")
-    })
+  }
 
   // ------------------------------------------------------------------
   // As-of join: each view event annotated with the user's most recent
@@ -320,10 +327,12 @@ object LineLists {
       LEFT JOIN err_f ON err_f.user_id = tx.user_id
       WHERE tx.event_type <> 'error'
       ORDER BY patient_id"""),
-    (s, dir) => {
+    (s, dir) => ahdBuild(s, dir, End))
+
+  private def ahdBuild(s: SparkSession, dir: String, end: String): DataFrame = {
       val t = Tables(s, dir)
       val ev = t.events
-      val win = ev.filter(col("ts") <= lit(End))
+      val win = ev.filter(col("ts") <= lit(end))
       // "latest non-null attribute per client" — one per attribute
       // shard, ordered by follow-up date (the reference's dominant
       // ordering), one deliberately by the attribute itself
@@ -356,15 +365,15 @@ object LineLists {
           col("max_purchase_val"), col("first_err_ts"),
           col("__latest.ts").as("ts"), col("__latest.event_type").as("event_type"))
         .filter(col("event_type").isin("view", "click", "purchase", "signup"))
-        .filter(date_add(col("ts").cast("date"), 30) >= lit(End).cast("date"))
+        .filter(date_add(col("ts").cast("date"), 30) >= lit(end).cast("date"))
       tx.join(t.customer, col("user_id") === col("c_custkey"), "left")
         .join(evAgg, Seq("user_id"), "left")
         .filter(col("event_type") =!= "error") // faithful final guard (redundant with the cohort, as in the reference)
         .select(col("user_id").as("patient_id"),
           date_format(col("ts"), "yyyy-MM-dd").as("followup_on"),
           col("event_type").as("current_status"),
-          DateFns.monthsBetween(col("signup_ts"), lit(End)).as("months_since_signup"),
-          DateFns.weeksBetween(col("first_err_ts"), lit(End)).as("weeks_since_first_error"),
+          DateFns.monthsBetween(col("signup_ts"), lit(end)).as("months_since_signup"),
+          DateFns.weeksBetween(col("first_err_ts"), lit(end)).as("weeks_since_first_error"),
           coalesce(col("click_val"), col("view_val"), col("max_purchase_val")).as("coalesce_val"),
           coalesce(col("max_purchase_val"), col("err_val")).as("dose_val"),
           when(col("event_type") === "view" && col("view_val") > 100, "Positive")
@@ -382,7 +391,7 @@ object LineLists {
             .otherwise("No").as("ahd_flag"),
           col("c_name"))
         .orderBy("patient_id")
-    })
+  }
 
   // ------------------------------------------------------------------
   // Tx_Curr_HVL_LineList.sql (356 lines) — dual-window eligibility
@@ -440,10 +449,12 @@ object LineLists {
       LEFT JOIN switch ON switch.user_id = anchor.user_id
       LEFT JOIN customer ON anchor.user_id = c_custkey
       ORDER BY anchor.user_id"""),
-    (s, dir) => {
+    (s, dir) => hvlBuild(s, dir, End))
+
+  private def hvlBuild(s: SparkSession, dir: String, end: String): DataFrame = {
       val t = Tables(s, dir)
       val ev = t.events
-      val p = ev.filter(col("event_type") === "purchase" && col("ts") <= lit(End))
+      val p = ev.filter(col("event_type") === "purchase" && col("ts") <= lit(end))
       // SCALE NOTE: each extraction is an aggregation (min/max over a
       // (ts, event_id, …) struct — lexicographic = the CTE's ORDER BY;
       // aggregates skip NULLs), not a ROW_NUMBER window: partial
@@ -460,12 +471,12 @@ object LineLists {
         .groupBy("user_id")
         .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("c"))
         .select(col("user_id"), col("c.ts").as("c_ts"), col("c.value").as("c_val"))
-      val support = ev.filter(col("event_type") === "view" && col("ts") <= lit(End))
+      val support = ev.filter(col("event_type") === "view" && col("ts") <= lit(end))
         .join(anchor, Seq("user_id")).filter(col("ts") >= col("a_ts"))
         .groupBy("user_id")
         .agg(min(struct(col("ts"), col("event_id"))).as("s"))
         .select(col("user_id"), col("s.ts").as("s_ts"))
-      val switchD = ev.filter(col("event_type") === "signup" && col("ts") <= lit(End))
+      val switchD = ev.filter(col("event_type") === "signup" && col("ts") <= lit(end))
         .join(confirm, Seq("user_id")).filter(col("ts") >= col("c_ts"))
         .groupBy("user_id")
         .agg(min(struct(col("ts"), col("event_id"))).as("w"))
@@ -481,11 +492,11 @@ object LineLists {
           date_format(col("c_ts"), "yyyy-MM-dd").as("confirm_on"),
           date_format(col("s_ts"), "yyyy-MM-dd").as("support_on"),
           DateFns.monthsBetween(col("a_ts"),
-            coalesce(col("c_ts"), lit(End).cast("timestamp"))).as("months_waiting"),
+            coalesce(col("c_ts"), lit(end).cast("timestamp"))).as("months_waiting"),
           DateFns.weeksBetween(col("a_ts"), col("c_ts")).as("weeks_to_confirm"),
           when(col("c_ts").isNull && col("s_ts").isNull, "AwaitingSupport")
             .when(col("c_ts").isNull
-              && DateFns.monthsBetween(col("a_ts"), lit(End)) < 3, "InWindow")
+              && DateFns.monthsBetween(col("a_ts"), lit(end)) < 3, "InWindow")
             .when(col("c_ts").isNull, "ConfirmOverdue")
             .when(col("c_val") < 10, "Resuppressed")
             .when(col("c_val") >= 50, "ConfirmedHigh")
@@ -495,7 +506,7 @@ object LineLists {
             .otherwise("").as("switch_status"),
           col("c_name"))
         .orderBy("user_id")
-    })
+  }
 
   // ------------------------------------------------------------------
   // PMTCT_Maternal_LineList.sql — EPISODE WINDOWS: an enrollment event
@@ -526,14 +537,16 @@ object LineLists {
         CAST(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0) AS VARCHAR) AS DOUBLE) AS total_value
       FROM att GROUP BY user_id, episode_id, e_start, e_end
       ORDER BY user_id, episode_id"""),
-    (s, dir) => {
+    (s, dir) => episodeBuild(s, dir, End))
+
+  private def episodeBuild(s: SparkSession, dir: String, end: String): DataFrame = {
       val ev = Tables(s, dir).events
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val ep = ev.filter(col("event_type") === "signup" && col("ts") <= lit(End))
+      val ep = ev.filter(col("event_type") === "signup" && col("ts") <= lit(end))
         .select(col("user_id"), col("event_id").as("episode_id"),
           col("ts").as("e_start"), lead(col("ts"), 1).over(w).as("e_next"))
-        .withColumn("e_end", coalesce(col("e_next"), lit(End).cast("timestamp")))
+        .withColumn("e_end", coalesce(col("e_next"), lit(end).cast("timestamp")))
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
       // the range predicate MUST be part of the LEFT JOIN condition:
@@ -551,9 +564,26 @@ object LineLists {
           date_format(col("e_end"), "yyyy-MM-dd HH:mm:ss").as("episode_end"),
           col("n_purchases"), col("total_value"))
         .orderBy("user_id", "episode_id")
-    })
+  }
 
   val queries: Seq[GraftQuery] =
     Seq(vlEligible, tptCourse, highValue, dualLatest, asofJoin,
       sessionizeBatch, rangeJoin, ahd, hvl, episode)
+
+  /** Window-parameterized report twins — the reference's
+    * COALESCE(REPORT_END_DATE, CURDATE()) surface (CURDATE ×6, e.g.
+    * Tx_Curr_AHD_LineList.sql:115) for every report whose logic
+    * depends on the window end. Each registered query above is its
+    * builder evaluated at the fixed oracle window; ExportMain feeds
+    * these the window derived from the configured (or current)
+    * Ethiopian month. q_ll_course has no window dependence and is
+    * deliberately absent.
+    */
+  val asOf: Map[String, (SparkSession, String, java.time.LocalDate) => DataFrame] = Map(
+    "q_ll_eligible" -> ((s, d, e) => eligibleBuild(s, d, e.toString)),
+    "q_ll_threshold" -> ((s, d, e) => thresholdBuild(s, d, e.toString)),
+    "q_ll_dual_latest" -> ((s, d, e) => dualLatestBuild(s, d, e.toString)),
+    "q_ll_ahd" -> ((s, d, e) => ahdBuild(s, d, e.toString)),
+    "q_ll_hvl" -> ((s, d, e) => hvlBuild(s, d, e.toString)),
+    "q_ll_episode" -> ((s, d, e) => episodeBuild(s, d, e.toString)))
 }

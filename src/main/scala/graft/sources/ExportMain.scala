@@ -56,14 +56,18 @@ object ExportMain {
     val queries: Map[String, org.apache.spark.sql.DataFrame] = config match {
       case Some(c) =>
         c.queries.map { case (tag, qname) =>
-          // the flagship takes the runtime window; the rest are the
-          // registered (fixed-window, oracle-matched) queries
+          // window-dependent reports run at the runtime window; the
+          // rest are the registered (fixed-window, oracle-matched)
+          // queries unchanged
           val df =
             if (qname == "q_line_list")
               graft.operators.Relational.lineListAsOf(spark, sfDir, end)
-            else SparkEntry.queries.getOrElse(qname,
-              throw new IllegalArgumentException(
-                s"config names unknown query '$qname' for tag '$tag'"))(spark, sfDir)
+            else graft.operators.LineLists.asOf.get(qname) match {
+              case Some(build) => build(spark, sfDir, end)
+              case None => SparkEntry.queries.getOrElse(qname,
+                throw new IllegalArgumentException(
+                  s"config names unknown query '$qname' for tag '$tag'"))(spark, sfDir)
+            }
           tag -> df
         }.toMap
       case None =>

@@ -105,6 +105,18 @@ class ExportJobSpec extends SparkSpec {
     assert(earlier > 0 && earlier <= fixed.length)
   }
 
+  test("as-of window: every LineLists.asOf builder at the oracle end equals its registered query") {
+    val oracleEnd = java.time.LocalDate.parse("2024-01-21")
+    graft.operators.LineLists.asOf.foreach { case (name, build) =>
+      val fixed = SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted
+      val asOf = build(spark, sf, oracleEnd).collect().map(_.toString).sorted
+      assert(asOf.sameElements(fixed), s"$name as-of mismatch at oracle end")
+      // a different end changes the plan without erroring
+      assert(build(spark, sf, java.time.LocalDate.parse("2024-01-10")).count() >= 0)
+    }
+  }
+
   test("reportWindowAsOf picks the Ethiopian month containing today") {
     import graft.functions.EthiopianCalendar._
     val today = java.time.LocalDate.parse("2024-01-15")
