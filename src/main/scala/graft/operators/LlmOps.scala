@@ -386,6 +386,59 @@ object LlmOps {
       .select("source", "doc_id")
       .orderBy("source", "doc_id"))
 
+  /** PII scrub (emails / NNN-NNN-NNNN phones / IPv4): per-class match
+    * counts + typed-placeholder redaction. The corpus has no PII, so
+    * the query plants deterministic spans derived from doc_id — the
+    * SAME construction on both sides — and both engines then detect
+    * and redact with the shared ASCII regexes (TextAnalysis.Pii*).
+    * Pure regexp Column ops: codegen end to end, no UDFs.
+    */
+  private val piiQ = {
+    import TextAnalysis.{PiiEmail, PiiPhone, PiiIpv4}
+    GraftQuery(
+      "d_pii",
+      Some(s"""WITH aug AS (SELECT doc_id, text
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' contact u' || doc_id || '@example.com now' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+               THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          || CASE WHEN doc_id % 7 = 0
+               THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(t, '$PiiEmail')) AS n_emails,
+        len(regexp_extract_all(t, '$PiiPhone')) AS n_phones,
+        len(regexp_extract_all(t, '$PiiIpv4')) AS n_ipv4,
+        CASE WHEN len(regexp_extract_all(t, '$PiiEmail'))
+               + len(regexp_extract_all(t, '$PiiPhone'))
+               + len(regexp_extract_all(t, '$PiiIpv4')) > 0 THEN 1 ELSE 0 END AS has_pii,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '$PiiEmail', '<EMAIL>', 'g'),
+          '$PiiPhone', '<PHONE>', 'g'),
+          '$PiiIpv4', '<IP>', 'g') AS redacted
+      FROM aug ORDER BY doc_id"""),
+      (s, dir) => {
+        val aug = Tables(s, dir).documents.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact u"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+                lit("."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")))
+            .as("t"))
+        aug.select(col("doc_id") +: TextAnalysis.piiCounts(col("t"))
+            :+ TextAnalysis.piiRedact(col("t")).as("redacted"): _*)
+          .orderBy("doc_id")
+      })
+  }
+
   private val mediaFeatures = GraftQuery(
     "d_media_features",
     None, // synthetic binary media (no media table in testdata); the
@@ -400,5 +453,5 @@ object LlmOps {
     embedNearDup, embedNearDupExact, annTopK, annTopKExact,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
     consistentSample, contamination, bloomContam, mediaFeatures,
-    repetition, topNgrams, chunk, domainStats, mixSampleQ)
+    repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ)
 }

@@ -120,6 +120,37 @@ object TextAnalysis {
           .as("overlap_ratio"))
   }
 
+  /** PII patterns (ASCII-only, no lookarounds/backreferences so Java
+    * regex and DuckDB/RE2 agree): emails, NNN-NNN-NNNN phones, IPv4.
+    * The standard pre-training scrub surface (emails/phones/IPs are
+    * the C4/CCNet-style redaction classes).
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Per-class match counts + a 0/1 flag (int, not boolean, so the
+    * oracle types align across engines).
+    */
+  def piiCounts(text: Column): Seq[Column] = {
+    val e = TextFns.countMatches(text, PiiEmail)
+    val p = TextFns.countMatches(text, PiiPhone)
+    val ip = TextFns.countMatches(text, PiiIpv4)
+    Seq(e.as("n_emails"), p.as("n_phones"), ip.as("n_ipv4"),
+      when(e + p + ip > 0, 1).otherwise(0).as("has_pii"))
+  }
+
+  /** Replace every PII span with a typed placeholder. Emails first
+    * (their local part can contain digits that the narrower patterns
+    * would otherwise nibble at), then phones, then IPs.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(PiiEmail), lit("<EMAIL>")),
+        lit(PiiPhone), lit("<PHONE>")),
+      lit(PiiIpv4), lit("<IP>"))
+
   /** Bloom-filter decontamination — the constant-memory scale path of
     * [[contamination]]: the benchmark's fingerprint set becomes ONE
     * broadcast bloom filter (bloom_filter_agg), and candidates check

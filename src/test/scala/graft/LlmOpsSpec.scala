@@ -147,4 +147,31 @@ class LlmOpsSpec extends SparkSpec {
     val total = bloom.values.sum.toDouble
     assert(total == 0 || fpExtra / math.max(total, 1) < 0.05, s"fp share ${fpExtra / total}")
   }
+
+  test("pii: counts find planted spans and redaction removes every one") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail me at a.b-c_1@sub.example.org today", 1, 0, 0),
+      ("call 555-867-5309 or 212-555-0142", 0, 2, 0),
+      ("served from 10.0.12.7 and 192.168.0.255", 0, 0, 2),
+      ("x@y.io via 8.8.8.8 at 555-000-1111", 1, 1, 1),
+      ("no pii here just words", 0, 0, 0)).toDF("t", "e", "p", "ip")
+    val got = rows.select(col("e"), col("p"), col("ip"),
+      TextAnalysis.piiCounts(col("t")).head.as("n_emails"),
+      TextAnalysis.piiCounts(col("t"))(1).as("n_phones"),
+      TextAnalysis.piiCounts(col("t"))(2).as("n_ipv4"),
+      TextAnalysis.piiRedact(col("t")).as("red")).collect()
+    got.foreach { r =>
+      assert(r.getInt(3) == r.getInt(0), s"emails: $r")
+      assert(r.getInt(4) == r.getInt(1), s"phones: $r")
+      assert(r.getInt(5) == r.getInt(2), s"ipv4: $r")
+      val red = r.getString(6)
+      assert(!red.matches(s".*${TextAnalysis.PiiEmail}.*"), red)
+      assert(!red.matches(s".*${TextAnalysis.PiiPhone}.*"), red)
+      assert(!red.matches(s".*${TextAnalysis.PiiIpv4}.*"), red)
+    }
+    val red = rows.select(TextAnalysis.piiRedact(col("t")).as("r"))
+      .as[String].collect().mkString("\n")
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+  }
 }
