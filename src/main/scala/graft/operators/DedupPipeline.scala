@@ -83,16 +83,30 @@ object DedupPipeline {
     labels
   }
 
-  /** Duplicate edges from exact hash groups + minhash near-dups. */
+  /** Duplicate edges from exact hash groups + minhash near-dups.
+    *
+    * Exact dedup runs FIRST and near-dup detection sees only one
+    * representative per distinct text. This is load-bearing at scale:
+    * identical texts have identical signatures, so an exact-dup group
+    * of k copies (boilerplate pages are k=10⁴+ on web corpora) would
+    * land k rows in the SAME bucket of every band — k²/2 candidate
+    * pairs per band, a quadratic hot bucket no partitioning fixes.
+    * Via the representative, the group contributes 1 row per band and
+    * its members still join the component through their exact edge,
+    * so componentLabels returns identical components either way.
+    */
   def duplicateEdges(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // exact: every doc in a hash group links to the group min
-    val exact = docs
-      .select(col("doc_id"), md5(col("text")).as("h"))
+    // every doc in a hash group links to the group min (= representative)
+    val withRep = docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
       .withColumn("rep", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    val exact = withRep
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val near = Dedup.minhashLsh(docs, threshold = threshold)
+    val near = Dedup.minhashLsh(
+        withRep.filter(col("doc_id") === col("rep")).select("doc_id", "text"),
+        threshold = threshold)
       .select("doc_a", "doc_b")
     exact.union(near)
   }

@@ -70,6 +70,34 @@ class PipelineSpec extends SparkSpec {
     assert(kept.count() === 5)
   }
 
+  test("exact-dup groups route minhash through one representative (no k² bucket pairs)") {
+    import spark.implicits._
+    // 30 identical copies (ids 100-129) + a near-dup of the copy text
+    // (id 500, one word changed: shingle jaccard ≈ 0.94 so every LSH
+    // band agrees with near-certainty) + unrelated docs
+    val base = (0 until 50).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w49", "zz")
+    val docs = ((100L until 130L).map(i => (i, base)) ++
+      Seq((500L, near), (600L, "totally different words entirely"),
+        (601L, "another unrelated document body"))).toDF("doc_id", "text")
+    val edges = DedupPipeline.duplicateEdges(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // near-dup edges only ever touch the group representative (100):
+    // copies 101..129 appear solely as targets of exact edges from 100
+    val exactTargets = edges.filter(_._1 == 100L).map(_._2).toSet
+    assert((101L until 130L).forall(exactTargets.contains))
+    edges.filterNot(e => e._1 == 100L && e._2 < 130L).foreach { case (a, b) =>
+      assert(a < 101L || a >= 130L, s"non-rep copy $a in near edge ($a,$b)")
+      assert(b < 101L || b >= 130L, s"non-rep copy $b in near edge ($a,$b)")
+    }
+    // the k copies contribute k-1 exact edges + O(1) near edges, not k²
+    assert(edges.length < 40, s"edge blow-up: ${edges.length}")
+    // the whole clique + near-dup collapses to one kept doc (the min)
+    val kept = DedupPipeline.dedupedCorpus(docs, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 600L, 601L), s"kept $kept")
+  }
+
   test("salted join equals plain join") {
     val t = Tables(spark, sf)
     val orders = t.orders
