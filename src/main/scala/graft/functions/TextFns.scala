@@ -56,4 +56,15 @@ object TextFns {
     */
   def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Canonical text normalization (the pre-hash scrub every dedup
+    * pipeline applies before exact/minhash comparison): lowercase,
+    * non-alphanumerics → space, whitespace runs collapsed, trimmed.
+    * ASCII char classes only so Java regex and DuckDB/RE2 agree
+    * byte-for-byte.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), lit("[^a-z0-9]"), lit(" ")),
+      lit(" +"), lit(" ")))
 }

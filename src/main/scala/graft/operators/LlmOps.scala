@@ -439,6 +439,41 @@ object LlmOps {
       })
   }
 
+  /** Normalization surface + its dedup payoff in one result: the
+    * canonical text (lowercase / punctuation→space / collapsed
+    * whitespace) and the md5 group size under RAW vs NORMALIZED
+    * hashing — normalization can only merge groups, so n_norm_copies
+    * >= n_raw_copies, and the delta is exactly what case/punct
+    * variants the scrub recovers. Pure Column regexps, codegen.
+    */
+  private val normalizeQ = GraftQuery(
+    "d_normalize",
+    Some("""WITH n AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'),
+          ' +', ' ', 'g')) AS norm_text FROM documents),
+      g AS (SELECT doc_id, norm_text,
+        COUNT(*) OVER (PARTITION BY md5(norm_text)) AS n_norm_copies FROM n),
+      r AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(text)) AS n_raw_copies
+        FROM documents)
+      SELECT g.doc_id, length(norm_text) AS n_norm_chars,
+        substr(norm_text, 1, 80) AS norm_prefix,
+        CAST(n_raw_copies AS BIGINT) AS n_raw_copies,
+        CAST(n_norm_copies AS BIGINT) AS n_norm_copies
+      FROM g JOIN r ON g.doc_id = r.doc_id ORDER BY g.doc_id"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir).documents
+        .withColumn("norm_text", graft.functions.TextFns.normalize(col("text")))
+      d.select(col("doc_id"),
+          length(col("norm_text")).as("n_norm_chars"),
+          substring(col("norm_text"), 1, 80).as("norm_prefix"),
+          count(lit(1)).over(Window.partitionBy(md5(col("text"))))
+            .as("n_raw_copies"),
+          count(lit(1)).over(Window.partitionBy(md5(col("norm_text"))))
+            .as("n_norm_copies"))
+        .orderBy("doc_id")
+    })
+
   private val mediaFeatures = GraftQuery(
     "d_media_features",
     None, // synthetic binary media (no media table in testdata); the
@@ -453,5 +488,5 @@ object LlmOps {
     embedNearDup, embedNearDupExact, annTopK, annTopKExact,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
     consistentSample, contamination, bloomContam, mediaFeatures,
-    repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ)
+    repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ)
 }
