@@ -439,6 +439,23 @@ object LlmOps {
       })
   }
 
+  /** Holdout split (Sampling.holdoutSplit): 5% val / 5% test by
+    * md5-prefix draw, shuffle-free and stable under corpus rewrites.
+    */
+  private val splitQ = GraftQuery(
+    "d_split",
+    Some(s"""SELECT doc_id,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               < '${Sampling.hexCut(0.05)}' THEN 'val'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               < '${Sampling.hexCut(0.10)}' THEN 'test'
+             ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id"""),
+    (s, dir) => Sampling.holdoutSplit(
+        Tables(s, dir).documents, "doc_id", 0.05, 0.05)
+      .select("doc_id", "split")
+      .orderBy("doc_id"))
+
   /** Normalization surface + its dedup payoff in one result: the
     * canonical text (lowercase / punctuation→space / collapsed
     * whitespace) and the md5 group size under RAW vs NORMALIZED
@@ -488,5 +505,6 @@ object LlmOps {
     embedNearDup, embedNearDupExact, annTopK, annTopKExact,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
     consistentSample, contamination, bloomContam, mediaFeatures,
-    repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ)
+    repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
+    splitQ)
 }

@@ -31,6 +31,30 @@ object Sampling {
       conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
         < lit((fraction * (1L << 32)).toLong))
 
+  /** Deterministic train/val/test holdout: each row's 32-bit draw is
+    * the first 8 hex chars of md5(id), compared LEXICOGRAPHICALLY
+    * against hex cut points — equal-length lowercase hex compares
+    * identically to the numeric value, and every engine renders md5
+    * the same way, so the split is reproducible across runs, engines
+    * and shards with zero shuffles (a narrow map — the property that
+    * matters when the corpus is rewritten incrementally: a doc's
+    * split NEVER changes as neighbors come and go).
+    */
+  def holdoutSplit(df: DataFrame, idCol: String,
+      valFraction: Double = 0.05, testFraction: Double = 0.05): DataFrame = {
+    val draw = substring(md5(col(idCol).cast("string")), 1, 8)
+    df.withColumn("split",
+      when(draw < lit(hexCut(valFraction)), "val")
+        .when(draw < lit(hexCut(valFraction + testFraction)), "test")
+        .otherwise("train"))
+  }
+
+  /** 8-digit lowercase hex cut point for a fraction of the 32-bit
+    * hash space (shared with the oracle SQL).
+    */
+  def hexCut(fraction: Double): String =
+    f"${(fraction * (1L << 32)).toLong}%08x"
+
   /** Domain-mixing sampler (pretraining data mixing): per-domain
     * quotas proportional to domain size, floored at `minQuota` and
     * capped at `maxQuota` (the cap flattens dominant domains — the

@@ -56,4 +56,27 @@ class SamplingSpec extends SparkSpec {
     if (100.0 * bigN / sizes.values.sum > 25)
       assert(perDomain(bigDom) == 25)
   }
+
+  test("holdout split is stable under corpus rewrites and near target fractions") {
+    import graft.operators.Sampling
+    val docs = Tables(spark, sf).documents
+    val full = Sampling.holdoutSplit(docs, "doc_id", 0.05, 0.05)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a doc's split never depends on what else is in the corpus
+    val half = Sampling.holdoutSplit(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", 0.05, 0.05)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    half.foreach { case (id, s) => assert(full(id) == s, s"doc $id flipped") }
+    // fractions land near target (md5 is uniform; generous tolerance)
+    val n = full.size.toDouble
+    val shares = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(shares.getOrElse("val", 0.0) < 0.15 && shares.getOrElse("test", 0.0) < 0.15)
+    assert(shares("train") > 0.75, s"shares $shares")
+    // shuffle-free: the plan has no Exchange
+    val plan = Sampling.holdoutSplit(docs, "doc_id").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), "holdout split must stay narrow")
+  }
 }
