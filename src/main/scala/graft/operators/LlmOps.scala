@@ -456,6 +456,42 @@ object LlmOps {
       .select("doc_id", "split")
       .orderBy("doc_id"))
 
+  /** Sequence packing (context-window prep, the GPT-style
+    * concatenate-and-cut): docs are concatenated in a deterministic
+    * order and the token stream is cut every `budget` tokens; each
+    * doc's pack is the cut its FIRST token falls in, and span_packs
+    * says how many cuts it straddles. Packing is sharded by the first
+    * md5 hex char (16 independent streams, identical in both
+    * engines), so the only shuffle is the per-shard window and shards
+    * pack in parallel — the formulation that survives a corpus that
+    * doesn't fit one timeline.
+    */
+  private val packQ = GraftQuery(
+    "d_pack",
+    Some("""WITH t AS (SELECT doc_id,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        len(string_split(text, ' ')) AS n_tok FROM documents),
+      c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+      SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+        (cum - n_tok) // 512 AS pack_id,
+        (cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS span_packs
+      FROM c ORDER BY doc_id"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          expr("(cum - n_tok) div 512").as("pack_id"),
+          expr("(cum - 1) div 512 - (cum - n_tok) div 512 + 1").as("span_packs"))
+        .orderBy("doc_id")
+    })
+
   /** Normalization surface + its dedup payoff in one result: the
     * canonical text (lowercase / punctuation→space / collapsed
     * whitespace) and the md5 group size under RAW vs NORMALIZED
@@ -506,5 +542,5 @@ object LlmOps {
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
     consistentSample, contamination, bloomContam, mediaFeatures,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
-    splitQ)
+    splitQ, packQ)
 }
