@@ -63,9 +63,16 @@ object Dedup {
 
   /** Candidate pairs from LSH banding + exact Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    *
+    * `excludeIds` (an id-column DataFrame) removes docs from banding —
+    * they generate no candidates in either pair position. Used by
+    * DedupPipeline to keep exact-dup copies out of the buckets:
+    * signatures still compute for every doc (narrow, linear CPU), but
+    * the anti join moves only (id, band, bucket) longs, never text.
     */
   def minhashLsh(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", threshold: Double = 0.8): DataFrame = {
+      idCol: String = "doc_id", threshold: Double = 0.8,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     // persist: the signature feeds 16 bands × 2 join sides — without a
     // materialization barrier Catalyst recomputes it per branch.
     val signed = minhashSignature(docs, textCol, idCol)
@@ -73,7 +80,9 @@ object Dedup {
     // band on ids only — the shingle arrays must NOT ride the band
     // shuffle (16× duplication of the heaviest column); they are
     // re-joined once, only for verification of the candidate pairs.
-    val banded = bandedIds(signed)
+    val banded = excludeIds.foldLeft(bandedIds(signed))((b, ex) =>
+      b.join(ex.select(col(ex.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_anti"))
     val cands = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
         Seq("band", "bucket"))

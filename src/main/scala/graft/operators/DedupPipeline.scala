@@ -96,17 +96,26 @@ object DedupPipeline {
     * so componentLabels returns identical components either way.
     */
   def duplicateEdges(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // every doc in a hash group links to the group min (= representative)
-    val withRep = docs
-      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    // every doc in a hash group links to the group min (= representative).
+    // Only (doc_id, h) ride the window shuffle — text never does:
+    // signatures still compute narrowly for ALL docs, and the copies
+    // are excised from LSH banding by an ids-only anti join
+    // (Dedup.minhashLsh excludeIds), so the extra copies cost linear
+    // signature CPU instead of a text shuffle.
+    val hashed = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("rep", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
-    val exact = withRep
+    // localCheckpoint (exact edges are id pairs, tiny): both consumers
+    // below — the union and the banding exclusion — read the
+    // materialized result instead of re-running the window subtree,
+    // and the anti join sees exact sizes so it broadcasts.
+    val exact = hashed
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val near = Dedup.minhashLsh(
-        withRep.filter(col("doc_id") === col("rep")).select("doc_id", "text"),
-        threshold = threshold)
+      .localCheckpoint()
+    val near = Dedup.minhashLsh(docs, threshold = threshold,
+        excludeIds = Some(exact.select(col("doc_b"))))
       .select("doc_a", "doc_b")
     exact.union(near)
   }
