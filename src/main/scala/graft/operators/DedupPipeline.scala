@@ -120,6 +120,46 @@ object DedupPipeline {
     exact.union(near)
   }
 
+  /** Incremental dedup — the daily-ingest path: admit only the batch
+    * docs that are not exact or near duplicates of the existing
+    * corpus, then dedup within the batch. The corpus side costs ONE
+    * linear pass (md5 + signatures + bands); the corpus×corpus pair
+    * space never re-forms, which is the whole point at 100 TB — a
+    * daily 0.1% batch costs 0.1% of a full re-dedup, not 100.1%.
+    * Returns the surviving batch rows.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.8): DataFrame = {
+    // exact: batch text already present in the corpus
+    val corpusH = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    val fresh = batch
+      .withColumn("__h", md5(col(textCol)))
+      .join(corpusH, Seq("__h"), "left_anti")
+      .drop("__h")
+    // near vs corpus: batch bands × corpus bands — candidates always
+    // pair a batch doc with a corpus doc, verified on exact jaccard.
+    // (Identical bucketing to the batch path, so a pair found by a
+    // full re-run is found here.)
+    val corpusSigned = Dedup.minhashSignature(corpus, textCol, idCol)
+    val batchSigned = Dedup.minhashSignature(fresh, textCol, idCol)
+    val cands = Dedup.bandedIds(batchSigned)
+      .select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+      .join(Dedup.bandedIds(corpusSigned)
+          .select(col("band"), col("bucket"), col("doc_id").as("c_id")),
+        Seq("band", "bucket"))
+      .select("b_id", "c_id")
+      .dropDuplicates("b_id", "c_id")
+    val dupOfCorpus = cands
+      .join(batchSigned.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
+      .join(corpusSigned.select(col("doc_id").as("c_id"), col("shingles").as("sh_c")), "c_id")
+      .filter(graft.functions.TextFns.jaccard(col("sh_b"), col("sh_c")) >= threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    val admitted = fresh.join(dupOfCorpus, Seq(idCol), "left_anti")
+    // finally: the batch can duplicate itself
+    dedupedCorpus(admitted, threshold)
+  }
+
   /** The kept corpus (one representative per duplicate component) plus
     * a `component` column for lineage.
     */

@@ -439,6 +439,22 @@ object LlmOps {
       })
   }
 
+  /** Incremental ingest dedup (DedupPipeline.incrementalDedup):
+    * src0 is the arriving batch, everything else the standing corpus.
+    * Rows-only (near-dup membership isn't SQL-expressible); the
+    * admit/reject semantics are property-tested in PipelineSpec.
+    */
+  private val incrDedup = GraftQuery(
+    "d_incr_dedup",
+    None,
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      DedupPipeline.incrementalDedup(
+          d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    })
+
   /** Holdout split (Sampling.holdoutSplit): 5% val / 5% test by
     * md5-prefix draw, shuffle-free and stable under corpus rewrites.
     */
@@ -542,5 +558,5 @@ object LlmOps {
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
     consistentSample, contamination, bloomContam, mediaFeatures,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
-    splitQ, packQ)
+    splitQ, packQ, incrDedup)
 }

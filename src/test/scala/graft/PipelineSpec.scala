@@ -98,6 +98,26 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(100L, 600L, 601L), s"kept $kept")
   }
 
+  test("incremental dedup admits novel docs and rejects corpus dupes") {
+    import spark.implicits._
+    val corpusText = (0 until 60).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      (1L, corpusText),
+      (2L, (100 until 160).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val nearOfCorpus = corpusText.replace("c59", "zz") // jaccard ≈ 0.95
+    val batchDup = (200 until 260).map(i => s"b$i").mkString(" ")
+    val batch = Seq(
+      (10L, corpusText),                 // exact dup of corpus -> reject
+      (11L, nearOfCorpus),               // near dup of corpus -> reject
+      (12L, batchDup),                   // within-batch pair: keep min id
+      (13L, batchDup),
+      (14L, "a genuinely novel document body here")) // novel -> admit
+      .toDF("doc_id", "text")
+    val kept = DedupPipeline.incrementalDedup(corpus, batch, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 14L), s"kept $kept")
+  }
+
   test("salted join equals plain join") {
     val t = Tables(spark, sf)
     val orders = t.orders
