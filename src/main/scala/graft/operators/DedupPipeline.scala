@@ -141,8 +141,13 @@ object DedupPipeline {
     // pair a batch doc with a corpus doc, verified on exact jaccard.
     // (Identical bucketing to the batch path, so a pair found by a
     // full re-run is found here.)
+    // persist: each signed frame feeds banding AND the verification
+    // join — without a barrier Catalyst recomputes the signatures per
+    // branch (same reuse rule as minhashLsh).
     val corpusSigned = Dedup.minhashSignature(corpus, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val batchSigned = Dedup.minhashSignature(fresh, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = Dedup.bandedIds(batchSigned)
       .select(col("band"), col("bucket"), col("doc_id").as("b_id"))
       .join(Dedup.bandedIds(corpusSigned)

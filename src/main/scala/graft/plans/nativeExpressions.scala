@@ -270,11 +270,31 @@ object native {
       val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       val nChars = text.numChars()
       val nGrams = math.max(nChars - (k - 1), 1)
+      // char→byte offset table in ONE pass: substringSQL per k-gram
+      // rescans from byte 0 to find char boundaries (O(n) per call,
+      // O(n²) per doc — measured as the contamination hot spot);
+      // hashing the byte range directly is O(n) total and hashes the
+      // exact same bytes, so fingerprints are bit-identical.
+      val base = text.getBaseObject
+      val off = text.getBaseOffset
+      val nBytes = text.numBytes()
+      val offs = new Array[Int](nChars + 1)
+      var c = 0
+      var b = 0
+      while (b < nBytes) {
+        offs(c) = b
+        c += 1
+        b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+          org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      }
+      offs(c) = nBytes
       val hashes = new Array[Long](nGrams)
       var i = 0
       while (i < nGrams) {
-        val s = text.substringSQL(i + 1, k)
-        hashes(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val endChar = math.min(i + k, nChars)
+        val startByte = if (i < nChars) offs(i) else nBytes
+        hashes(i) = XXH64.hashUnsafeBytes(base, off + startByte,
+          offs(endChar) - startByte, 42L)
         i += 1
       }
       val nWin = math.max(nGrams - (w - 1), 1)
