@@ -31,12 +31,6 @@ object TextFns {
       i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
-  /** Character k-gram hash array (for fingerprinting). */
-  def charShingleHashes(text: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => xxhash64(substr(text, i, lit(k))))
-
   /** Jaccard similarity of two string arrays (distinct-set semantics,
     * exact integer sizes divided in double — deterministic).
     */
