@@ -18,7 +18,13 @@ object Bench {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = SparkEntry.queries
+    // SPARK_GRAFT_QUERIES=q1,q2 restricts the sweep (profiling aid)
+    val queries = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).toSet
+        SparkEntry.queries.filter { case (k, _) => want(k) }
+      case None => SparkEntry.queries
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
       queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -156,11 +156,17 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = chunked.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    // verify BEFORE dedup: both signatures already ride the bucket
+    // join (no extra lookup, unlike minhash's shingle re-join), so the
+    // bit_count cut runs inside the join's codegen stage and the
+    // dropDuplicates shuffle moves only true near-dup pairs — not the
+    // full Σ bucket² candidate space (measured 50M candidates → a few
+    // thousand pairs on a small-vocabulary 64× corpus).
     a.join(b, Seq("chunk_id", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
   }
 
