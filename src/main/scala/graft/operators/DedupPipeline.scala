@@ -25,9 +25,15 @@ object DedupPipeline {
     */
   def componentLabels(docs: DataFrame, edges: DataFrame,
       maxRounds: Int = 10): DataFrame = {
+    // localCheckpoint (eager) the edge list FIRST: the undirected
+    // union below reads it twice, and without a materialization the
+    // whole edge-generation subtree (LSH bucket join + jaccard verify)
+    // would execute once PER UNION LEG — measured as a 2× on the
+    // entire dedup pipeline at the 64× blow-up.
+    val e = edges.localCheckpoint()
     // undirected: propagate both ways
-    val both = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val both = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // initialization IS the first propagation round: label(v) =
     // min(v, min neighbor) from one aggregation over the edge list —
