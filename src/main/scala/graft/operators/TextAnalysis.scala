@@ -103,12 +103,14 @@ object TextAnalysis {
     // corpora and would flag everything as contaminated.
     def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
       explode(graft.plans.native.winnowing(col(textCol), k, w)).as("fp"))
-    // ONE winnowing pass per side: dedupe (doc, fp), left-join the
-    // benchmark set with a hit marker, and count totals + hits in the
-    // same aggregation — the old two-branch form (separate total and
-    // hit aggregates over the same exploded frame) ran the winnowing
-    // expression twice.
-    val candFps = fps(candidates).dropDuplicates("doc_id", "fp")
+    // ONE winnowing pass per side: left-join the benchmark set with a
+    // hit marker and count totals + hits in the same aggregation — the
+    // old two-branch form (separate total and hit aggregates over the
+    // same exploded frame) ran the winnowing expression twice. No
+    // (doc_id, fp) dedup needed: WinnowingFingerprints returns the
+    // DISTINCT mins per doc, so the exploded rows are already unique
+    // per document and a dropDuplicates would be a pure extra shuffle.
+    val candFps = fps(candidates)
     val benchFps = fps(benchmark).select(col("fp")).distinct()
       .withColumn("__hit", lit(1))
     candFps.join(benchFps, Seq("fp"), "left")
@@ -187,7 +189,10 @@ object TextAnalysis {
       .head().getAs[Array[Byte]](0)
     val bfLit = column(Literal.create(bfBytes,
       org.apache.spark.sql.types.BinaryType))
-    fps(candidates).dropDuplicates("doc_id", "fp")
+    // exploded rows are already distinct per doc (winnowing returns
+    // distinct mins) and co-located with their doc, so the groupBy's
+    // map-side partial aggregation reduces to |docs| rows pre-shuffle
+    fps(candidates)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fingerprints"),
         sum(when(mightContain(bfLit, col("fp")), 1L).otherwise(0L)).as("n_maybe_hits"))
