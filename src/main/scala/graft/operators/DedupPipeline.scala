@@ -166,7 +166,13 @@ object DedupPipeline {
       .join(corpusSigned.select(col("doc_id").as("c_id"), col("shingles").as("sh_c")), "c_id")
       .filter(graft.functions.TextFns.jaccard(col("sh_b"), col("sh_c")) >= threshold)
       .select(col("b_id").as(idCol)).distinct()
+    // localCheckpoint: the within-batch dedup below scans `admitted`
+    // several times (hash window, signatures, final component join) —
+    // without a materialization each scan re-runs the two anti joins
+    // above. The admitted batch is the daily increment, small by
+    // construction, so materializing it is cheap at any corpus size.
     val admitted = fresh.join(dupOfCorpus, Seq(idCol), "left_anti")
+      .localCheckpoint()
     // finally: the batch can duplicate itself
     dedupedCorpus(admitted, threshold)
   }
