@@ -74,4 +74,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("simhash verifies inside the bucket join, below the pair-dedup shuffle") {
+    // regression guard: the bit_count cut must run BEFORE the
+    // dropDuplicates aggregation, so only true near-dup pairs shuffle —
+    // not the Σ bucket² candidate space. In the plan printout parents
+    // precede children, so the dedup HashAggregate must appear above
+    // (= earlier than) the bit_count filter it consumes.
+    val p = planOf("d_simhash")
+    val agg = p.indexOf("HashAggregate")
+    val cut = p.indexOf("bit_count")
+    assert(agg >= 0 && cut >= 0, p)
+    assert(agg < cut, "hamming cut is above the dedup shuffle:\n" + p)
+  }
 }
