@@ -106,9 +106,13 @@ object Dedup {
   def bandedIds(signed: DataFrame): DataFrame =
     signed.select(col("doc_id"),
       explode(array((0 until Bands).map { j =>
+        // hash the band's sig longs DIRECTLY — the former
+        // concat_ws-over-slice built a string per band per doc just to
+        // feed the hash (measured as the dominant banding cost); equal
+        // slices still hash equal, so bucket semantics are unchanged
         struct(lit(j).as("band"),
-          xxhash64(lit(j), concat_ws(",", slice(col("sig"), j * RowsPerBand + 1, RowsPerBand)))
-            .as("bucket"))
+          xxhash64(lit(j) +: (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), j * RowsPerBand + r + 1)): _*).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
