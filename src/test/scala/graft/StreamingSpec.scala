@@ -96,6 +96,39 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 5L, 6L), kept.toSeq.sorted.mkString(","))
   }
 
+  test("streaming intake admits, scrubs and dedups exactly like the batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val good = ("spark holds the table and the sort and the merge " * 5).trim
+    val docs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), good),
+      (2L, ts("2024-01-01 10:01:00"), "tiny"), // fails quality gate
+      (3L, ts("2024-01-01 10:02:00"), good + " mail bob@example.org"), // pii
+      // same doc as 3 after scrub+normalize (punct variant of the pii span)
+      (4L, ts("2024-01-01 10:03:00"), good + " mail sue@other.net"),
+      (5L, ts("2024-01-01 10:04:00"), good + " but a different ending here"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingIntake.intake(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("intake")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("intake")
+    val kept = streamed.select("doc_id").as[Long].collect().toSet
+    // 1 admitted; 2 rejected (quality); 3 admitted (scrubbed); 4 is a
+    // dup of 3 once both emails collapse to <EMAIL>; 5 admitted
+    assert(kept == Set(1L, 3L, 5L), kept.toSeq.sorted.mkString(","))
+    // no unredacted pii survives
+    val texts = streamed.select("clean_text").as[String].collect().mkString("\n")
+    assert(!texts.contains("@example.org") && texts.contains("<EMAIL>"), texts)
+    // batch twin admits the identical set
+    val batch = graft.streaming.StreamingIntake.intakeBatch(docs.toDF("doc_id", "ts", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == kept, s"batch=$batch streamed=$kept")
+  }
+
   test("streaming minhash dedup finds every batch near-dup, across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
