@@ -7,12 +7,14 @@ import graft.operators.{DedupPipeline, Sampling, TextAnalysis}
 /** End-to-end training-data preparation pipeline over the documents
   * table — the composed "prepare a corpus" flow a 100 TB ingest runs:
   *
-  *   1. annotate: language ID, quality metrics, token counts
-  *   2. filter: quality/length gates
-  *   3. dedup: exact + minhash near-dup -> one doc per component
-  *   4. fingerprint: winnowing summary for downstream contamination checks
-  *   5. sample: consistent per-language cap
-  *   6. write date-partition-free parquet (small demo output)
+  *   1. normalize + scrub: PII redaction on the stored text
+  *   2. annotate: language ID, quality metrics, token counts
+  *   3. filter: quality/length gates
+  *   4. dedup: exact + minhash near-dup -> one doc per component
+  *   5. fingerprint: winnowing summary for downstream contamination checks
+  *   6. sample: consistent per-language cap
+  *   7. split: deterministic train/val/test holdout
+  *   8. write parquet partitioned by split (small demo output)
   *
   *   runMain graft.sources.PipelineMain <sfDir> <outDir>
   */
@@ -24,7 +26,8 @@ object PipelineMain {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-pipeline")
     val docs = Tables(spark, sfDir).documents
 
-    val annotated = docs.select(
+    val scrubbed = docs.withColumn("text", TextAnalysis.piiRedact(col("text")))
+    val annotated = scrubbed.select(
       (col("doc_id") +: col("text") +: col("lang") +: col("source") +:
         (TextAnalysis.quality(col("text")) :+
           TextAnalysis.langId(col("text")).as("lang_pred"))): _*)
@@ -37,13 +40,18 @@ object PipelineMain {
       (deduped.columns.filterNot(_ == "text").map(col).toSeq ++
         TextAnalysis.fingerprint(col("text"))): _*)
     val sampled = Sampling.consistentSample(fingerprinted, Seq("lang"), "doc_id", k = 1000)
+    val split = Sampling.holdoutSplit(sampled, "doc_id")
 
-    sampled.write.mode("overwrite").parquet(outDir)
-    val total = docs.count(); val kept = spark.read.parquet(outDir).count()
-    val byLang = spark.read.parquet(outDir).groupBy("lang").count()
+    split.write.mode("overwrite").partitionBy("split").parquet(outDir)
+    val total = docs.count(); val out = spark.read.parquet(outDir)
+    val kept = out.count()
+    val byLang = out.groupBy("lang").count()
       .orderBy("lang").collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(",")
-    println(s"[pipeline] in=$total kept=$kept by_lang=$byLang out=$outDir")
+    val bySplit = out.groupBy("split").count()
+      .orderBy("split").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(",")
+    println(s"[pipeline] in=$total kept=$kept by_lang=$byLang by_split=$bySplit out=$outDir")
     spark.stop()
   }
 }
