@@ -135,8 +135,19 @@ object Dedup {
     * must hit ALL EIGHT windows to hide, which random bit flips
     * rarely do). Verified with bit_count(a XOR b) <= maxHamming.
     */
+  /** `maxBucket > 0` drops 16-bit windows shared by more than that
+    * many docs before the self-join — the simhash analog of skew
+    * salting, except a giant bucket can't be split without losing its
+    * cross-split pairs, so it is CUT instead: a bucket that large is a
+    * boilerplate/exact-dup family, which exact dedup upstream already
+    * collapses (DedupPipeline routes copies through representatives).
+    * Recall loss is confined to pairs whose EVERY shared window is
+    * over the cap. Off (0) by default — the registered query and the
+    * oracle are uncapped.
+    */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 6): DataFrame = {
+      idCol: String = "doc_id", maxHamming: Int = 6,
+      maxBucket: Int = 0): DataFrame = {
     // persist: the signature feeds 8 exploded chunks × 2 self-join
     // sides — without a materialization barrier Catalyst collapses the
     // projections and recomputes the 64-bit aggregate tree 16×.
@@ -156,9 +167,17 @@ object Dedup {
             shiftrightunsigned(rot, j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
         }: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
-    val a = chunked.select(col("chunk_id"), col("chunk"),
+    val blocked =
+      if (maxBucket <= 0) chunked
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk_id", "chunk")
+        chunked.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= maxBucket).drop("__n")
+      }
+    val a = blocked.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = chunked.select(col("chunk_id"), col("chunk"),
+    val b = blocked.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     // verify BEFORE dedup: both signatures already ride the bucket
     // join (no extra lookup, unlike minhash's shingle re-join), so the

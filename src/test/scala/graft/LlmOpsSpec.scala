@@ -148,6 +148,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(total == 0 || fpExtra / math.max(total, 1) < 0.05, s"fp share ${fpExtra / total}")
   }
 
+  test("simhash bucket cap cuts boilerplate families, keeps small-bucket pairs") {
+    import spark.implicits._
+    // 100 identical docs (one simhash -> every window is a 100-doc
+    // bucket) + a small near-dup pair with its own vocabulary
+    val boiler = ("copyright footer nav menu login signup " * 8).trim
+    val pairA = (0 until 60).map(i => s"v$i").mkString(" ")
+    val pairB = pairA.replace("v59", "vx")
+    val docs = ((0L until 100L).map(i => (i, boiler)) ++
+      Seq((500L, pairA), (501L, pairB))).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(docs, maxHamming = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 100 * 99 / 2, s"family pairs expected: ${uncapped.size}")
+    val capped = Dedup.simhashPairs(docs, maxHamming = 10, maxBucket = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate family is cut; the genuine small-bucket pair stays
+    assert(capped.contains((500L, 501L)), s"capped lost the real pair: $capped")
+    assert(!capped.exists(p => p._1 < 100L && p._2 < 100L),
+      s"family pairs survived the cap: ${capped.take(5)}")
+  }
+
   test("pii: counts find planted spans and redaction removes every one") {
     import spark.implicits._
     val rows = Seq(
