@@ -148,6 +148,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(total == 0 || fpExtra / math.max(total, 1) < 0.05, s"fp share ${fpExtra / total}")
   }
 
+  test("sequence packing covers the token stream contiguously per shard") {
+    val rows = SparkEntry.queries("d_pack")(spark, sf)
+      .select("shard", "doc_id", "n_tok", "pack_id", "span_packs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (shard, docs) =>
+      val inOrder = docs.sortBy(_._2)
+      var prevEnd = 0L // pack after the previous doc's last token
+      var cum = 0L
+      inOrder.foreach { case (_, id, nTok, packId, span) =>
+        assert(span >= 1, s"$shard/$id span $span")
+        // the doc starts in the cut containing its first token
+        assert(packId == cum / 512, s"$shard/$id pack $packId at cum $cum")
+        // no gaps: a doc starts in or adjacent to the previous coverage
+        assert(packId <= prevEnd, s"$shard/$id leaves pack ${prevEnd} empty")
+        cum += nTok
+        prevEnd = (cum - 1) / 512 + 1
+        assert(packId + span == prevEnd, s"$shard/$id straddle mismatch")
+      }
+    }
+  }
+
   test("simhash bucket cap cuts boilerplate families, keeps small-bucket pairs") {
     import spark.implicits._
     // 100 identical docs (one simhash -> every window is a 100-doc
