@@ -22,6 +22,9 @@ object Bench {
     val queries = sys.env.get("SPARK_GRAFT_QUERIES") match {
       case Some(names) =>
         val want = names.split(",").map(_.trim).toSet
+        val missing = want -- SparkEntry.queries.keySet
+        require(missing.isEmpty,
+          s"SPARK_GRAFT_QUERIES names unknown queries: ${missing.mkString(",")}")
         SparkEntry.queries.filter { case (k, _) => want(k) }
       case None => SparkEntry.queries
     }

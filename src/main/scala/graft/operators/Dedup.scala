@@ -102,6 +102,13 @@ object Dedup {
     * band, ids only. Shared by the batch LSH join and the streaming
     * stateful dedup (both sides MUST agree bit-for-bit on buckets so
     * stream and batch find the same candidates).
+    *
+    * BUCKET-HASH VERSIONING: StreamingDedup checkpoints state keyed by
+    * (band, bucket). Changing this function (hash inputs, band count,
+    * rows per band) makes new arrivals hash into buckets the old
+    * history isn't under — silent recall loss against everything seen
+    * before the change. Any such change requires discarding streaming
+    * checkpoints and re-seeding the history.
     */
   def bandedIds(signed: DataFrame): DataFrame =
     signed.select(col("doc_id"),

@@ -101,26 +101,27 @@ object DedupPipeline {
     * its members still join the component through their exact edge,
     * so componentLabels returns identical components either way.
     */
-  def duplicateEdges(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def duplicateEdges(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // every doc in a hash group links to the group min (= representative).
-    // Only (doc_id, h) ride the window shuffle — text never does:
+    // Only (id, h) ride the window shuffle — text never does:
     // signatures still compute narrowly for ALL docs, and the copies
     // are excised from LSH banding by an ids-only anti join
     // (Dedup.minhashLsh excludeIds), so the extra copies cost linear
     // signature CPU instead of a text shuffle.
     val hashed = docs
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .withColumn("rep", min("doc_id").over(
+      .select(col(idCol), md5(col(textCol)).as("h"))
+      .withColumn("rep", min(idCol).over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
     // localCheckpoint (exact edges are id pairs, tiny): both consumers
     // below — the union and the banding exclusion — read the
     // materialized result instead of re-running the window subtree,
     // and the anti join sees exact sizes so it broadcasts.
     val exact = hashed
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .filter(col(idCol) =!= col("rep"))
+      .select(col("rep").as("doc_a"), col(idCol).as("doc_b"))
       .localCheckpoint()
-    val near = Dedup.minhashLsh(docs, threshold = threshold,
+    val near = Dedup.minhashLsh(docs, textCol, idCol, threshold = threshold,
         excludeIds = Some(exact.select(col("doc_b"))))
       .select("doc_a", "doc_b")
     exact.union(near)
@@ -173,18 +174,27 @@ object DedupPipeline {
     // construction, so materializing it is cheap at any corpus size.
     val admitted = fresh.join(dupOfCorpus, Seq(idCol), "left_anti")
       .localCheckpoint()
+    // the eager checkpoint above is the last reader of the signed
+    // frames; release them NOW — this op runs once per ingest batch in
+    // a long-lived driver, and without the unpersist each invocation
+    // would pin another corpus-sized cached frame until LRU thrashing
+    corpusSigned.unpersist()
+    batchSigned.unpersist()
     // finally: the batch can duplicate itself
-    dedupedCorpus(admitted, threshold)
+    dedupedCorpus(admitted, threshold, textCol, idCol)
   }
 
   /** The kept corpus (one representative per duplicate component) plus
     * a `component` column for lineage.
     */
-  def dedupedCorpus(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val labels = componentLabels(docs, duplicateEdges(docs, threshold))
-    docs.join(labels, Seq("doc_id"), "left")
-      .withColumn("component", coalesce(col("label"), col("doc_id")))
-      .filter(col("doc_id") === col("component"))
-      .drop("label")
+  def dedupedCorpus(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val labels = componentLabels(docs,
+        duplicateEdges(docs, threshold, textCol, idCol))
+      .withColumnRenamed("doc_id", "doc_id_label")
+    docs.join(labels, col(idCol) === col("doc_id_label"), "left")
+      .withColumn("component", coalesce(col("label"), col(idCol)))
+      .filter(col(idCol) === col("component"))
+      .drop("label", "doc_id_label")
   }
 }

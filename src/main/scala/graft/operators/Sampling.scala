@@ -42,6 +42,9 @@ object Sampling {
     */
   def holdoutSplit(df: DataFrame, idCol: String,
       valFraction: Double = 0.05, testFraction: Double = 0.05): DataFrame = {
+    require(valFraction >= 0 && testFraction >= 0
+      && valFraction + testFraction <= 1,
+      s"fractions must be >= 0 and sum <= 1: val=$valFraction test=$testFraction")
     val draw = substring(md5(col(idCol).cast("string")), 1, 8)
     df.withColumn("split",
       when(draw < lit(hexCut(valFraction)), "val")
@@ -50,10 +53,16 @@ object Sampling {
   }
 
   /** 8-digit lowercase hex cut point for a fraction of the 32-bit
-    * hash space (shared with the oracle SQL).
+    * hash space (shared with the oracle SQL). fraction = 1.0 maps to
+    * "g" — lexicographically after every hex draw, so the comparison
+    * stays an 8-char-vs-cut string compare (a 9-digit "100000000"
+    * would sort BELOW draws starting with '2'..'f' and silently
+    * misclassify ~87% of rows).
     */
-  def hexCut(fraction: Double): String =
-    f"${(fraction * (1L << 32)).toLong}%08x"
+  def hexCut(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of [0,1]: $fraction")
+    if (fraction >= 1.0) "g" else f"${(fraction * (1L << 32)).toLong}%08x"
+  }
 
   /** Domain-mixing sampler (pretraining data mixing): per-domain
     * quotas proportional to domain size, floored at `minQuota` and

@@ -7,9 +7,10 @@ import graft.operators.{DedupPipeline, Sampling, TextAnalysis}
 /** End-to-end training-data preparation pipeline over the documents
   * table — the composed "prepare a corpus" flow a 100 TB ingest runs:
   *
-  *   1. normalize + scrub: PII redaction on the stored text
-  *   2. annotate: language ID, quality metrics, token counts
-  *   3. filter: quality/length gates
+  *   1. annotate: language ID, quality metrics, token counts
+  *   2. filter: quality/length gates (on RAW text — the same order as
+  *      StreamingIntake, so stream and batch admit identical docs)
+  *   3. scrub: PII redaction on the admitted text
   *   4. dedup: exact + minhash near-dup -> one doc per component
   *   5. fingerprint: winnowing summary for downstream contamination checks
   *   6. sample: consistent per-language cap
@@ -26,13 +27,13 @@ object PipelineMain {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-pipeline")
     val docs = Tables(spark, sfDir).documents
 
-    val scrubbed = docs.withColumn("text", TextAnalysis.piiRedact(col("text")))
-    val annotated = scrubbed.select(
+    val annotated = docs.select(
       (col("doc_id") +: col("text") +: col("lang") +: col("source") +:
         (TextAnalysis.quality(col("text")) :+
           TextAnalysis.langId(col("text")).as("lang_pred"))): _*)
     val filtered = annotated
       .filter(col("quality_score") >= 0.5 && col("n_tokens") >= 10)
+      .withColumn("text", TextAnalysis.piiRedact(col("text")))
     val deduped = DedupPipeline.dedupedCorpus(
       filtered.select("doc_id", "text", "lang", "source"), threshold = 0.8)
       .join(filtered.drop("text", "lang", "source"), "doc_id")

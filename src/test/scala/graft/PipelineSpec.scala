@@ -118,6 +118,20 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(12L, 14L), s"kept $kept")
   }
 
+  test("incremental dedup and corpus dedup honor custom column names") {
+    import spark.implicits._
+    val corpus = Seq((1L, "shared corpus body of words here repeated " * 3))
+      .toDF("id", "body")
+    val batch = Seq(
+      (10L, ("shared corpus body of words here repeated " * 3)), // exact dup
+      (11L, "a new body"), (12L, "a new body"),                  // batch dup pair
+      (13L, "something else entirely")).toDF("id", "body")
+    val kept = DedupPipeline.incrementalDedup(corpus, batch,
+        textCol = "body", idCol = "id", threshold = 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L), s"kept $kept")
+  }
+
   test("salted join equals plain join") {
     val t = Tables(spark, sf)
     val orders = t.orders

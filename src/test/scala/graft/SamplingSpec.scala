@@ -79,4 +79,20 @@ class SamplingSpec extends SparkSpec {
       .executedPlan.toString
     assert(!plan.contains("Exchange"), "holdout split must stay narrow")
   }
+
+  test("holdout split handles boundary fractions and rejects invalid ones") {
+    import graft.operators.Sampling
+    val docs = Tables(spark, sf).documents
+    // 0.5/0.5 exhausts the space: every row is val or test, none train
+    val halves = Sampling.holdoutSplit(docs, "doc_id", 0.5, 0.5)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!halves.contains("train"), s"train rows at 0.5/0.5: $halves")
+    val n = halves.values.sum.toDouble
+    assert(halves("val") / n > 0.35 && halves("test") / n > 0.35, halves.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.holdoutSplit(docs, "doc_id", 0.7, 0.7)
+    }
+    intercept[IllegalArgumentException] { Sampling.hexCut(1.2) }
+  }
 }
