@@ -28,6 +28,15 @@ object TableSink {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** ORC — the other columnar format a warehouse migration meets;
+    * same pushdown/pruning machinery as parquet in Spark.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // --------------------------------------------- partitioned layout
 
   /** Write date-partitioned parquet: one directory per day of `tsCol`.

@@ -22,6 +22,22 @@ class TableSinkSpec extends SparkSpec {
       .sameElements(want))
   }
 
+  test("orc round-trip preserves data and pushes filters to the scan") {
+    val src = Tables(spark, sf).nation
+    val dir = Files.createTempDirectory("graft_orc")
+    TableSink.writeOrc(src, s"$dir/orc")
+    val back = TableSink.readOrc(spark, s"$dir/orc")
+    assert(back.collect().map(_.toString).sorted
+      .sameElements(src.collect().map(_.toString).sorted))
+    // same pushdown machinery as parquet
+    val filtered = back.filter(col("n_regionkey") === 1).select("n_name")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("n_regionkey"), plan)
+    assert(plan.contains("ReadSchema") && !plan.contains("n_comment"),
+      "orc scan must prune unused columns: " + plan)
+  }
+
   test("date-partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part")
     TableSink.writeDatePartitioned(Tables(spark, sf).events, "ts", s"$dir/events")
