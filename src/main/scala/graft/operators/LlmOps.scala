@@ -490,8 +490,8 @@ object LlmOps {
       c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
       SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
-        (cum - n_tok) // 512 AS pack_id,
-        (cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS span_packs
+        CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+        CAST((cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS BIGINT) AS span_packs
       FROM c ORDER BY doc_id"""),
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
