@@ -54,11 +54,12 @@ object Dedup {
     * shingle, no per-permutation array materialization.
     */
   def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3, carry: Seq[String] = Nil): DataFrame = {
     val shingles = TextFns.wordShingles(lower(col(textCol)), shingleK)
     val sig = graft.plans.native.minhashSig(shingles, MinhashK, P,
       rng.map(_._1).toSeq, rng.map(_._2).toSeq)
-    docs.select(col(idCol).as("doc_id"), shingles.as("shingles"), sig.as("sig"))
+    docs.select((col(idCol).as("doc_id") +: carry.map(col)) ++
+      Seq(shingles.as("shingles"), sig.as("sig")): _*)
   }
 
   /** Candidate pairs from LSH banding + exact Jaccard verification.
@@ -110,8 +111,8 @@ object Dedup {
     * before the change. Any such change requires discarding streaming
     * checkpoints and re-seeding the history.
     */
-  def bandedIds(signed: DataFrame): DataFrame =
-    signed.select(col("doc_id"),
+  def bandedIds(signed: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    signed.select((col("doc_id") +: carry.map(col)) :+
       explode(array((0 until Bands).map { j =>
         // hash the band's sig longs DIRECTLY — the former
         // concat_ws-over-slice built a string per band per doc just to
@@ -120,8 +121,9 @@ object Dedup {
         struct(lit(j).as("band"),
           xxhash64(lit(j) +: (0 until RowsPerBand).map(r =>
             element_at(col("sig"), j * RowsPerBand + r + 1)): _*).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      }: _*)).as("bb"): _*)
+      .select((col("doc_id") +: carry.map(col)) ++
+        Seq(col("bb.band"), col("bb.bucket")): _*)
 
   // ----------------------------------------------------------- simhash
 

@@ -163,6 +163,65 @@ class StreamingSpec extends SparkSpec {
     assert(crossBatch > 0, "test split produced no cross-batch pairs")
   }
 
+  test("streaming dedup evicts cold buckets past the horizon, keeps warm ones") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textB = "a completely different second document about spark shuffles"
+    val textC = "yet another third document concerning catalyst plan rules"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingDedup.candidatePairs(
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        tsCol = "ts", horizonMinutes = 30, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sdedup_ttl")
+      .outputMode(OutputMode.Append()).start()
+    def stateRows(): Long = q.lastProgress.stateOperators(0).numRowsTotal
+    // batch 1: a near-dup pair inside the horizon
+    mem.addData((1L, ts("2024-01-01 10:00:00"), textA),
+      (2L, ts("2024-01-01 10:01:00"), textA))
+    q.processAllAvailable()
+    val rowsAfterA = stateRows()
+    // batch 2: unrelated docs 3h later — the watermark jumps past
+    // bucket A's 10:01 + 30min timeout, and the timeout-only follow-up
+    // batch evicts A's buckets: state must NOT grow even though two
+    // new bucket families (B, C) were added
+    mem.addData((3L, ts("2024-01-01 13:00:00"), textB),
+      (4L, ts("2024-01-01 13:01:00"), textC))
+    q.processAllAvailable()
+    assert(stateRows() <= rowsAfterA + rowsAfterA,
+      s"state grew past the horizon: $rowsAfterA -> ${stateRows()}")
+    // batch 3: duplicate of evicted text A -> silently admitted, NO
+    // pair against docs 1/2 (the documented recall trade)
+    mem.addData((5L, ts("2024-01-01 13:02:00"), textA))
+    q.processAllAvailable()
+    // batch 4: duplicate of WARM text B -> pair found
+    mem.addData((6L, ts("2024-01-01 13:03:00"), textB))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("sdedup_ttl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 6L)), pairs.toSeq.sorted.mkString(","))
+  }
+
+  test("streaming dedup saturates capped buckets, bounding state and pairs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val boiler = "identical boilerplate template text repeated across the corpus"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.candidatePairs(
+        mem.toDF().toDF("doc_id", "text"), maxBucket = 3)
+      .writeStream.format("memory").queryName("sdedup_cap")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L to 10L).map(i => (i, boiler)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("sdedup_cap")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the first 3 members of the saturated bucket pair up: C(3,2)
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      pairs.toSeq.sorted.mkString(","))
+  }
+
   test("sessionization closes on event-time gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
