@@ -16,6 +16,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupPipeline {
 
+  /** Eager materialization barrier + lineage truncation for the
+    * iterative ops. localCheckpoint blocks are executor-local and
+    * non-replicated: fine on local[32], but on a cluster an executor
+    * loss after truncation kills the job (lineage is gone). When a
+    * reliable checkpoint dir is configured
+    * (`sc.setCheckpointDir(hdfsPath)`), use `checkpoint()` instead —
+    * blocks land on the cluster filesystem and survive executor loss,
+    * the right mode for long iterative jobs at 100 TB. Mode is chosen
+    * per call from the live session, so one binary serves both.
+    */
+  private def barrier(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** (doc_id, label=component representative) for every doc that
     * appears in an edge. Propagation runs over edge-touched vertices
     * only — duplicate components are a sliver of the corpus at any
@@ -25,12 +39,12 @@ object DedupPipeline {
     */
   def componentLabels(docs: DataFrame, edges: DataFrame,
       maxRounds: Int = 10): DataFrame = {
-    // localCheckpoint (eager) the edge list FIRST: the undirected
+    // barrier (eager) the edge list FIRST: the undirected
     // union below reads it twice, and without a materialization the
     // whole edge-generation subtree (LSH bucket join + jaccard verify)
     // would execute once PER UNION LEG — measured as a 2× on the
     // entire dedup pipeline at the 64× blow-up.
-    val e = edges.localCheckpoint()
+    val e = barrier(edges)
     // undirected: propagate both ways
     val both = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -43,7 +57,7 @@ object DedupPipeline {
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
-      .localCheckpoint() // truncate lineage at the loop entry
+      .transform(barrier) // truncate lineage at the loop entry
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -64,13 +78,12 @@ object DedupPipeline {
           Seq("jkey"), "left")
         .select(col("doc_id"), col("old"),
           least(col("jkey"), coalesce(col("jlabel"), col("jkey"))).as("label"))
-      // localCheckpoint (eager) both materializes the round and
+      // barrier (eager) both materializes the round and
       // truncates the logical plan — without it the plan deepens every
       // round (planner blow-up + full recompute on executor loss).
-      val next = jump
+      val next = barrier(jump
         .withColumn("chg", (col("label") =!= col("old")).cast("long"))
-        .drop("old")
-        .localCheckpoint()
+        .drop("old"))
       // convergence probe scans the just-checkpointed partitions —
       // no extra join against the previous labels, no recompute.
       // coalesce: sum over an EMPTY label set (no duplicate edges at
@@ -113,14 +126,14 @@ object DedupPipeline {
       .select(col(idCol), md5(col(textCol)).as("h"))
       .withColumn("rep", min(idCol).over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
-    // localCheckpoint (exact edges are id pairs, tiny): both consumers
+    // barrier (exact edges are id pairs, tiny): both consumers
     // below — the union and the banding exclusion — read the
     // materialized result instead of re-running the window subtree,
     // and the anti join sees exact sizes so it broadcasts.
     val exact = hashed
       .filter(col(idCol) =!= col("rep"))
       .select(col("rep").as("doc_a"), col(idCol).as("doc_b"))
-      .localCheckpoint()
+      .transform(barrier)
     val near = Dedup.minhashLsh(docs, textCol, idCol, threshold = threshold,
         excludeIds = Some(exact.select(col("doc_b"))))
       .select("doc_a", "doc_b")
@@ -167,13 +180,13 @@ object DedupPipeline {
       .join(corpusSigned.select(col("doc_id").as("c_id"), col("shingles").as("sh_c")), "c_id")
       .filter(graft.functions.TextFns.jaccard(col("sh_b"), col("sh_c")) >= threshold)
       .select(col("b_id").as(idCol)).distinct()
-    // localCheckpoint: the within-batch dedup below scans `admitted`
+    // barrier: the within-batch dedup below scans `admitted`
     // several times (hash window, signatures, final component join) —
     // without a materialization each scan re-runs the two anti joins
     // above. The admitted batch is the daily increment, small by
     // construction, so materializing it is cheap at any corpus size.
     val admitted = fresh.join(dupOfCorpus, Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .transform(barrier)
     // the eager checkpoint above is the last reader of the signed
     // frames; release them NOW — this op runs once per ingest batch in
     // a long-lived driver, and without the unpersist each invocation

@@ -13,6 +13,13 @@ object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Test support: SparkContext.setCheckpointDir has no public
+    * inverse; specs that exercise the reliable-checkpoint mode of the
+    * iterative operators need to restore the default afterwards.
+    */
+  def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    sc.checkpointDir = None
+
   /** Register a function into a live session's registry (the
     * SparkSessionExtensions path only applies at session build time).
     */

@@ -70,6 +70,39 @@ class PipelineSpec extends SparkSpec {
     assert(kept.count() === 5)
   }
 
+  test("reliable-checkpoint mode matches localCheckpoint results exactly") {
+    // with a checkpoint dir set, every iterative barrier goes through
+    // reliable checkpoint() (replicated, survives executor loss at
+    // cluster scale) instead of localCheckpoint; results are identical
+    val docs = Tables(spark, sf).documents
+    val expectLabels = DedupPipeline.componentLabels(docs,
+        DedupPipeline.duplicateEdges(docs, threshold = 0.8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectAdmit = DedupPipeline.incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      assert(sc.getCheckpointDir.isDefined)
+      val labels = DedupPipeline.componentLabels(docs,
+          DedupPipeline.duplicateEdges(docs, threshold = 0.8))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labels == expectLabels)
+      val admit = DedupPipeline.incrementalDedup(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admit == expectAdmit)
+      // checkpoints actually landed on the reliable dir
+      assert(new java.io.File(dir).listFiles != null
+        && new java.io.File(dir).listFiles.nonEmpty, s"no checkpoint data under $dir")
+    } finally {
+      org.apache.spark.sql.graftshim.GraftShim.clearCheckpointDir(sc)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("exact-dup groups route minhash through one representative (no k² bucket pairs)") {
     import spark.implicits._
     // 30 identical copies (ids 100-129) + a near-dup of the copy text
