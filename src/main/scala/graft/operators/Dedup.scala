@@ -71,9 +71,19 @@ object Dedup {
     * signatures still compute for every doc (narrow, linear CPU), but
     * the anti join moves only (id, band, bucket) longs, never text.
     */
+  /** `maxBucket > 0` drops (band, bucket) groups larger than the cap
+    * before the self-join — same cut-not-split rationale as
+    * simhashPairs: a giant bucket split keeps its cross-split pairs,
+    * so it must be CUT. Exact-dup routing (DedupPipeline) already
+    * collapses k identical copies, but a family of k NEAR-identical
+    * templated docs (one token apart) still lands k rows in the same
+    * bucket of most bands → O(k²) candidates; the cap bounds that.
+    * Recall loss is confined to pairs whose EVERY shared bucket is
+    * over the cap. Off (0) by default — default results unchanged.
+    */
   def minhashLsh(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", threshold: Double = 0.8,
-      excludeIds: Option[DataFrame] = None): DataFrame = {
+      excludeIds: Option[DataFrame] = None, maxBucket: Int = 0): DataFrame = {
     // persist: the signature feeds 16 bands × 2 join sides — without a
     // materialization barrier Catalyst recomputes it per branch.
     val signed = minhashSignature(docs, textCol, idCol)
@@ -81,9 +91,17 @@ object Dedup {
     // band on ids only — the shingle arrays must NOT ride the band
     // shuffle (16× duplication of the heaviest column); they are
     // re-joined once, only for verification of the candidate pairs.
-    val banded = excludeIds.foldLeft(bandedIds(signed))((b, ex) =>
+    val kept = excludeIds.foldLeft(bandedIds(signed))((b, ex) =>
       b.join(ex.select(col(ex.columns.head).as("doc_id")),
         Seq("doc_id"), "left_anti"))
+    val banded =
+      if (maxBucket <= 0) kept
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")
+        kept.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= maxBucket).drop("__n")
+      }
     val cands = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
         Seq("band", "bucket"))

@@ -190,6 +190,29 @@ class LlmOpsSpec extends SparkSpec {
       s"family pairs survived the cap: ${capped.take(5)}")
   }
 
+  test("minhash bucket cap bounds near-identical template families, keeps small buckets") {
+    import spark.implicits._
+    // 80 NEAR-identical templated docs (one trailing token differs, so
+    // exact-dup routing can't collapse them; jaccard stays >= 0.8 and
+    // most bands bucket them together) + an unrelated small near-dup
+    // pair. Uncapped: O(k²) family pairs. Capped: the family is cut,
+    // the small-bucket pair survives.
+    val template = (0 until 100).map(i => s"t$i").mkString(" ")
+    val family = (0L until 80L).map(i => (i, s"$template variant$i"))
+    val pairA = (0 until 60).map(i => s"w$i").mkString(" ")
+    val pairB = pairA.replace("w59", "wz")
+    val docs = (family ++ Seq((500L, pairA), (501L, pairB))).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLsh(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 80 * 79 / 2, s"family pairs expected: ${uncapped.size}")
+    assert(uncapped.contains((500L, 501L)))
+    val capped = Dedup.minhashLsh(docs, threshold = 0.8, maxBucket = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((500L, 501L)), s"capped lost the real pair: $capped")
+    assert(!capped.exists(p => p._1 < 100L && p._2 < 100L),
+      s"family pairs survived the cap: ${capped.take(5)}")
+  }
+
   test("pii: counts find planted spans and redaction removes every one") {
     import spark.implicits._
     val rows = Seq(
