@@ -28,9 +28,16 @@ object Bench {
         SparkEntry.queries.filter { case (k, _) => want(k) }
       case None => SparkEntry.queries
     }
+    // noop sink: materializes EVERY column through the full plan (like
+    // Verify's parquet write) with zero IO. count() let Catalyst prune
+    // projections nothing consumed — d_pii's redaction, d_chunk's
+    // slices, d_normalize's text were partially optimized out of the
+    // timed run, flattering exactly the projection-heavy ops.
+    def drive(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
       queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try drive(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
       spark.catalog.clearCache() // drop operator-internal persists
     }
@@ -43,7 +50,7 @@ object Bench {
       var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { drive(fn(spark, sfDir)) } catch {
           case t: Throwable =>
             err = Some((t.getClass.getSimpleName + ": " +
               Option(t.getMessage).getOrElse("")).take(160)

@@ -243,13 +243,12 @@ object LlmOps {
     None, // bloom bit layout is engine-specific: rows-only + property spec
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      // sized to the actual benchmark fingerprint count: the filter
-      // binary rides every task closure, so oversizing it taxes each
-      // task for no FP-rate gain
+      // sizing auto-derived from the benchmark fingerprint count (the
+      // filter binary rides every task closure, so oversizing taxes
+      // each task; undersizing blows up the FP rate as data grows)
       TextAnalysis.bloomContamination(
           candidates = docs.filter(col("source") =!= "src0"),
-          benchmark = docs.filter(col("source") === "src0"),
-          expectedItems = 1L << 17, numBits = 1L << 20)
+          benchmark = docs.filter(col("source") === "src0"))
         .filter(col("maybe_overlap_ratio") > 0.5)
         .orderBy("doc_id")
     })

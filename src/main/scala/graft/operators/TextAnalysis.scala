@@ -165,9 +165,23 @@ object TextAnalysis {
   def bloomContamination(candidates: DataFrame, benchmark: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 20, w: Int = 8,
-      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+      expectedItems: Long = 0L, numBits: Long = 0L): DataFrame = {
     def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
       explode(graft.plans.native.winnowing(col(textCol), k, w)).as("fp"))
+    // auto-sizing (expectedItems = 0): count the benchmark fingerprint
+    // rows first — one extra narrow pass over the (small) benchmark
+    // side, same derive-from-the-data precedent as RangeJoin's width.
+    // The row count upper-bounds the distinct-fp count (winnowing
+    // emits distinct mins per doc), so the filter is never undersized.
+    // bits ≈ -n·ln(p)/ln2² ≈ 10·n targets p ≈ 1% FP; hardcoded sizing
+    // either starved the filter (FP blow-up past the benchmark's
+    // growth) or taxed every task closure with dead bits.
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(fps(benchmark).count(), 64L)
+    val bits =
+      if (numBits > 0) numBits
+      else java.lang.Long.highestOneBit(math.max(10L * items, 1024L) * 2 - 1)
     // BloomFilterAggregate/MightContain are catalyst-internal (Spark
     // uses them for runtime join filters, no SQL registration) — build
     // them through the shim
@@ -175,7 +189,7 @@ object TextAnalysis {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val bfAgg = column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        expression(col("fp")), Literal(expectedItems), Literal(numBits))
+        expression(col("fp")), Literal(items), Literal(bits))
         .toAggregateExpression())
     def mightContain(bf: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
       column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
