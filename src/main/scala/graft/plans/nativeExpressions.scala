@@ -10,6 +10,82 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graftshim.GraftShim.{column, expression}
 
+/** Static implementations shared by the interpreted and generated
+  * paths of the string-heavy native expressions. Top-level object =>
+  * scalac emits static forwarders, so generated Java calls
+  * `graft.plans.NativeImpl.wordShingles(...)` directly — one static
+  * call per row, no InternalRow boxing, and (unlike CodegenFallback)
+  * the containing operator keeps whole-stage codegen.
+  */
+object NativeImpl {
+
+  /** See [[native.WordShingles]]. */
+  def wordShingles(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): ArrayData = {
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val toks = text.split(space, -1)
+    val n = toks.length
+    val m = math.max(n - (k - 1), 1)
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < m) {
+      val slice = java.util.Arrays.copyOfRange(toks, i, math.min(i + k, n))
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, slice: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** See [[native.WinnowingFingerprints]]. */
+  def winnowing(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): ArrayData = {
+    val nChars = text.numChars()
+    val nGrams = math.max(nChars - (k - 1), 1)
+    // char→byte offset table in ONE pass: substringSQL per k-gram
+    // rescans from byte 0 to find char boundaries (O(n) per call,
+    // O(n²) per doc — measured as the contamination hot spot);
+    // hashing the byte range directly is O(n) total and hashes the
+    // exact same bytes, so fingerprints are bit-identical.
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nBytes = text.numBytes()
+    val offs = new Array[Int](nChars + 1)
+    var c = 0
+    var b = 0
+    while (b < nBytes) {
+      offs(c) = b
+      c += 1
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+    }
+    offs(c) = nBytes
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val endChar = math.min(i + k, nChars)
+      val startByte = if (i < nChars) offs(i) else nBytes
+      hashes(i) = XXH64.hashUnsafeBytes(base, off + startByte,
+        offs(endChar) - startByte, 42L)
+      i += 1
+    }
+    val nWin = math.max(nGrams - (w - 1), 1)
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < nWin) {
+      var m = hashes(i)
+      var j = i + 1
+      val end = math.min(i + w, nGrams)
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      mins.add(m)
+      i += 1
+    }
+    val out = new Array[Long](mins.size())
+    val it = mins.iterator(); var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native Catalyst expressions for the §2.3 hot loops.
   *
   * Spark's higher-order functions (transform/aggregate/zip_with) are
@@ -230,27 +306,22 @@ object native {
   /** Distinct word k-gram shingles of a single-space-tokenized text,
     * first-occurrence order (same semantics as the HOF
     * sequence/slice/concat_ws + array_distinct formulation, one pass
-    * and no per-shingle array copies).
+    * and no per-shingle array copies). Codegen calls the static
+    * one-pass impl (NativeImpl.wordShingles) so the containing stage
+    * stays in whole-stage codegen — a CodegenFallback here knocked
+    * every dedup/contamination pipeline stage out of codegen.
     */
   case class WordShingles(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-      val toks = text.split(space, -1)
-      val n = toks.length
-      val m = math.max(n - (k - 1), 1)
-      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
-      var i = 0
-      while (i < m) {
-        val slice = java.util.Arrays.copyOfRange(toks, i, math.min(i + k, n))
-        seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, slice: _*))
-        i += 1
-      }
-      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.wordShingles(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text =>
+        s"${ev.value} = graft.plans.NativeImpl.wordShingles($text, $k);")
 
     override protected def withNewChildInternal(c: Expression): WordShingles =
       copy(child = c)
@@ -260,59 +331,21 @@ object native {
     * one pass over the text: hash every char k-gram, take the min of
     * each sliding window of w hashes, return the distinct mins sorted.
     * (The HOF formulation re-evaluates the k-gram array per window —
-    * O(n²) interpreted; this is O(n·w) primitive.)
+    * O(n²) interpreted; this is O(n·w) primitive.) Codegen calls the
+    * static impl (NativeImpl.winnowing) — same rationale as
+    * [[WordShingles]].
     */
   case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      val nChars = text.numChars()
-      val nGrams = math.max(nChars - (k - 1), 1)
-      // char→byte offset table in ONE pass: substringSQL per k-gram
-      // rescans from byte 0 to find char boundaries (O(n) per call,
-      // O(n²) per doc — measured as the contamination hot spot);
-      // hashing the byte range directly is O(n) total and hashes the
-      // exact same bytes, so fingerprints are bit-identical.
-      val base = text.getBaseObject
-      val off = text.getBaseOffset
-      val nBytes = text.numBytes()
-      val offs = new Array[Int](nChars + 1)
-      var c = 0
-      var b = 0
-      while (b < nBytes) {
-        offs(c) = b
-        c += 1
-        b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
-          org.apache.spark.unsafe.Platform.getByte(base, off + b))
-      }
-      offs(c) = nBytes
-      val hashes = new Array[Long](nGrams)
-      var i = 0
-      while (i < nGrams) {
-        val endChar = math.min(i + k, nChars)
-        val startByte = if (i < nChars) offs(i) else nBytes
-        hashes(i) = XXH64.hashUnsafeBytes(base, off + startByte,
-          offs(endChar) - startByte, 42L)
-        i += 1
-      }
-      val nWin = math.max(nGrams - (w - 1), 1)
-      val mins = new java.util.TreeSet[java.lang.Long]()
-      i = 0
-      while (i < nWin) {
-        var m = hashes(i)
-        var j = i + 1
-        val end = math.min(i + w, nGrams)
-        while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
-        mins.add(m)
-        i += 1
-      }
-      val out = new Array[Long](mins.size())
-      val it = mins.iterator(); var x = 0
-      while (it.hasNext) { out(x) = it.next(); x += 1 }
-      new GenericArrayData(out)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.winnowing(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text =>
+        s"${ev.value} = graft.plans.NativeImpl.winnowing($text, $k, $w);")
 
     override protected def withNewChildInternal(c: Expression): WinnowingFingerprints =
       copy(child = c)

@@ -22,10 +22,12 @@ class NativeCodegenSpec extends SparkSpec {
       .select(
         native.minhashSig(split(col("text"), " "), 8, P, as, bs).as("mh"),
         native.simhash64(split(col("text"), " ")).as("sh"),
-        native.hyperplaneSig(col("vec"), 12, 24).as("hp"))
+        native.hyperplaneSig(col("vec"), 12, 24).as("hp"),
+        native.wordShingles(col("text"), 3).as("ws"),
+        native.winnowing(col("text"), 5, 4).as("wf"))
   }
 
-  test("minhash/simhash/hyperplane generate code — no fallback marker") {
+  test("minhash/simhash/hyperplane/shingles/winnowing generate code — no fallback marker") {
     val plan = hotDf.queryExecution.executedPlan
     val code = org.apache.spark.sql.execution.debug.codegenString(plan)
     assert(code.contains("WholeStageCodegen"), code.take(500))
