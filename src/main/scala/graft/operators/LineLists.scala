@@ -580,6 +580,7 @@ object LineLists {
     * deliberately absent.
     */
   val asOf: Map[String, (SparkSession, String, java.time.LocalDate) => DataFrame] = Map(
+    "q_line_list" -> ((s, d, e) => Relational.lineListAsOf(s, d, e)),
     "q_ll_eligible" -> ((s, d, e) => eligibleBuild(s, d, e.toString)),
     "q_ll_threshold" -> ((s, d, e) => thresholdBuild(s, d, e.toString)),
     "q_ll_dual_latest" -> ((s, d, e) => dualLatestBuild(s, d, e.toString)),

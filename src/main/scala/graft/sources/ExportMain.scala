@@ -29,6 +29,19 @@ object ExportMain {
     "Megabit", "Miazia", "Ginbot", "Sene", "Hamle", "Nehassie", "Pagume")
 
   def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-export")
+    val res = run(spark, args)
+    println(s"[export] package=${res.packagePath} sha256=${res.checksum} files=${res.csvFiles.mkString(",")}")
+    spark.stop()
+  }
+
+  /** The whole export flow minus session lifecycle — testable
+    * end-to-end (main owns create/stop; specs pass the shared
+    * session).
+    */
+  def run(spark: org.apache.spark.sql.SparkSession,
+      args: Array[String]): ExportJob.Result = {
     val (sfDir, outDir) = (args(0), args(1))
     val config: Option[ExportConfig] =
       if (args.length >= 3 && args(2).endsWith(".json"))
@@ -38,7 +51,12 @@ object ExportMain {
     // window: CLI args > config > "as of now" (CURDATE semantics)
     val (m, y) = (config, args.drop(2)) match {
       case (_, Array(mS, yS, _*)) if mS.forall(_.isDigit) => (mS.toInt, yS.toInt)
-      case (Some(c), _) if c.ethMonth.isDefined => (c.ethMonth.get, c.ethYear.get)
+      case (Some(c), _) if c.ethMonth.isDefined || c.ethYear.isDefined =>
+        // a half-specified window is a config mistake, not "as of now"
+        if (c.ethMonth.isEmpty || c.ethYear.isEmpty)
+          throw new IllegalArgumentException("config window needs BOTH " +
+            s"eth_month and eth_year (got month=${c.ethMonth}, year=${c.ethYear})")
+        (c.ethMonth.get, c.ethYear.get)
       case _ =>
         val (ey, em, _) = EthiopianCalendar.toEthiopian(LocalDate.now())
         (em, ey)
@@ -46,7 +64,6 @@ object ExportMain {
     val (start, end) = EthiopianCalendar.reportWindow(m, y)
     println(s"[export] window ${Months(m - 1)} $y -> [$start, $end]")
 
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-export")
     val t = Tables(spark, sfDir)
     // the 12 report queries all re-read the fact tables; one cached
     // scan serves every report in the package (export.py runs its 12
@@ -59,15 +76,12 @@ object ExportMain {
           // window-dependent reports run at the runtime window; the
           // rest are the registered (fixed-window, oracle-matched)
           // queries unchanged
-          val df =
-            if (qname == "q_line_list")
-              graft.operators.Relational.lineListAsOf(spark, sfDir, end)
-            else graft.operators.LineLists.asOf.get(qname) match {
-              case Some(build) => build(spark, sfDir, end)
-              case None => SparkEntry.queries.getOrElse(qname,
-                throw new IllegalArgumentException(
-                  s"config names unknown query '$qname' for tag '$tag'"))(spark, sfDir)
-            }
+          val df = graft.operators.LineLists.asOf.get(qname) match {
+            case Some(build) => build(spark, sfDir, end)
+            case None => SparkEntry.queries.getOrElse(qname,
+              throw new IllegalArgumentException(
+                s"config names unknown query '$qname' for tag '$tag'"))(spark, sfDir)
+          }
           tag -> df
         }.toMap
       case None =>
@@ -95,9 +109,7 @@ object ExportMain {
     val facilitySan = facility.replace(" ", "").replace("_", "")
 
     val tag = s"$facilitySan${hmisCode}_${Months(m - 1)}_$y"
-    val res = ExportJob.run(spark, queries, constants,
+    ExportJob.run(spark, queries, constants,
       outDir = Paths.get(outDir), tag = tag)
-    println(s"[export] package=${res.packagePath} sha256=${res.checksum} files=${res.csvFiles.mkString(",")}")
-    spark.stop()
   }
 }

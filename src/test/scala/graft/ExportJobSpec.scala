@@ -92,6 +92,50 @@ class ExportJobSpec extends SparkSpec {
     assert(noWin.ethMonth.isEmpty && noWin.constants.isEmpty)
   }
 
+  test("full-config export run produces the reference package layout end-to-end") {
+    val out = Files.createTempDirectory("graft_full_export")
+    val res = graft.sources.ExportMain.run(spark,
+      Array(sf, out.toString, "config/export_config.json"))
+    val tag = "TestFacilityH12323_Tir_2016" // sanitized Facility + HMIS + window
+    val zf = new ZipFile(res.packagePath.toFile)
+    assert(zf.entries().asScala.map(_.getName).toSet ==
+      Set(s"$tag.zip", s"${tag}_checksum.txt"))
+    val recorded = Source.fromInputStream(
+      zf.getInputStream(zf.getEntry(s"${tag}_checksum.txt"))).mkString.trim
+    assert(recorded == res.checksum)
+    val tmpInner = Files.createTempFile("inner", ".zip")
+    Files.copy(zf.getInputStream(zf.getEntry(s"$tag.zip")), tmpInner,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val inner = new ZipFile(tmpInner.toFile)
+    val csvNames = inner.entries().asScala.map(_.getName).toSet
+    val cfg = graft.sources.ExportConfig.load(
+      java.nio.file.Paths.get("config/export_config.json"))
+    assert(csvNames == cfg.queries.map { case (t, _) => s"${t}_$tag.csv" }.toSet)
+    assert(csvNames.size == 12)
+    // every report carries the constant columns, values on every row
+    csvNames.foreach { n =>
+      val lines = Source.fromInputStream(inner.getInputStream(inner.getEntry(n)))
+        .getLines().toSeq
+      assert(lines.head.split(",").takeRight(4).toSeq ==
+        Seq("Region", "Woreda", "Facility", "HMISCode"), n)
+      assert(lines.tail.nonEmpty, s"$n is empty")
+      assert(lines.tail.forall(_.endsWith("Test Region,Test_W01,Test Facility,H12323")), n)
+    }
+    inner.close(); zf.close()
+  }
+
+  test("half-specified config window fails loudly, not with a bare NoSuchElement") {
+    val cfgPath = Files.createTempFile("halfwin", ".json")
+    Files.writeString(cfgPath,
+      """{"queries":{"A":"q_line_list"},"window":{"eth_month":5}}""")
+    val out = Files.createTempDirectory("graft_halfwin")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.ExportMain.run(spark,
+        Array(sf, out.toString, cfgPath.toString))
+    }
+    assert(e.getMessage.contains("eth_year"), e.getMessage)
+  }
+
   test("as-of window: lineListAsOf at the oracle end equals registered q_line_list") {
     val fixed = SparkEntry.queries("q_line_list")(spark, sf)
       .collect().map(_.toString).sorted
