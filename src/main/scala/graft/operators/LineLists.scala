@@ -251,14 +251,21 @@ object LineLists {
         .orderBy("event_id", "iv_id")
     })
 
-  /** DuckDB snippet: MySQL TIMESTAMPDIFF(MONTH) complete months for
-    * b >= a (the only direction the reports use) — mirrors
-    * DateFns.monthsBetween.
+  /** DuckDB snippet: MySQL TIMESTAMPDIFF(MONTH) complete months,
+    * either direction — mirrors DateFns.monthsBetween exactly.
     */
-  private def moSql(a: String, b: String): String =
-    s"""((year(CAST($b AS DATE)) * 12 + month(CAST($b AS DATE)))
-       - (year(CAST($a AS DATE)) * 12 + month(CAST($a AS DATE)))
-       - CASE WHEN day(CAST($b AS DATE)) < day(CAST($a AS DATE)) THEN 1 ELSE 0 END)"""
+  private def moSql(a: String, b: String): String = {
+    // full sign-aware complete-month CASE (same as q_month_diff's
+    // oracle): the b>=a-only form silently disagreed with
+    // DateFns.monthsBetween when a follows b — reachable via
+    // months_since_signup, whose signup_ts is a MIN over the
+    // UNWINDOWED events table and can exceed the report end
+    val mi = s"""((year(CAST($b AS DATE)) * 12 + month(CAST($b AS DATE)))
+       - (year(CAST($a AS DATE)) * 12 + month(CAST($a AS DATE))))"""
+    s"""(CASE WHEN $mi > 0 AND day(CAST($b AS DATE)) < day(CAST($a AS DATE)) THEN $mi - 1
+         WHEN $mi < 0 AND day(CAST($b AS DATE)) > day(CAST($a AS DATE)) THEN $mi + 1
+         ELSE $mi END)"""
+  }
 
   // ------------------------------------------------------------------
   // Tx_Curr_AHD_LineList.sql (427 lines) — the deepest composition in

@@ -278,9 +278,14 @@ object LlmOps {
         greatest(len(string_split(text, ' ')) - 2, 1) AS total3
       FROM documents),
       g AS (SELECT doc_id, total3,
+        -- truncated slice (not ws[i]||ws[i+1]||ws[i+2]): on docs with
+        -- fewer than 3 words the concat form yields a NULL shingle
+        -- that list_distinct drops (distinct3=0) while WordShingles
+        -- emits one truncated shingle — slice to min(i+2, len) so both
+        -- sides agree on short docs
         len(list_distinct(list_transform(
           generate_series(1, CAST(total3 AS INT)),
-          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS distinct3
+          i -> array_to_string(ws[i:least(i+2, len(ws))], ' ')))) AS distinct3
       FROM m)
       SELECT doc_id, CAST(total3 AS INT) AS total3, CAST(distinct3 AS INT) AS distinct3,
         round(1.0 - CAST(distinct3 AS DOUBLE) / total3, 6) AS repetition_ratio
@@ -306,7 +311,9 @@ object LlmOps {
     "d_top_ngrams",
     Some("""WITH b AS (SELECT doc_id, unnest(list_distinct(list_transform(
           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS bigram
+          -- truncated slice: agrees with WordShingles on one-word docs
+          -- (a single-word "bigram", not a NULL that list_distinct drops)
+          i -> array_to_string(string_split(text, ' ')[i:least(i+1, len(string_split(text, ' ')))], ' ')))) AS bigram
         FROM documents)
       SELECT bigram, COUNT(*) AS doc_freq FROM b
       GROUP BY bigram ORDER BY doc_freq DESC, bigram LIMIT 50"""),

@@ -190,6 +190,22 @@ class LlmOpsSpec extends SparkSpec {
       s"family pairs survived the cap: ${capped.take(5)}")
   }
 
+  test("word shingles on short docs: one truncated shingle, matching the oracle slice") {
+    import spark.implicits._
+    // docs shorter than k must yield ONE truncated shingle (never an
+    // empty array): d_repetition's total3 floor of 1 then gives
+    // distinct3=1 / ratio 0, and the DuckDB oracle's least()-bounded
+    // slice produces the identical shingle
+    val got = Seq("solo", "only two", "three word doc", "now four word doc")
+      .toDF("text")
+      .select(col("text"), graft.plans.native.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("solo") == List("solo"))
+    assert(got("only two") == List("only two"))
+    assert(got("three word doc") == List("three word doc"))
+    assert(got("now four word doc") == List("now four word", "four word doc"))
+  }
+
   test("minhash bucket cap bounds near-identical template families, keeps small buckets") {
     import spark.implicits._
     // 80 NEAR-identical templated docs (one trailing token differs, so
