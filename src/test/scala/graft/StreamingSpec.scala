@@ -222,6 +222,56 @@ class StreamingSpec extends SparkSpec {
       pairs.toSeq.sorted.mkString(","))
   }
 
+  test("streaming exact-excision routes copies through one representative per bucket") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val boiler = "identical boilerplate template text repeated across the corpus"
+    val pairA = (0 until 60).map(i => s"p$i").mkString(" ")
+    val pairB = pairA.replace("p59", "px")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.candidatePairs(
+        mem.toDF().toDF("doc_id", "text"), exciseExact = true)
+      .writeStream.format("memory").queryName("sdedup_ex")
+      .outputMode(OutputMode.Append()).start()
+    // copies split across micro-batches: batch-2 copies must still
+    // route to the batch-1 representative through state
+    mem.addData((1L to 5L).map(i => (i, boiler)) :+ ((100L, pairA)): _*)
+    q.processAllAvailable()
+    val rowsAfterB1 = q.lastProgress.stateOperators(0).numRowsTotal
+    mem.addData((6L to 10L).map(i => (i, boiler)) :+ ((101L, pairB)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("sdedup_ex")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 10-copy family collapses to 9 representative edges (1,i) —
+    // copy-to-copy pairs route through doc 1 — and the genuine
+    // near-dup pair survives
+    assert(pairs == ((2L to 10L).map(i => (1L, i)).toSet + ((100L, 101L))),
+      pairs.toSeq.sorted.mkString(","))
+    // state did not grow with the copies: batch 2 added only doc 101's
+    // buckets, every copy was absorbed by the batch-1 representative
+    val rowsAfterB2 = q.lastProgress.stateOperators(0).numRowsTotal
+    assert(rowsAfterB2 <= rowsAfterB1 + 16,
+      s"copies leaked into state: $rowsAfterB1 -> $rowsAfterB2")
+    // transitivity check: union-find over the streamed edges yields the
+    // same kept set as the batch dedup pipeline on the same docs
+    val docs = ((1L to 10L).map(i => (i, boiler)) ++
+      Seq((100L, pairA), (101L, pairB))).toDF("doc_id", "text")
+    val batchKept = graft.operators.DedupPipeline.dedupedCorpus(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val streamKept = ((1L to 10L) ++ Seq(100L, 101L)).filter(i => find(i) == i).toSet
+    assert(streamKept == batchKept, s"stream=$streamKept batch=$batchKept")
+  }
+
   test("sessionization closes on event-time gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
