@@ -42,14 +42,19 @@ object TextFns {
     * mirrorable construction.
     */
   def countOccurrences(text: Column, literal: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(literal), "")))
-      / literal.length).cast("int")
+    // native single-scan count — same non-overlapping semantics as the
+    // replace-length construction (which the DuckDB oracles keep), no
+    // regex engine and no per-marker text copy
+    graft.plans.native.literalCount(text, literal)
 
   /** Count of regex matches (ASCII-only patterns to keep Java and
     * DuckDB/RE2 semantics identical).
     */
   def countMatches(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0)))
+    // native find()-loop count — the same java.util.regex match
+    // sequence as size(regexp_extract_all(text, p, 0)) without
+    // materializing every matched substring per row
+    graft.plans.native.regexpCount(text, pattern)
 
   /** Canonical text normalization (the pre-hash scrub every dedup
     * pipeline applies before exact/minhash comparison): lowercase,

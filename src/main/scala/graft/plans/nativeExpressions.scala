@@ -36,6 +36,29 @@ object NativeImpl {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** See [[native.LiteralOccurrences]]. */
+  def countLiteral(text: org.apache.spark.unsafe.types.UTF8String,
+      pat: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val pc = pat.numChars()
+    if (pc == 0) return 0
+    var count = 0
+    var idx = text.indexOf(pat, 0)
+    while (idx >= 0) {
+      count += 1
+      idx = text.indexOf(pat, idx + pc)
+    }
+    count
+  }
+
+  /** See [[native.RegexpCount]]. */
+  def countRegex(text: org.apache.spark.unsafe.types.UTF8String,
+      pat: java.util.regex.Pattern): Int = {
+    val m = pat.matcher(text.toString)
+    var c = 0
+    while (m.find()) c += 1
+    c
+  }
+
   /** See [[native.WinnowingFingerprints]]. */
   def winnowing(text: org.apache.spark.unsafe.types.UTF8String,
       k: Int, w: Int): ArrayData = {
@@ -351,6 +374,60 @@ object native {
       copy(child = c)
   }
 
+  /** Non-overlapping occurrence count of a literal in a string —
+    * identical semantics to the classic
+    * (len(text) − len(replace(text, lit, ''))) / len(lit)
+    * construction (the oracle keeps that form), but ONE indexOf scan
+    * with zero regex work and zero string copies. Sits under every
+    * language-ID / stopword-density marker (25 markers per doc in
+    * d_langid — each was a full regex replace + text copy).
+    */
+  case class LiteralOccurrences(child: Expression, pattern: String)
+      extends UnaryExpression {
+    private lazy val pat =
+      org.apache.spark.unsafe.types.UTF8String.fromString(pattern)
+    override def dataType: DataType = IntegerType
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.countLiteral(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], pat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text => {
+        val patRef = ctx.addReferenceObj("litPat", pat,
+          "org.apache.spark.unsafe.types.UTF8String")
+        s"${ev.value} = graft.plans.NativeImpl.countLiteral($text, $patRef);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): LiteralOccurrences =
+      copy(child = c)
+  }
+
+  /** Count of regex matches — same java.util.regex find() sequence as
+    * size(regexp_extract_all(text, p, 0)) (which the oracles mirror in
+    * DuckDB), without materializing an array of match strings per row
+    * just to take its length. Sits under the PII counters, the quality
+    * punct/digit densities, and the BPE-ish token count.
+    */
+  case class RegexpCount(child: Expression, pattern: String)
+      extends UnaryExpression {
+    @transient private lazy val pat = java.util.regex.Pattern.compile(pattern)
+    override def dataType: DataType = IntegerType
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.countRegex(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], pat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text => {
+        val patRef = ctx.addReferenceObj("rxPat", pat, "java.util.regex.Pattern")
+        s"${ev.value} = graft.plans.NativeImpl.countRegex($text, $patRef);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): RegexpCount =
+      copy(child = c)
+  }
+
   /** Ethiopian 'D/M/Y' rendering of a DATE child (days since epoch) —
     * native twin of functions.EthiopianCalendar.ethiopianDMY for SQL
     * registration (a Column-composed tree can't be registered as a
@@ -390,4 +467,10 @@ object native {
 
   def wordShingles(text: Column, k: Int): Column =
     column(WordShingles(expression(text), k))
+
+  def literalCount(text: Column, pattern: String): Column =
+    column(LiteralOccurrences(expression(text), pattern))
+
+  def regexpCount(text: Column, pattern: String): Column =
+    column(RegexpCount(expression(text), pattern))
 }

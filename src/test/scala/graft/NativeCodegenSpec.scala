@@ -24,7 +24,9 @@ class NativeCodegenSpec extends SparkSpec {
         native.simhash64(split(col("text"), " ")).as("sh"),
         native.hyperplaneSig(col("vec"), 12, 24).as("hp"),
         native.wordShingles(col("text"), 3).as("ws"),
-        native.winnowing(col("text"), 5, 4).as("wf"))
+        native.winnowing(col("text"), 5, 4).as("wf"),
+        native.literalCount(col("text"), "e").as("lc"),
+        native.regexpCount(col("text"), "[aeiou]+").as("rc"))
   }
 
   test("minhash/simhash/hyperplane/shingles/winnowing generate code — no fallback marker") {
