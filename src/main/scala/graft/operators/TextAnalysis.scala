@@ -23,21 +23,25 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "est"),
     "zh" -> Seq("de", "shi", "bu", "zai", "le"))
 
-  private def padded(text: Column): Column = concat(lit(" "), lower(text), lit(" "))
-
-  /** Score for one language = Σ occurrences of its markers. */
+  /** Score for one language = Σ occurrences of its markers — a
+    * single-language call of the one-pass native scorer (semantics
+    * identical to counting " marker " in the space-padded lowered
+    * text, which the oracles keep as the SQL construction).
+    */
   def langScore(text: Column, markers: Seq[String]): Column =
-    markers.map(m => TextFns.countOccurrences(padded(text), s" $m "))
-      .reduce(_ + _)
+    graft.plans.native.markerScores(lower(text), Seq(markers)).getItem(0)
 
   /** Predicted language: argmax score, first-listed wins ties
     * (deterministic; 'und' = undetermined when all scores are 0).
+    * All 25 marker counts come from ONE text scan (MarkerScores);
+    * the argmax tree runs over array accesses, not re-counts.
     */
   def langId(text: Column): Column = {
-    val scores = Markers.map { case (l, ms) => l -> langScore(text, ms) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
-      when(s === best && s > 0, l).otherwise(acc)
+    val arr = graft.plans.native.markerScores(lower(text), Markers.map(_._2))
+    val scores = Markers.indices.map(arr.getItem(_))
+    val best = scores.reduce((a, b) => greatest(a, b))
+    Markers.map(_._1).zip(scores).foldRight(lit("und"): Column) {
+      case ((l, s), acc) => when(s === best && s > 0, l).otherwise(acc)
     }
   }
 
@@ -50,8 +54,12 @@ object TextAnalysis {
     val toks = TextFns.words(text)
     val nTokens = size(toks)
     val avgTokLen = (nChars - nTokens + 1).cast("double") / nTokens.cast("double")
-    val punct = TextFns.countMatches(text, "[!-/:-@\\[-`{-~]")
-    val digits = TextFns.countMatches(text, "[0-9]")
+    // byte-class counts — single pass, no regex machine; identical to
+    // counting "[!-/:-@\[-`{-~]" / "[0-9]" single-char matches (the
+    // oracle keeps the regex form)
+    val punct = graft.plans.native.byteClassCount(text,
+      Seq(('!', '/'), (':', '@'), ('[', '`'), ('{', '~')))
+    val digits = graft.plans.native.byteClassCount(text, Seq(('0', '9')))
     val stop = langScore(text, Seq("the", "and", "of", "to", "a", "in", "is"))
     val punctRatio = punct.cast("double") / nChars.cast("double")
     val digitRatio = digits.cast("double") / nChars.cast("double")
@@ -179,9 +187,15 @@ object TextAnalysis {
     val items =
       if (expectedItems > 0) expectedItems
       else math.max(fps(benchmark).count(), 64L)
+    // clamped to BloomFilterAggregate's maxNumBits (2^26 default):
+    // past the cap the FP rate degrades gracefully instead of the
+    // aggregate rejecting the size outright
     val bits =
       if (numBits > 0) numBits
-      else java.lang.Long.highestOneBit(math.max(10L * items, 1024L) * 2 - 1)
+      else math.min(
+        java.lang.Long.highestOneBit(math.max(10L * items, 1024L) * 2 - 1),
+        org.apache.spark.sql.internal.SQLConf.get.getConf(
+          org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS))
     // BloomFilterAggregate/MightContain are catalyst-internal (Spark
     // uses them for runtime join filters, no SQL registration) — build
     // them through the shim

@@ -59,6 +59,65 @@ object NativeImpl {
     c
   }
 
+  /** See [[native.MarkerScores]]. Scans the VIRTUALLY-padded text
+    * (a space before byte 0 and after byte n-1, so " m " can match at
+    * both boundaries — same as the concat(' ', text, ' ') the oracle
+    * keeps) once, gating each pattern with its own non-overlap cursor,
+    * which reproduces the per-pattern indexOf/replace-count sequence
+    * exactly (shared-space adjacency included). Patterns are ASCII, so
+    * byte comparison is UTF-8-safe and byte offsets track the char
+    * offsets of the string form 1:1 inside match spans.
+    */
+  def markerScores(text: org.apache.spark.unsafe.types.UTF8String,
+      pats: Array[Array[Byte]], langOf: Array[Int], nLangs: Int): ArrayData = {
+    val n = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val space = ' '.toByte
+    def pb(i: Int): Byte = // padded byte i, i in [0, n+1]
+      if (i == 0 || i == n + 1) space
+      else org.apache.spark.unsafe.Platform.getByte(base, off + i - 1)
+    val scores = new Array[Int](nLangs)
+    val nextStart = new Array[Int](pats.length)
+    val last = n + 1
+    var p = 0
+    while (p <= last) {
+      if (pb(p) == space) { // every pattern starts with ' '
+        var k = 0
+        while (k < pats.length) {
+          val pat = pats(k)
+          if (p >= nextStart(k) && p + pat.length - 1 <= last) {
+            var j = 1
+            while (j < pat.length && pb(p + j) == pat(j)) j += 1
+            if (j == pat.length) {
+              scores(langOf(k)) += 1
+              nextStart(k) = p + pat.length
+            }
+          }
+          k += 1
+        }
+      }
+      p += 1
+    }
+    new GenericArrayData(scores)
+  }
+
+  /** See [[native.ByteClassCount]]. */
+  def countByteClass(text: org.apache.spark.unsafe.types.UTF8String,
+      isIn: Array[Boolean]): Int = {
+    val n = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b >= 0 && isIn(b)) c += 1 // UTF-8 continuation/lead bytes are negative
+      i += 1
+    }
+    c
+  }
+
   /** See [[native.WinnowingFingerprints]]. */
   def winnowing(text: org.apache.spark.unsafe.types.UTF8String,
       k: Int, w: Int): ArrayData = {
@@ -403,6 +462,75 @@ object native {
       copy(child = c)
   }
 
+  /** Per-language stopword-marker scores in ONE scan of the text —
+    * the multi-pattern form of [[LiteralOccurrences]]: language ID
+    * needs 25 marker counts per doc, and evaluating them as 25
+    * independent count expressions re-scanned (and, pre-optimization,
+    * re-copied) the text per marker, then the argmax tree re-evaluated
+    * the sums. This returns every language's summed score from a
+    * single pass; the argmax runs over cheap array accesses.
+    * Semantics are byte-identical to the padded per-marker count the
+    * DuckDB oracle mirrors (see NativeImpl.markerScores).
+    */
+  case class MarkerScores(child: Expression, langs: Seq[Seq[String]])
+      extends UnaryExpression {
+    @transient private lazy val pats: Array[Array[Byte]] =
+      langs.flatMap(_.map(m =>
+        s" $m ".getBytes(java.nio.charset.StandardCharsets.UTF_8))).toArray
+    @transient private lazy val langIdx: Array[Int] =
+      langs.zipWithIndex.flatMap { case (ms, i) => ms.map(_ => i) }.toArray
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.markerScores(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        pats, langIdx, langs.length)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text => {
+        val patsRef = ctx.addReferenceObj("mkPats", pats, "byte[][]")
+        val langRef = ctx.addReferenceObj("mkLang", langIdx, "int[]")
+        s"${ev.value} = graft.plans.NativeImpl.markerScores($text, $patsRef, $langRef, ${langs.length});"
+      })
+
+    override protected def withNewChildInternal(c: Expression): MarkerScores =
+      copy(child = c)
+  }
+
+  /** Count of characters in a set of ASCII ranges — the single-pass
+    * byte form of size(regexp_extract_all(text, "[class]", 0)) for a
+    * single-char ASCII class (each matching char is one match, ASCII
+    * classes never match inside multi-byte UTF-8 sequences, so the
+    * byte count IS the match count). Sits under the quality scorer's
+    * punctuation and digit densities — a full java.util.regex machine
+    * per char was the remaining d_quality hot spot.
+    */
+  case class ByteClassCount(child: Expression, ranges: Seq[(Char, Char)])
+      extends UnaryExpression {
+    @transient private lazy val isIn: Array[Boolean] = {
+      val t = new Array[Boolean](128)
+      ranges.foreach { case (lo, hi) =>
+        var c = lo.toInt
+        while (c <= hi.toInt) { t(c) = true; c += 1 }
+      }
+      t
+    }
+    override def dataType: DataType = IntegerType
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.countByteClass(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], isIn)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text => {
+        val setRef = ctx.addReferenceObj("bcSet", isIn, "boolean[]")
+        s"${ev.value} = graft.plans.NativeImpl.countByteClass($text, $setRef);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): ByteClassCount =
+      copy(child = c)
+  }
+
   /** Count of regex matches — same java.util.regex find() sequence as
     * size(regexp_extract_all(text, p, 0)) (which the oracles mirror in
     * DuckDB), without materializing an array of match strings per row
@@ -473,4 +601,10 @@ object native {
 
   def regexpCount(text: Column, pattern: String): Column =
     column(RegexpCount(expression(text), pattern))
+
+  def markerScores(text: Column, langs: Seq[Seq[String]]): Column =
+    column(MarkerScores(expression(text), langs))
+
+  def byteClassCount(text: Column, ranges: Seq[(Char, Char)]): Column =
+    column(ByteClassCount(expression(text), ranges))
 }

@@ -229,6 +229,45 @@ class LlmOpsSpec extends SparkSpec {
       s"family pairs survived the cap: ${capped.take(5)}")
   }
 
+  test("marker scores match the padded replace-count construction, shared spaces included") {
+    import spark.implicits._
+    // " a a a " holds TWO non-overlapping " a " matches (the middle
+    // space is shared) — the exact quirk the one-pass scorer must
+    // reproduce, since the DuckDB oracle keeps the replace-length form
+    val rows = Seq("a a a", "the cat and the dog", "THE AND the",
+      "a", "", "edge the", "the edge", "x the the y", "no markers here")
+      .toDF("text")
+    val markers = Seq("the", "and", "of", "to", "a")
+    def replaceCount(m: String) =
+      ((length(concat(lit(" "), lower(col("text")), lit(" ")))
+        - length(regexp_replace(concat(lit(" "), lower(col("text")), lit(" ")),
+            java.util.regex.Pattern.quote(s" $m "), "")))
+        / s" $m ".length).cast("int")
+    val expected = markers.map(replaceCount).reduce(_ + _)
+    val got = rows.select(col("text"), expected.as("e"),
+        graft.operators.TextAnalysis.langScore(col("text"), markers).as("g"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), s"'${r.getString(0)}': $r"))
+  }
+
+  test("byte-class counts match the regex char-class form, non-ASCII included") {
+    import spark.implicits._
+    val rows = Seq("plain words", "w. punct!? (lots); [of] {it}~",
+      "digits 0123 and 9", "", "naïve café — em–dash", "tabs\tand\nnewlines")
+      .toDF("text")
+    val punctRanges = Seq(('!', '/'), (':', '@'), ('[', '`'), ('{', '~'))
+    val got = rows.select(col("text"),
+        size(regexp_extract_all(col("text"), lit("[!-/:-@\\[-`{-~]"), lit(0))).as("ep"),
+        graft.plans.native.byteClassCount(col("text"), punctRanges).as("gp"),
+        size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).as("ed"),
+        graft.plans.native.byteClassCount(col("text"), Seq(('0', '9'))).as("gd"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"punct '${r.getString(0)}': $r")
+      assert(r.getInt(3) == r.getInt(4), s"digit '${r.getString(0)}': $r")
+    }
+  }
+
   test("pii: counts find planted spans and redaction removes every one") {
     import spark.implicits._
     val rows = Seq(

@@ -26,7 +26,10 @@ class NativeCodegenSpec extends SparkSpec {
         native.wordShingles(col("text"), 3).as("ws"),
         native.winnowing(col("text"), 5, 4).as("wf"),
         native.literalCount(col("text"), "e").as("lc"),
-        native.regexpCount(col("text"), "[aeiou]+").as("rc"))
+        native.regexpCount(col("text"), "[aeiou]+").as("rc"),
+        native.markerScores(lower(col("text")),
+          Seq(Seq("one", "two"), Seq("beta", "zeta"))).as("ms"),
+        native.byteClassCount(col("text"), Seq(('a', 'f'), ('0', '9'))).as("bc"))
   }
 
   test("minhash/simhash/hyperplane/shingles/winnowing generate code — no fallback marker") {
