@@ -84,7 +84,9 @@ object TextAnalysis {
     */
   def tokenCounts(text: Column): Seq[Column] = Seq(
     size(TextFns.words(text)).as("ws_tokens"),
-    TextFns.countMatches(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").as("bpe_ish_tokens"),
+    // one-pass byte scan, match-sequence-identical to the regex
+    // [A-Za-z]+|[0-9]+|[^A-Za-z0-9 ] (the form the oracle keeps)
+    graft.plans.native.bpeishTokenCount(text).as("bpe_ish_tokens"),
     size(array_distinct(TextFns.words(lower(text)))).as("distinct_tokens"))
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
@@ -143,9 +145,14 @@ object TextAnalysis {
     * oracle types align across engines).
     */
   def piiCounts(text: Column): Seq[Column] = {
-    val e = TextFns.countMatches(text, PiiEmail)
-    val p = TextFns.countMatches(text, PiiPhone)
-    val ip = TextFns.countMatches(text, PiiIpv4)
+    // cheap byte prefilters gate the regex machines: an email match
+    // requires '@', a phone/IP match requires a digit — most clean
+    // docs skip the expensive scan entirely, matches are unchanged
+    val hasAt = graft.plans.native.byteClassCount(text, Seq(('@', '@'))) > 0
+    val hasDigit = graft.plans.native.byteClassCount(text, Seq(('0', '9'))) > 0
+    val e = when(hasAt, TextFns.countMatches(text, PiiEmail)).otherwise(0)
+    val p = when(hasDigit, TextFns.countMatches(text, PiiPhone)).otherwise(0)
+    val ip = when(hasDigit, TextFns.countMatches(text, PiiIpv4)).otherwise(0)
     Seq(e.as("n_emails"), p.as("n_phones"), ip.as("n_ipv4"),
       when(e + p + ip > 0, 1).otherwise(0).as("has_pii"))
   }
@@ -154,12 +161,20 @@ object TextAnalysis {
     * (their local part can contain digits that the narrower patterns
     * would otherwise nibble at), then phones, then IPs.
     */
-  def piiRedact(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, lit(PiiEmail), lit("<EMAIL>")),
-        lit(PiiPhone), lit("<PHONE>")),
-      lit(PiiIpv4), lit("<IP>"))
+  def piiRedact(text: Column): Column = {
+    // same prefilter trick as piiCounts: each replace stage only runs
+    // its regex when the text can possibly match (codegen evaluates
+    // the stage input once — subexpression elimination)
+    def gated(t: Column, need: Column => Column, pat: String, rep: String) =
+      when(need(t), regexp_replace(t, lit(pat), lit(rep))).otherwise(t)
+    val hasAt = (t: Column) =>
+      graft.plans.native.byteClassCount(t, Seq(('@', '@'))) > 0
+    val hasDigit = (t: Column) =>
+      graft.plans.native.byteClassCount(t, Seq(('0', '9'))) > 0
+    gated(gated(gated(text, hasAt, PiiEmail, "<EMAIL>"),
+        hasDigit, PiiPhone, "<PHONE>"),
+      hasDigit, PiiIpv4, "<IP>")
+  }
 
   /** Bloom-filter decontamination — the constant-memory scale path of
     * [[contamination]]: the benchmark's fingerprint set becomes ONE

@@ -118,6 +118,41 @@ object NativeImpl {
     c
   }
 
+  /** See [[native.BpeishTokenCount]]. Counts the match sequence of
+    * the alternation [A-Za-z]+|[0-9]+|[^A-Za-z0-9 ] directly: a
+    * maximal letter run is one match, a maximal digit run is one
+    * match, every other non-space CHAR (multi-byte chars included) is
+    * its own match. One pass over the bytes; continuation bytes
+    * belong to their lead byte's char.
+    */
+  def bpeishTokenCount(text: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val n = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var count = 0
+    var run = 0 // 0 = none, 1 = letters, 2 = digits
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b < 0) { // multi-byte char: single "other" match
+        count += 1; run = 0
+        i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(b)
+      } else {
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+          if (run != 1) { count += 1; run = 1 }
+        } else if (b >= '0' && b <= '9') {
+          if (run != 2) { count += 1; run = 2 }
+        } else if (b == ' ') {
+          run = 0
+        } else { // ASCII punctuation/control: one match per char
+          count += 1; run = 0
+        }
+        i += 1
+      }
+    }
+    count
+  }
+
   /** See [[native.WinnowingFingerprints]]. */
   def winnowing(text: org.apache.spark.unsafe.types.UTF8String,
       k: Int, w: Int): ArrayData = {
@@ -531,6 +566,26 @@ object native {
       copy(child = c)
   }
 
+  /** The BPE-ish token count ([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]) as a
+    * one-pass byte scan instead of a regex machine — see
+    * NativeImpl.bpeishTokenCount for the match-sequence equivalence.
+    */
+  case class BpeishTokenCount(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.bpeishTokenCount(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text =>
+        s"${ev.value} = graft.plans.NativeImpl.bpeishTokenCount($text);")
+
+    override protected def withNewChildInternal(c: Expression): BpeishTokenCount =
+      copy(child = c)
+  }
+
   /** Count of regex matches — same java.util.regex find() sequence as
     * size(regexp_extract_all(text, p, 0)) (which the oracles mirror in
     * DuckDB), without materializing an array of match strings per row
@@ -607,4 +662,7 @@ object native {
 
   def byteClassCount(text: Column, ranges: Seq[(Char, Char)]): Column =
     column(ByteClassCount(expression(text), ranges))
+
+  def bpeishTokenCount(text: Column): Column =
+    column(BpeishTokenCount(expression(text)))
 }

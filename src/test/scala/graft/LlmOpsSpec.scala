@@ -268,6 +268,19 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe-ish token count matches the regex alternation on runs, punct and multibyte") {
+    import spark.implicits._
+    val rows = Seq("abc def", "abc123def", "a1b2", "!?.,", "  spaced  out ",
+      "", "naïve café", "tabs\tand\nlines", "x.y@z 10.0.0.1")
+      .toDF("text")
+    val got = rows.select(col("text"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("e"),
+        graft.plans.native.bpeishTokenCount(col("text")).as("g"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), s"'${r.getString(0)}': $r"))
+  }
+
   test("pii: counts find planted spans and redaction removes every one") {
     import spark.implicits._
     val rows = Seq(
