@@ -22,6 +22,50 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Segment-level exact dedup (the C4-style "remove duplicated
+    * paragraphs" pass): documents are cut into non-overlapping
+    * `segWords`-word segments, every segment that already occurred
+    * earlier in the corpus (by (doc_id, seg_idx) order) is dropped,
+    * and each document is rebuilt from its surviving segments.
+    *
+    * Scale shape: segment construction is explode(sequence) + slice
+    * AFTER the explode — no higher-order lambda capturing the token
+    * array (the O(n²) interpreted trap), so it stays in codegen and
+    * is a narrow map. Then exactly two shuffles: the keep-first
+    * window partitioned by md5(segment) (first-occurrence choice is
+    * a total order, deterministic on any cluster), and the per-doc
+    * rebuild groupBy. Nothing is ever doc×doc.
+    *
+    * Returns (doc_id, n_segments, n_kept, clean_text) — n_kept <
+    * n_segments exactly where cross-document boilerplate was excised.
+    */
+  def segmentDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", segWords: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = docs
+      .select(col(idCol).as("doc_id"), TextFns.words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          floor((col("n") - 1) / segWords).cast("int"))).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        array_join(slice(col("ws"), col("seg_idx") * segWords + 1,
+          lit(segWords)), " ").as("seg"))
+    val w = Window.partitionBy(md5(col("seg"))).orderBy("doc_id", "seg_idx")
+    val kept = segs.withColumn("__rn", row_number().over(w))
+      .withColumn("__kept", col("__rn") === 1)
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        // surviving segments back in document order; array_sort over
+        // (seg_idx, seg) structs is total because seg_idx is unique
+        // within a doc, so the rebuilt text is partitioning-invariant
+        array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** MinHash parameters: k permutations in b bands of r rows

@@ -549,6 +549,126 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** Segment-level exact dedup (C4's "deduplicate paragraphs" pass —
+    * Dedup.segmentDedup): 20-word segments, corpus-wide keep-first,
+    * docs rebuilt from survivors. The full rebuilt text is verified
+    * via md5 on both sides, not just a prefix.
+    */
+  private val segmentDedup = GraftQuery(
+    "d_segment_dedup",
+    Some("""WITH m AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        len(string_split(text, ' ')) AS n FROM documents),
+      s AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+          array_to_string(ws[CAST(i*20+1 AS INT) : CAST(i*20+20 AS INT)], ' ') AS seg
+        FROM m, unnest(generate_series(0, CAST((n-1)//20 AS INT))) AS t(i)),
+      k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(seg)
+          ORDER BY doc_id, seg_idx) AS rn FROM s)
+      SELECT doc_id, COUNT(*) AS n_segments,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+          FILTER (WHERE rn = 1), '')) AS clean_md5
+      FROM k GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => Dedup.segmentDedup(Tables(s, dir).documents, segWords = 20)
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id"))
+
+  /** BM25 keyword relevance over the corpus (Retrieval.bm25): fixed
+    * query terms, rational idf (no transcendentals — see Retrieval's
+    * determinism note), conditional-aggregate stats + broadcast back,
+    * TakeOrderedAndProject top-k.
+    */
+  private val bm25Q = {
+    val terms = Seq("spark", "join", "window")
+    GraftQuery(
+      "d_bm25",
+      Some {
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"${occSql(padSql, s" $t ")} AS tf_$i" }
+        val dfs = terms.indices.map(i =>
+          s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+        val termScores = terms.indices.map { i =>
+          s"""((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+             / (CAST(df_$i AS DOUBLE) + 0.5))
+           * ((CAST(tf_$i AS DOUBLE) * 2.2)
+             / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"""
+        }
+        s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+            ${tfs.mkString(", ")} FROM documents),
+          stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+            ${dfs.mkString(", ")} FROM base),
+          sc AS (SELECT base.*, n_docs, ${terms.indices.map(i => s"df_$i").mkString(", ")},
+            CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+            FROM base, stats)
+          SELECT doc_id, dl, ${terms.zipWithIndex.map { case (t, i) => s"tf_$i AS tf_$t" }.mkString(", ")},
+            round(${termScores.mkString(" + ")}, 6) AS bm25
+          FROM sc ORDER BY bm25 DESC, doc_id LIMIT 25"""
+      },
+      (s, dir) => Retrieval.bm25(Tables(s, dir).documents, terms, limit = 25))
+  }
+
+  /** Unigram-frequency rarity (Retrieval.rarity): the exact-arithmetic
+    * perplexity-proxy quality filter — integer-quantized inverse
+    * corpus frequency summed per doc.
+    */
+  private val rarityQ = GraftQuery(
+    "d_unigram_rarity",
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      v AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+      j AS (SELECT doc_id, CAST(1000000000 AS BIGINT) // c AS w
+        FROM tok JOIN v USING (term))
+      SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS rarity_sum,
+        round(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_rarity
+      FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => Retrieval.rarity(Tables(s, dir).documents)
+      .orderBy("doc_id"))
+
+  /** Scalar quantization of the embedding column
+    * (Similarity.scalarQuantize): per-dimension global stats →
+    * 256-level integer codes. The oracle recomputes the same codes in
+    * DuckDB (floor arithmetic — no rounding ties) and compares
+    * order-independent integer summaries plus a code prefix.
+    */
+  private val vecQuantize = GraftQuery(
+    "d_vec_quantize",
+    Some("""WITH dims AS (SELECT CAST(i AS INT) AS dim,
+        min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        max(CAST(embedding[i] AS DOUBLE)) AS mx
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY i),
+      arrs AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        FROM dims),
+      q AS (SELECT vec_id, list_transform(embedding, (x, i) ->
+          CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+          ELSE CAST(least(floor(((CAST(x AS DOUBLE) - mns[i]) * 256.0)
+            / (mxs[i] - mns[i])), 255.0) AS BIGINT) END) AS q
+        FROM embeddings, arrs)
+      SELECT vec_id, CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+        CAST(list_aggregate(q, 'min') AS BIGINT) AS q_min,
+        CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max,
+        array_to_string(list_transform(q[1:8], y -> CAST(y AS VARCHAR)), ',') AS q_prefix
+      FROM q ORDER BY vec_id"""),
+    (s, dir) => Similarity.scalarQuantize(Tables(s, dir).embeddings, levels = 256)
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        array_join(transform(slice(col("q"), 1, 8), _.cast("string")), ",")
+          .as("q_prefix"))
+      .orderBy("vec_id"))
+
+  /** Semantic dedup (Similarity.semanticDedup — the SemDeDup recipe).
+    * KMeans clustering is not SQL-expressible → rows-only; the keep
+    * policy's one-sided correctness and its recall vs the exact
+    * cosine pair set are property-tested in PipelineSpec.
+    */
+  private val semDedup = GraftQuery(
+    "d_semdedup",
+    None,
+    (s, dir) => Similarity.semanticDedup(Tables(s, dir).embeddings, tau = 0.4)
+      .orderBy("vec_id"))
+
   private val mediaFeatures = GraftQuery(
     "d_media_features",
     None, // synthetic binary media (no media table in testdata); the
@@ -564,5 +684,6 @@ object LlmOps {
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
     consistentSample, contamination, bloomContam, mediaFeatures,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
-    splitQ, packQ, incrDedup)
+    splitQ, packQ, incrDedup, segmentDedup, bm25Q, rarityQ,
+    vecQuantize, semDedup)
 }

@@ -132,4 +132,98 @@ object Similarity {
     */
   private def signatureForTable(a: Column, bits: Int, tbl: Int): Column =
     graft.functions.VectorFns.hyperplaneSignature(a, bits, planeOffset = tbl * bits)
+
+  /** Global per-dimension scalar quantization of the embedding column
+    * to `levels` integer codes (the int8-class memory/bandwidth
+    * reduction every large ANN index applies before search — 4× fewer
+    * bytes than float32 at levels=256).
+    *
+    * Scale shape: the per-dimension (min, max) stats are ONE
+    * posexplode pass whose groupBy key is the dimension index —
+    * map-side partial aggregation collapses every task to `dim` rows,
+    * so the shuffle moves O(dims × tasks), not O(rows). The dim-length
+    * stat arrays then broadcast back over the corpus and quantization
+    * is a narrow map. The per-element transform is an interpreted HOF,
+    * but over a fixed `dim`-length array (bounded work per row, no
+    * lambda capturing the data array — the O(n²) trap doesn't apply).
+    *
+    * Code q_i = floor(((x_i - mn_i) * levels) / (mx_i - mn_i)) clamped
+    * to [0, levels-1], constant dimensions map to 0 — floor, not
+    * round, so no half-way ties and every engine agrees bit-for-bit.
+    */
+  def scalarQuantize(emb: DataFrame, levels: Int = 256): DataFrame = {
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    // dim-ordered stat arrays, built distributed (no driver collect):
+    // array_sort over (dim, mn, mx) structs is total because dim is
+    // unique, so the arrays are partitioning-invariant
+    val statArrays = stats
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("s"))
+      .select(transform(col("s"), x => x.getField("mn")).as("mns"),
+        transform(col("s"), x => x.getField("mx")).as("mxs"))
+    val lv = lit(levels.toDouble)
+    emb.crossJoin(broadcast(statArrays))
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          when(mx === mn, 0L).otherwise(
+            least(floor((x.cast("double") - mn) * lv / (mx - mn)),
+              lit((levels - 1).toLong)))
+        }).as("q"))
+  }
+
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
+    * the embeddings with KMeans, then WITHIN each cluster drop every
+    * item whose cosine to a lower-id same-cluster item exceeds `tau`
+    * — near-duplicate semantics captured by the embedding space, not
+    * the text bytes, so paraphrases and template rewrites fall out
+    * that minhash/simhash can't see.
+    *
+    * Scale shape: the pair space is Σ cluster², never n² — candidate
+    * generation is the equi-join on the cluster id, exactly the IVF
+    * partitioning [[ivfTopK]] uses (cells stay partitioned; nothing
+    * replicates). The keep policy (drop iff a smaller-id near-dup
+    * exists in your cluster) is one-sided and local, so it needs no
+    * iterative component propagation — the documented SemDeDup trade:
+    * recall bounded by the clustering (cross-cluster near-dups
+    * survive), which the spec measures against the exact pair set.
+    *
+    * Returns (vec_id, cell, keep, rep_id): rep_id = the smallest-id
+    * near-dup neighbor for dropped items, = vec_id for kept ones.
+    */
+  def semanticDedup(emb: DataFrame, tau: Double, nCells: Int = 16,
+      trainSample: Int = 2000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic training sample (orderBy → TakeOrderedAndProject),
+    // same recipe as ivfTopK
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setMaxIter(10).setFeaturesCol("features")
+      .fit(base.orderBy("vec_id").limit(trainSample))
+    val assigned = model.transform(base)
+      .withColumnRenamed("prediction", "cell")
+      .drop("features")
+    val a = assigned.select(col("cell"), col("vec_id").as("rep_cand"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_id"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("rep_cand") < col("vec_id"))
+      .filter(round(graft.functions.VectorFns.dot(col("emb_a"), col("emb_b"))
+        / (col("nrm_a") * col("nrm_b")), 6) > tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("rep_cand")).as("rep_of_dropped"))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("rep_of_dropped").isNull.as("keep"),
+        coalesce(col("rep_of_dropped"), col("vec_id")).as("rep_id"))
+  }
 }

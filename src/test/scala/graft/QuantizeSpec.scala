@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class QuantizeSpec extends SparkSpec {
+
+  private def emb = Tables(spark, sf).embeddings
+
+  test("scalar quantization codes match an independent driver-side computation") {
+    val q = Similarity.scalarQuantize(emb, levels = 256)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = vecs.head._2.length
+    val mn = Array.tabulate(dim)(i => vecs.values.map(_(i).toDouble).min)
+    val mx = Array.tabulate(dim)(i => vecs.values.map(_(i).toDouble).max)
+    vecs.foreach { case (id, v) =>
+      val expect = v.indices.map { i =>
+        if (mx(i) == mn(i)) 0L
+        else math.min(
+          math.floor((v(i).toDouble - mn(i)) * 256.0 / (mx(i) - mn(i))).toLong,
+          255L)
+      }
+      assert(q(id) == expect, s"codes diverge for vec $id")
+    }
+  }
+
+  test("quantization codes stay in range and bucket-center dequantization bounds the error") {
+    val q = Similarity.scalarQuantize(emb, levels = 256)
+    assert(q.filter(array_min(col("q")) < 0 || array_max(col("q")) > 255).isEmpty)
+    // per-dimension reconstruction error <= one bucket width
+    val stats = emb.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+    val joined = q.join(emb, "vec_id")
+      .select(col("vec_id"), posexplode(arrays_zip(col("q"), col("embedding")))
+        .as(Seq("dim", "p")))
+      .join(stats, "dim")
+      .withColumn("w", (col("mx") - col("mn")) / 256.0)
+      .withColumn("dequant", col("mn") + (col("p.q").cast("double") + 0.5) * col("w"))
+      .withColumn("err", abs(col("dequant") - col("p.embedding").cast("double")))
+    assert(joined.filter(col("err") > col("w")).isEmpty,
+      "dequantization error exceeded one bucket width")
+  }
+
+  test("semantic dedup: every drop is justified by a lower-id same-cell near neighbor") {
+    val tau = 0.4
+    val out = Similarity.semanticDedup(emb, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    val cells = out.map(t => t._1 -> t._2).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      d / (math.sqrt(a.indices.foldLeft(0.0)((s, i) => s + a(i) * a(i)))
+        * math.sqrt(b.indices.foldLeft(0.0)((s, i) => s + b(i) * b(i))))
+    }
+    val dropped = out.filter(!_._3)
+    assert(dropped.nonEmpty, "corpus has planted near-dups; some must drop")
+    dropped.foreach { case (id, cell, _, rep) =>
+      assert(rep < id, s"representative $rep must precede $id")
+      assert(cells(rep) == cell, s"rep $rep of $id must share its cluster")
+      val c = cos(vecs(rep), vecs(id))
+      assert(c > tau, s"cos($rep, $id) = $c <= $tau")
+    }
+    out.filter(_._3).foreach { case (id, _, _, rep) => assert(rep == id) }
+  }
+
+  test("semantic dedup recalls a real share of the exact cosine pair set") {
+    val tau = 0.4
+    val exact = Dedup.embeddingNearDup(emb, lit(true), tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val droppedIds = Similarity.semanticDedup(emb, tau = tau)
+      .filter(!col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // an exact pair (a, b) is recalled when its higher-id side was
+    // dropped (the one-sided SemDeDup policy); misses are cross-cell
+    // pairs — the documented clustering trade
+    val recalled = exact.count { case (_, b) => droppedIds.contains(b) }
+    val recall = recalled.toDouble / exact.size
+    assert(recall >= 0.4, s"semdedup recall $recall over ${exact.size} exact pairs")
+  }
+}

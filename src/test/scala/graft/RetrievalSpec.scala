@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Retrieval}
+
+class RetrievalSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sf).documents
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("segment dedup drops exactly the re-used segments, keeps first occurrence") {
+    val seg1 = (1 to 20).map(i => s"a$i").mkString(" ")
+    val seg2 = (1 to 20).map(i => s"b$i").mkString(" ")
+    val seg3 = (1 to 20).map(i => s"c$i").mkString(" ")
+    val d = mkDocs(Seq(
+      (1L, s"$seg1 $seg2"), // first occurrence of both
+      (2L, s"$seg1 $seg3"), // seg1 is boilerplate here → dropped
+      (3L, seg3)))          // seg3 already claimed by doc 2
+    val out = Dedup.segmentDedup(d, segWords = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (2L, 2L, s"$seg1 $seg2"))
+    assert(out(2L) == (2L, 1L, seg3))
+    assert(out(3L) == (1L, 0L, ""))
+  }
+
+  test("segment dedup keeps every segment of a duplicate-free corpus") {
+    val out = Dedup.segmentDedup(docs.limit(50))
+    assert(out.filter(col("n_kept") > col("n_segments")).isEmpty,
+      "kept can never exceed total")
+    // corpus-wide: total kept == distinct segment count
+    val agg = Dedup.segmentDedup(docs)
+      .agg(sum("n_kept").as("kept"), sum("n_segments").as("total"))
+      .head()
+    assert(agg.getLong(0) <= agg.getLong(1))
+  }
+
+  test("bm25 ranks by term density and is repartition-invariant") {
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = mkDocs(Seq(
+      (1L, s"spark spark spark join $filler"),
+      (2L, s"spark $filler"),
+      (3L, filler)))
+    val out = Retrieval.bm25(d, Seq("spark", "join"), limit = 3).collect()
+    assert(out.map(_.getLong(0)).take(2).toSeq == Seq(1L, 2L),
+      "denser doc must rank first")
+    val score3 = out.find(_.getLong(0) == 3L).get.getAs[Double]("bm25")
+    assert(score3 == 0.0, "no term hits → zero score")
+    val re = Retrieval.bm25(d.repartition(7), Seq("spark", "join"), limit = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("bm25")))
+    assert(re.toSeq == out.map(r => (r.getLong(0), r.getAs[Double]("bm25"))).toSeq)
+  }
+
+  test("rarity: integer weights are exact and rare tokens score higher") {
+    val d = mkDocs(Seq(
+      (1L, "common common common"),
+      (2L, "common rareword")))
+    // counts: common=4, rareword=1
+    val out = Retrieval.rarity(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Double]("mean_rarity"))).toMap
+    val wCommon = 1000000000L / 4
+    val wRare = 1000000000L / 1
+    assert(out(1L) == (3L, 3 * wCommon, (3 * wCommon).toDouble / 3))
+    assert(out(2L)._2 == wCommon + wRare)
+    assert(out(2L)._3 > out(1L)._3, "doc with the rare token scores higher")
+  }
+
+  test("rarity on the corpus: every token instance weighted, sums positive") {
+    val out = Retrieval.rarity(docs)
+    val bad = out.filter(col("rarity_sum") <= 0 || col("n_tokens") <= 0).count()
+    assert(bad == 0)
+    // n_tokens must agree with the whitespace token count
+    val mismatch = out.join(
+        docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_ws")),
+        "doc_id")
+      .filter(col("n_tokens") =!= col("n_ws")).count()
+    assert(mismatch == 0)
+  }
+}
