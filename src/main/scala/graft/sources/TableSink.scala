@@ -52,4 +52,37 @@ object TableSink {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // -------------------------------------------------- compaction
+
+  /** Compact a parquet dataset's small files into ~`targetFileBytes`
+    * files (the operational fix for the small-files problem: a 100 TB
+    * table ingested in many increments accumulates thousands of tiny
+    * files per partition, and scan planning + open() overhead — not
+    * IO — starts to dominate). The output file count is derived from
+    * the CURRENT on-disk bytes, so compaction is idempotent: running
+    * it twice converges. Rewrite goes through repartition (round
+    * robin), which spreads rows evenly regardless of input skew.
+    *
+    * Returns (inputFiles, outputFiles).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(conf)
+    val dataFiles = fs.listStatus(in)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, outFiles)
+  }
 }

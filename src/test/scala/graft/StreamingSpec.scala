@@ -300,4 +300,39 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(1).user_id == 7 && sessions(1).n_events == 1
       && sessions(1).total_value == 10.0 && sessions(1).closed)
   }
+
+  test("stream-stream click attribution matches the batch twin across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = Seq(
+      Event(10, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Event(11, ts("2024-01-01 10:20:00"), 1, "view", 0.0),
+      Event(12, ts("2024-01-01 10:00:00"), 2, "view", 0.0))
+    val clicks = Seq(
+      Event(20, ts("2024-01-01 10:05:00"), 1, "click", 1.0), // → view 10
+      Event(21, ts("2024-01-01 10:25:00"), 1, "click", 2.0), // → view 11 only (10 is >10min old)
+      Event(22, ts("2024-01-01 10:30:00"), 2, "click", 3.0)) // no view within 10min
+    val vMem = MemoryStream[Event]
+    val cMem = MemoryStream[Event]
+    val q = EventStream.attributeClicks(vMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    // views and clicks arrive in different micro-batches: the join
+    // must buffer the view side in state until its click shows up
+    vMem.addData(views: _*)
+    q.processAllAvailable()
+    cMem.addData(clicks.take(2): _*)
+    q.processAllAvailable()
+    cMem.addData(clicks.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStream.attributeClicksBatch(views.toDF(), clicks.toDF())
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((20L, 10L), (21L, 11L)), batch.toSeq.sorted.mkString(","))
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
 }

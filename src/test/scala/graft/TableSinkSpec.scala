@@ -53,4 +53,25 @@ class TableSinkSpec extends SparkSpec {
     val prunedDays = df.select(countDistinct(col("p_date"))).head().getLong(0)
     assert(prunedDays <= 1)
   }
+
+  test("compaction merges small files, preserves rows, and is idempotent") {
+    val dir = Files.createTempDirectory("graft_compact")
+    val src = Tables(spark, sf).customer
+    // simulate incremental ingest: 40 tiny files
+    src.repartition(40).write.parquet(s"$dir/small")
+    val (inFiles, outFiles) = TableSink.compact(spark,
+      s"$dir/small", s"$dir/compacted", targetFileBytes = 512L * 1024)
+    assert(inFiles == 40, s"premise: 40 input files, saw $inFiles")
+    assert(outFiles < inFiles, s"compaction must reduce files: $inFiles -> $outFiles")
+    // no rows lost or duplicated
+    val before = src.count()
+    val after = spark.read.parquet(s"$dir/compacted").count()
+    assert(after == before)
+    assert(spark.read.parquet(s"$dir/compacted").select("c_custkey").distinct().count()
+      == src.select("c_custkey").distinct().count())
+    // idempotent: compacting the compacted output converges (stays put)
+    val (in2, out2) = TableSink.compact(spark,
+      s"$dir/compacted", s"$dir/compacted2", targetFileBytes = 512L * 1024)
+    assert(in2 == outFiles && out2 <= in2 + 1, s"$in2 -> $out2")
+  }
 }
