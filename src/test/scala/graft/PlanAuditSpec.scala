@@ -75,6 +75,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bm25 plans as one stats pass broadcast back plus top-k heaps") {
+    val p = planOf("d_bm25")
+    // corpus stats aggregate map-side before their single-row shuffle
+    assert(p.contains("partial_"), p)
+    // the stats row joins back via broadcast, never a shuffle of the corpus
+    assert(p.contains("Broadcast"), p)
+    // top-k is per-partition heaps + driver merge, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("segment dedup is two shuffles: keep-first window and per-doc rebuild") {
+    val p = planOf("d_segment_dedup")
+    assert(p.contains("Window"), p)
+    // AQE's printout repeats the plan (final + initial) — count only
+    // the final plan's exchanges: md5(seg) window + doc_id rebuild
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
+      "unexpected extra shuffles:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("rarity joins instances to vocab hash-based, never nested-loop") {
+    val p = planOf("d_unigram_rarity")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("quantization stats aggregate map-side and broadcast back") {
+    val p = planOf("d_vec_quantize")
+    assert(p.contains("partial_min") || p.contains("partial_"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
   test("simhash verifies inside the bucket join, below the pair-dedup shuffle") {
     // regression guard: the bit_count cut must run BEFORE the
     // dropDuplicates aggregation, so only true near-dup pairs shuffle —
