@@ -68,28 +68,49 @@ object Similarity {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Cell count for the KMeans-partitioned ops when the caller doesn't
+    * pin one (`nCells = 0`): ~one cell per `targetCellSize` vectors,
+    * floored at 16 (the small-corpus / spec regime — unchanged
+    * behavior below 8k vectors) and capped at 1024 (KMeans fit cost
+    * grows with k·sample·dim; past ~1k cells, raise targetCellSize
+    * instead). Within-cell pair work is n·cellSize, so the auto rule
+    * keeps the SemDeDup verify stage LINEAR in the corpus: at the 64×
+    * blow-up (320k vectors) fixed 16 cells meant 20k-vector cells and
+    * a 3.2G-pair verify (383 s measured); auto (640 cells) is ~25×
+    * less work.
+    */
+  private def autoCells(emb: DataFrame, nCells: Int,
+      targetCellSize: Int = 500): Int =
+    if (nCells > 0) nCells
+    else math.min(1024L, math.max(16L, emb.count() / targetCellSize)).toInt
+
   /** IVF (inverted-file) ANN: partition the corpus into k Voronoi
     * cells via KMeans centroids trained on a sample; each probe scans
     * only its nProbe nearest cells. The classic trade: train once,
     * then candidate generation is an equi-join on cell id — corpus
     * stays partitioned by cell, probes replicate nProbe× (tiny side).
+    * `nCells = 0` (default) derives the cell count from the corpus
+    * size ([[autoCells]]) so per-probe scan cost stays ~constant as
+    * the corpus grows.
     */
   def ivfTopK(emb: DataFrame, probeFilter: Column, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, trainSample: Int = 2000): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 4, trainSample: Int = 2000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
 
+    val cells = autoCells(emb, nCells)
     val base = emb.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // orderBy before limit => TakeOrderedAndProject: the training
     // sample (and thus the centroids) is deterministic across runs
-    // and partitionings.
-    val model = new KMeans().setK(nCells).setSeed(42)
+    // and partitionings. Sample scales with the cell count (≥20
+    // training points per centroid).
+    val model = new KMeans().setK(cells).setSeed(42)
       .setMaxIter(10).setFeaturesCol("features")
-      .fit(base.orderBy("vec_id").limit(trainSample))
+      .fit(base.orderBy("vec_id").limit(math.max(trainSample, 20 * cells)))
     val assigned = model.transform(base)
       .withColumnRenamed("prediction", "cell")
       .drop("features")
@@ -143,15 +164,37 @@ object Similarity {
     * map-side partial aggregation collapses every task to `dim` rows,
     * so the shuffle moves O(dims × tasks), not O(rows). The dim-length
     * stat arrays then broadcast back over the corpus and quantization
-    * is a narrow map. The per-element transform is an interpreted HOF,
-    * but over a fixed `dim`-length array (bounded work per row, no
-    * lambda capturing the data array — the O(n²) trap doesn't apply).
+    * is one native codegen pass per row (the HOF `transform`
+    * formulation, kept below as the spec's reference, does an
+    * interpreted element_at(stats, i) scan per element — O(dim²) per
+    * row, measured 13.6 s vs sub-second at the 64× blow-up).
     *
     * Code q_i = floor(((x_i - mn_i) * levels) / (mx_i - mn_i)) clamped
     * to [0, levels-1], constant dimensions map to 0 — floor, not
     * round, so no half-way ties and every engine agrees bit-for-bit.
     */
-  def scalarQuantize(emb: DataFrame, levels: Int = 256): DataFrame = {
+  def scalarQuantize(emb: DataFrame, levels: Int = 256): DataFrame =
+    quantizeWith(emb, levels) { (mns, mxs) =>
+      graft.plans.native.scalarQuantizeCodes(col("embedding"), mns, mxs, levels)
+    }
+
+  /** Interpreted HOF formulation of [[scalarQuantize]] — the reference
+    * implementation the native expression is property-tested against.
+    */
+  def scalarQuantizeHof(emb: DataFrame, levels: Int = 256): DataFrame =
+    quantizeWith(emb, levels) { (mns, mxs) =>
+      val lv = lit(levels.toDouble)
+      transform(col("embedding"), (x, i) => {
+        val mn = element_at(mns, i + 1)
+        val mx = element_at(mxs, i + 1)
+        when(mx === mn, 0L).otherwise(
+          least(floor((x.cast("double") - mn) * lv / (mx - mn)),
+            lit((levels - 1).toLong)))
+      })
+    }
+
+  private def quantizeWith(emb: DataFrame, levels: Int)(
+      codes: (Column, Column) => Column): DataFrame = {
     val stats = emb
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("dim")
@@ -164,16 +207,8 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("s"))
       .select(transform(col("s"), x => x.getField("mn")).as("mns"),
         transform(col("s"), x => x.getField("mx")).as("mxs"))
-    val lv = lit(levels.toDouble)
     emb.crossJoin(broadcast(statArrays))
-      .select(col("vec_id"),
-        transform(col("embedding"), (x, i) => {
-          val mn = element_at(col("mns"), i + 1)
-          val mx = element_at(col("mxs"), i + 1)
-          when(mx === mn, 0L).otherwise(
-            least(floor((x.cast("double") - mn) * lv / (mx - mn)),
-              lit((levels - 1).toLong)))
-        }).as("q"))
+      .select(col("vec_id"), codes(col("mns"), col("mxs")).as("q"))
   }
 
   /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
@@ -195,30 +230,40 @@ object Similarity {
     * Returns (vec_id, cell, keep, rep_id): rep_id = the smallest-id
     * near-dup neighbor for dropped items, = vec_id for kept ones.
     */
-  def semanticDedup(emb: DataFrame, tau: Double, nCells: Int = 16,
+  def semanticDedup(emb: DataFrame, tau: Double, nCells: Int = 0,
       trainSample: Int = 2000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val cells = autoCells(emb, nCells)
     val base = emb.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic training sample (orderBy → TakeOrderedAndProject),
     // same recipe as ivfTopK
-    val model = new KMeans().setK(nCells).setSeed(42)
+    val model = new KMeans().setK(cells).setSeed(42)
       .setMaxIter(10).setFeaturesCol("features")
-      .fit(base.orderBy("vec_id").limit(trainSample))
+      .fit(base.orderBy("vec_id").limit(math.max(trainSample, 20 * cells)))
     val assigned = model.transform(base)
       .withColumnRenamed("prediction", "cell")
       .drop("features")
-    val a = assigned.select(col("cell"), col("vec_id").as("rep_cand"),
+    val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("rep_cand"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_id"),
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vec_id"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    val dropped = a.join(b, Seq("cell"))
-      .filter(col("rep_cand") < col("vec_id"))
-      .filter(round(graft.functions.VectorFns.dot(col("emb_a"), col("emb_b"))
-        / (col("nrm_a") * col("nrm_b")), 6) > tau)
+    // id order AND the cosine cut ride the join condition (the
+    // round-2 simhash lesson): the within-cell pair space evaluates
+    // inside the codegen'd join stage and only true near-dup pairs
+    // materialize/shuffle — Σ cell² pairs never become output rows.
+    // RAW cosine, no round(): Spark's Round on double allocates a
+    // BigDecimal per evaluation — fatal at Σ cell² pairs — and the
+    // dot is a sequential fold, so the raw comparison is already
+    // partitioning-deterministic. (The oracle-backed exact twins keep
+    // round: their DuckDB SQL mirrors it term for term.)
+    val dropped = a.join(b, col("cell_a") === col("cell_b")
+        && col("rep_cand") < col("vec_id")
+        && graft.functions.VectorFns.dot(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")) > tau)
       .groupBy(col("vec_id"))
       .agg(min(col("rep_cand")).as("rep_of_dropped"))
     assigned.join(dropped, Seq("vec_id"), "left")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -36,16 +36,33 @@ object NativeImpl {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
-  /** See [[native.LiteralOccurrences]]. */
+  /** See [[native.LiteralOccurrences]]. One pass over the BYTES:
+    * UTF8String.indexOf takes a char position and re-walks the string
+    * from byte 0 to resolve it on every call — O(n·matches), which is
+    * quadratic when the literal is frequent (counting the ~dl spaces
+    * of a doc for a word count was 5× the whole scoring pass). Byte
+    * matching is exact for UTF-8 (continuation bytes never equal lead
+    * bytes, so a byte-sequence hit is always char-aligned); matches
+    * advance by the pattern length = the same non-overlapping count.
+    */
   def countLiteral(text: org.apache.spark.unsafe.types.UTF8String,
       pat: org.apache.spark.unsafe.types.UTF8String): Int = {
-    val pc = pat.numChars()
-    if (pc == 0) return 0
+    val pn = pat.numBytes
+    if (pn == 0) return 0
+    val n = text.numBytes
+    val tb = text.getBaseObject; val to = text.getBaseOffset
+    val pb = pat.getBaseObject; val po = pat.getBaseOffset
+    val first = org.apache.spark.unsafe.Platform.getByte(pb, po)
     var count = 0
-    var idx = text.indexOf(pat, 0)
-    while (idx >= 0) {
-      count += 1
-      idx = text.indexOf(pat, idx + pc)
+    var i = 0
+    val last = n - pn
+    while (i <= last) {
+      if (org.apache.spark.unsafe.Platform.getByte(tb, to + i) == first) {
+        var j = 1
+        while (j < pn && org.apache.spark.unsafe.Platform.getByte(tb, to + i + j)
+            == org.apache.spark.unsafe.Platform.getByte(pb, po + j)) j += 1
+        if (j == pn) { count += 1; i += pn } else i += 1
+      } else i += 1
     }
     count
   }
@@ -611,6 +628,64 @@ object native {
       copy(child = c)
   }
 
+  /** Per-dimension scalar quantization codes over a float embedding:
+    * q_i = least(floor(((x_i - mn_i) * levels) / (mx_i - mn_i)),
+    * levels-1), 0 where mx_i = mn_i. One pass over the array — the
+    * higher-order `transform` formulation pays an interpreted
+    * element_at(stats, i) scan per element (O(dim²) per row; measured
+    * 13.6 s for 320k×64-dim rows vs sub-second here). The IEEE
+    * expression tree ((x−mn)·levels)/(mx−mn) mirrors the DuckDB
+    * oracle exactly.
+    */
+  case class ScalarQuantizeCodes(first: Expression, second: Expression,
+      third: Expression, levels: Int)
+      extends TernaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override protected def nullSafeEval(v: Any, mnA: Any, mxA: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val mns = mnA.asInstanceOf[ArrayData]
+      val mxs = mxA.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val mn = mns.getDouble(i); val mx = mxs.getDouble(i)
+        out(i) =
+          if (mx == mn) 0L
+          else math.min(
+            math.floor((x.getFloat(i).toDouble - mn) * levels / (mx - mn)),
+            (levels - 1).toDouble).toLong
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, mns, mxs) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        val mn = ctx.freshName("mn"); val mx = ctx.freshName("mx")
+        s"""
+           |int $n = $x.numElements();
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $mn = $mns.getDouble($i);
+           |  double $mx = $mxs.getDouble($i);
+           |  $out[$i] = ($mx == $mn) ? 0L
+           |    : (long) java.lang.Math.min(
+           |        java.lang.Math.floor((((double) $x.getFloat($i)) - $mn) * ${levels}.0 / ($mx - $mn)),
+           |        ${levels - 1}.0);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression): ScalarQuantizeCodes =
+      copy(first = f, second = s, third = t)
+  }
+
   /** Ethiopian 'D/M/Y' rendering of a DATE child (days since epoch) —
     * native twin of functions.EthiopianCalendar.ethiopianDMY for SQL
     * registration (a Column-composed tree can't be registered as a
@@ -665,4 +740,9 @@ object native {
 
   def bpeishTokenCount(text: Column): Column =
     column(BpeishTokenCount(expression(text)))
+
+  def scalarQuantizeCodes(vec: Column, mns: Column, mxs: Column,
+      levels: Int): Column =
+    column(ScalarQuantizeCodes(expression(vec), expression(mns),
+      expression(mxs), levels))
 }

@@ -29,7 +29,10 @@ class NativeCodegenSpec extends SparkSpec {
         native.regexpCount(col("text"), "[aeiou]+").as("rc"),
         native.markerScores(lower(col("text")),
           Seq(Seq("one", "two"), Seq("beta", "zeta"))).as("ms"),
-        native.byteClassCount(col("text"), Seq(('a', 'f'), ('0', '9'))).as("bc"))
+        native.byteClassCount(col("text"), Seq(('a', 'f'), ('0', '9'))).as("bc"),
+        native.scalarQuantizeCodes(col("vec"),
+          array(lit(-1.0), lit(-0.4), lit(0.25), lit(0.2)),
+          array(lit(0.1), lit(0.5), lit(0.9), lit(0.2)), 256).as("sq"))
   }
 
   test("minhash/simhash/hyperplane/shingles/winnowing generate code — no fallback marker") {

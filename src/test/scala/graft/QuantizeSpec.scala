@@ -26,6 +26,15 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("native quantize codes match the interpreted HOF reference bit-for-bit") {
+    val nat = Similarity.scalarQuantize(emb, levels = 256)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = Similarity.scalarQuantizeHof(emb, levels = 256)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(nat.keySet == hof.keySet)
+    nat.foreach { case (id, codes) => assert(codes == hof(id), s"vec $id") }
+  }
+
   test("quantization codes stay in range and bucket-center dequantization bounds the error") {
     val q = Similarity.scalarQuantize(emb, levels = 256)
     assert(q.filter(array_min(col("q")) < 0 || array_max(col("q")) > 255).isEmpty)
