@@ -17,6 +17,16 @@ object TextFns {
 
   def distinctWords(text: Column): Column = array_distinct(words(text))
 
+  /** size(words(text)) without materializing the split array: pieces
+    * of a single-char split = separator occurrences + 1, for ANY text
+    * (empty text splits to [""] = 1 = 0 spaces + 1; runs of spaces
+    * yield empty pieces on both sides identically). One native byte
+    * scan — the split-allocate-count form showed up in every
+    * per-doc-stats hot path at the 64× blow-up.
+    */
+  def wordCount(text: Column): Column =
+    graft.plans.native.literalCount(text, " ") + lit(1)
+
   /** Word k-grams as strings ("shingles"). For texts shorter than k
     * words, one shingle covering the whole text.
     */

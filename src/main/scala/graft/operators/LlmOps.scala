@@ -412,19 +412,21 @@ object LlmOps {
           || CASE WHEN doc_id % 7 = 0
                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS t
-        FROM documents)
-      SELECT doc_id,
-        len(regexp_extract_all(t, '$PiiEmail')) AS n_emails,
-        len(regexp_extract_all(t, '$PiiPhone')) AS n_phones,
-        len(regexp_extract_all(t, '$PiiIpv4')) AS n_ipv4,
-        CASE WHEN len(regexp_extract_all(t, '$PiiEmail'))
-               + len(regexp_extract_all(t, '$PiiPhone'))
-               + len(regexp_extract_all(t, '$PiiIpv4')) > 0 THEN 1 ELSE 0 END AS has_pii,
+        FROM documents),
+      red AS (SELECT doc_id,
         regexp_replace(regexp_replace(regexp_replace(t,
           '$PiiEmail', '<EMAIL>', 'g'),
           '$PiiPhone', '<PHONE>', 'g'),
           '$PiiIpv4', '<IP>', 'g') AS redacted
-      FROM aug ORDER BY doc_id"""),
+        FROM aug)
+      SELECT doc_id,
+        CAST((len(redacted) - len(replace(redacted, '<EMAIL>', ''))) // 7 AS INT) AS n_emails,
+        CAST((len(redacted) - len(replace(redacted, '<PHONE>', ''))) // 7 AS INT) AS n_phones,
+        CAST((len(redacted) - len(replace(redacted, '<IP>', ''))) // 4 AS INT) AS n_ipv4,
+        CASE WHEN len(redacted) <> len(replace(replace(replace(redacted,
+          '<EMAIL>', ''), '<PHONE>', ''), '<IP>', '')) THEN 1 ELSE 0 END AS has_pii,
+        redacted
+      FROM red ORDER BY doc_id"""),
       (s, dir) => {
         val aug = Tables(s, dir).documents.select(col("doc_id"),
           concat(col("text"),
@@ -439,8 +441,7 @@ object LlmOps {
               concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
                 lit("."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")))
             .as("t"))
-        aug.select(col("doc_id") +: TextAnalysis.piiCounts(col("t"))
-            :+ TextAnalysis.piiRedact(col("t")).as("redacted"): _*)
+        aug.select(col("doc_id") +: TextAnalysis.piiDetectRedact(col("t")): _*)
           .orderBy("doc_id")
       })
   }

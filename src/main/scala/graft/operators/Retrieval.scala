@@ -60,7 +60,7 @@ object Retrieval {
   def bm25(docs: DataFrame, terms: Seq[String], limit: Int = 25,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one term")
-    val dl = graft.plans.native.literalCount(col(textCol), " ") + lit(1)
+    val dl = TextFns.wordCount(col(textCol))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       tf(col(textCol), t).as(s"__tf_$i") }
     val base = docs.select(col(idCol).as("doc_id") +: dl.as("__dl") +: tfCols: _*)

@@ -51,8 +51,7 @@ object TextAnalysis {
     */
   def quality(text: Column): Seq[Column] = {
     val nChars = length(text)
-    val toks = TextFns.words(text)
-    val nTokens = size(toks)
+    val nTokens = TextFns.wordCount(text)
     val avgTokLen = (nChars - nTokens + 1).cast("double") / nTokens.cast("double")
     // byte-class counts — single pass, no regex machine; identical to
     // counting "[!-/:-@\[-`{-~]" / "[0-9]" single-char matches (the
@@ -83,7 +82,7 @@ object TextAnalysis {
     * runs, punctuation runs — ASCII so Java and RE2 regex agree).
     */
   def tokenCounts(text: Column): Seq[Column] = Seq(
-    size(TextFns.words(text)).as("ws_tokens"),
+    TextFns.wordCount(text).as("ws_tokens"),
     // one-pass byte scan, match-sequence-identical to the regex
     // [A-Za-z]+|[0-9]+|[^A-Za-z0-9 ] (the form the oracle keeps)
     graft.plans.native.bpeishTokenCount(text).as("bpe_ish_tokens"),
@@ -174,6 +173,28 @@ object TextAnalysis {
     gated(gated(gated(text, hasAt, PiiEmail, "<EMAIL>"),
         hasDigit, PiiPhone, "<PHONE>"),
       hasDigit, PiiIpv4, "<IP>")
+  }
+
+  /** Detect + redact in one regex pass per class: redact first, then
+    * count each class as the literal occurrences of its typed
+    * placeholder in the redacted text (a byte scan, not a second
+    * regex machine — halves the regex work of counts-then-redact,
+    * measured 2× on the 64× blow-up). Placeholders contain no digits
+    * or '@', so later replace stages can't disturb earlier markers.
+    * Semantics: counts = the number of spans the redaction actually
+    * replaced per class (a phone inside an email local part counts
+    * as the email it was redacted as — the chain's own precedence),
+    * assuming source text doesn't already contain the literal
+    * placeholder tokens. The oracle mirrors this formulation.
+    */
+  def piiDetectRedact(text: Column): Seq[Column] = {
+    val red = piiRedact(text)
+    val e = graft.plans.native.literalCount(red, "<EMAIL>")
+    val p = graft.plans.native.literalCount(red, "<PHONE>")
+    val ip = graft.plans.native.literalCount(red, "<IP>")
+    Seq(e.as("n_emails"), p.as("n_phones"), ip.as("n_ipv4"),
+      when(e + p + ip > 0, 1).otherwise(0).as("has_pii"),
+      red.as("redacted"))
   }
 
   /** Bloom-filter decontamination — the constant-memory scale path of

@@ -42,6 +42,26 @@ class NativeCodegenSpec extends SparkSpec {
     assert(!code.contains("CodegenFallback"), code.take(2000))
   }
 
+  test("byte-scan literalCount matches the replace-length construction on edge inputs") {
+    import spark.implicits._
+    // multi-byte UTF-8 (é = 2 bytes, 文 = 3), overlap candidates,
+    // boundary matches, frequent single-char patterns, no-match
+    val rows = Seq(
+      ("héllo héllo héllo", "héllo"), ("aaaa", "aa"), ("aaaaa", "aa"),
+      ("文字文字文", "文字"), ("a b c d e", " "), ("", "x"),
+      ("ab", "abc"), ("xx", "xx"), (" pad pad ", " pad "),
+      ("ééé", "é"), ("aéaéa", "éa"))
+    rows.foreach { case (text, pat) =>
+      val df = Seq(text).toDF("t")
+      val got = df.select(native.literalCount(col("t"), pat)).head.getInt(0)
+      val ref = df.select(
+        ((length(col("t")) - length(regexp_replace(col("t"),
+          lit(java.util.regex.Pattern.quote(pat)), lit(""))))
+          / lit(pat.length)).cast("int")).head.getInt(0)
+      assert(got == ref, s"countLiteral('$text', '$pat'): got $got, replace-length $ref")
+    }
+  }
+
   test("generated code compiles and matches the interpreted evaluation") {
     // forbid silent fallback: a janino compile error must throw, not
     // quietly revert to the interpreted path
