@@ -670,6 +670,77 @@ object LlmOps {
     (s, dir) => Similarity.semanticDedup(Tables(s, dir).embeddings, tau = 0.4)
       .orderBy("vec_id"))
 
+  /** DSIR-style importance weighting (Retrieval.importance): target =
+    * English docs; add-one-smoothed integer-quantized unigram ratio
+    * summed per doc. Same determinism recipe as d_unigram_rarity.
+    */
+  private val importanceQ = GraftQuery(
+    "d_importance",
+    Some("""WITH tok AS (SELECT doc_id,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      dt AS (SELECT doc_id, term, COUNT(*) AS cnt, MAX(tgt) AS tgt
+        FROM tok GROUP BY doc_id, term),
+      v AS (SELECT term, SUM(cnt) AS c, SUM(cnt * tgt) AS tc
+        FROM dt GROUP BY term),
+      j AS (SELECT doc_id, dt.tgt, cnt,
+        (CAST(1000000 AS BIGINT) * (tc + 1)) // (c + 1) AS w
+        FROM dt JOIN v USING (term))
+      SELECT doc_id, CAST(MAX(tgt) AS INT) AS is_target,
+        CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        CAST(SUM(w * cnt) AS BIGINT) AS imp_sum,
+        round(CAST(SUM(w * cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 4)
+          AS mean_importance
+      FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => Retrieval.importance(Tables(s, dir).documents,
+      col("lang") === "en").orderBy("doc_id"))
+
+  /** Sequence-length histogram (TextAnalysis.lengthHistogram): word
+    * counts in 64-wide bins + cumulative doc share — the packing /
+    * curriculum planning distribution.
+    */
+  private val lenHist = GraftQuery(
+    "d_len_hist",
+    Some("""WITH n AS (SELECT CAST(len(text) - len(replace(text, ' ', '')) + 1
+          AS BIGINT) AS n_tok FROM documents),
+      a AS (SELECT n_tok // 64 AS bucket, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM n GROUP BY n_tok // 64)
+      SELECT bucket, bucket * 64 AS lo_word, n_docs, n_tokens,
+        CAST(SUM(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cum_docs,
+        round(CAST(SUM(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS cum_share
+      FROM a ORDER BY bucket"""),
+    (s, dir) => TextAnalysis.lengthHistogram(Tables(s, dir).documents)
+      .orderBy("bucket"))
+
+  /** Per-label embedding outliers (Similarity.labelOutliers): cosine
+    * to the integer-quantized label centroid, bottom-10 per label —
+    * the prototypicality / mislabel screen. Centroid sums are exact
+    * integer aggregations (order-independent); see the operator doc.
+    */
+  private val embedOutlier = GraftQuery(
+    "d_embed_outlier",
+    Some("""WITH s AS (SELECT label, CAST(i AS INT) AS dim,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+          AS BIGINT)) AS BIGINT) AS s, COUNT(*) AS n
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY label, i),
+      c AS (SELECT label, list(CAST(s // n AS DOUBLE) ORDER BY dim) AS m
+        FROM s GROUP BY label),
+      e AS (SELECT vec_id, emb.label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, m
+        FROM embeddings emb JOIN c USING (label)),
+      sc AS (SELECT vec_id, label, list_inner_product(v, m)
+          / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(m, m)))
+          AS cos FROM e),
+      r AS (SELECT label, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY label
+          ORDER BY round(cos, 6) ASC, vec_id) AS rank FROM sc)
+      SELECT label, rank, vec_id, round(cos, 4) AS cos_r
+      FROM r WHERE rank <= 10 ORDER BY label, rank"""),
+    (s, dir) => Similarity.labelOutliers(Tables(s, dir).embeddings, k = 10)
+      .orderBy("label", "rank"))
+
   private val mediaFeatures = GraftQuery(
     "d_media_features",
     None, // synthetic binary media (no media table in testdata); the
@@ -686,5 +757,5 @@ object LlmOps {
     consistentSample, contamination, bloomContam, mediaFeatures,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
     splitQ, packQ, incrDedup, segmentDedup, bm25Q, rarityQ,
-    vecQuantize, semDedup)
+    vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)
 }

@@ -113,6 +113,43 @@ object Retrieval {
     * arithmetic). No driver-side model, no floats until the final
     * division.
     */
+  /** DSIR-style importance weighting (Xie et al. 2023's data selection
+    * via importance resampling, reduced to its unigram core): score
+    * each document by how much its tokens look like a TARGET
+    * distribution vs the whole corpus. Token weight = (1e6 ·
+    * (target_count+1)) div (corpus_count+1) — add-one smoothed ratio,
+    * integer-quantized so per-doc sums are order-independent integer
+    * sums (the same no-floats-until-the-end trick as [[rarity]]).
+    * High mean = on-target text; the op a domain-upsampling pipeline
+    * runs to pick pretraining data matching a trusted seed corpus.
+    *
+    * Scale shape: identical to [[rarity]] — one explode into
+    * per-(doc, term) counts (the target flag rides along as a max),
+    * vocab + target counts reuse the first exchange, instances
+    * re-join the one-row-per-token stats.
+    */
+  def importance(docs: DataFrame, targetFilter: Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val docTerm = docs.select(col(idCol).as("doc_id"),
+        targetFilter.cast("int").as("__tgt"),
+        explode(TextFns.words(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("__cnt"), max(col("__tgt")).as("__tgt"))
+    val vocab = docTerm.groupBy("term")
+      .agg(sum(col("__cnt")).as("__c"),
+        sum(col("__cnt") * col("__tgt")).as("__tc"))
+    docTerm.join(vocab, Seq("term"))
+      .withColumn("__w",
+        expr("(CAST(1000000 AS BIGINT) * (__tc + 1)) div (__c + 1)"))
+      .groupBy("doc_id")
+      .agg(max(col("__tgt")).as("is_target"),
+        sum(col("__cnt")).as("n_tokens"),
+        sum(col("__w") * col("__cnt")).as("imp_sum"))
+      .select(col("doc_id"), col("is_target"), col("n_tokens"), col("imp_sum"),
+        round(col("imp_sum").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("mean_importance"))
+  }
+
   def rarity(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val docTerm = docs.select(col(idCol).as("doc_id"),

@@ -211,6 +211,50 @@ object Similarity {
       .select(col("vec_id"), codes(col("mns"), col("mxs")).as("q"))
   }
 
+  /** Per-label embedding-space outliers ("prototypicality" filtering —
+    * the SemDeDup/D4 companion pass that drops mislabeled or
+    * off-distribution items): rank each vector by cosine to its
+    * label's centroid, lowest first; the bottom-k per label are the
+    * outlier candidates.
+    *
+    * Determinism at scale: the centroid is built from INTEGER sums of
+    * 1e-6-quantized components — floor(x·1e6) summed per (label, dim)
+    * is an exact, order-independent integer aggregation (a float mean
+    * would depend on partition order), and the integer mean m_i =
+    * s div n is ≤ 2^24 so its float form is exact. Cosine to the
+    * centroid is then the usual sequential-fold double dot.
+    *
+    * Scale shape: posexplode stats pass with map-side partials
+    * (shuffle moves O(labels × dims × tasks)); the label→centroid
+    * table broadcasts back; scoring is a narrow codegen map; bottom-k
+    * per label is one window over the label partition.
+    */
+  def labelOutliers(emb: DataFrame, k: Int = 10): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val sums = q
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(sum(floor(col("x").cast("double") * lit(1000000.0))).as("s"),
+        count(lit(1)).as("n"))
+    val cents = sums
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"),
+        expr("s div n").as("m")))).as("ms"))
+      .select(col("label"),
+        transform(col("ms"), x => x.getField("m").cast("float")).as("m"))
+    val scored = q.join(broadcast(cents), Seq("label"))
+      .withColumn("cos",
+        graft.functions.VectorFns.dot(col("embedding"), col("m"))
+          / (graft.functions.VectorFns.norm(col("embedding"))
+            * graft.functions.VectorFns.norm(col("m"))))
+    val w = Window.partitionBy("label")
+      .orderBy(round(col("cos"), 6).asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
   /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
     * the embeddings with KMeans, then WITHIN each cluster drop every
     * item whose cosine to a lower-id same-cluster item exceeds `tau`

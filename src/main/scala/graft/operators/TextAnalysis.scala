@@ -88,6 +88,37 @@ object TextAnalysis {
     graft.plans.native.bpeishTokenCount(text).as("bpe_ish_tokens"),
     size(array_distinct(TextFns.words(lower(text)))).as("distinct_tokens"))
 
+  /** Sequence-length histogram: docs bucketed by word count in fixed
+    * `bucketWords`-wide bins, with cumulative document share — the
+    * distribution a packing/curriculum planner reads before choosing
+    * a context length (what share of docs fit in 1/2/4 buckets, how
+    * much token mass sits in the tail).
+    *
+    * Scale shape: one narrow native word-count scan, one groupBy on
+    * the bucket id (map-side partials collapse each task to its
+    * bucket set); the cumulative window runs over the aggregated
+    * frame (≤ max_len/bucketWords rows — trivially single-partition).
+    * All counts integer; shares divide at the end.
+    */
+  def lengthHistogram(docs: DataFrame, bucketWords: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    val agg = docs
+      .select((TextFns.wordCount(col(textCol)).cast("long")).as("n_tok"))
+      .select(expr(s"n_tok div $bucketWords").as("bucket"), col("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    val all = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    agg
+      .withColumn("lo_word", col("bucket") * bucketWords)
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_share",
+        round(sum(col("n_docs")).over(w).cast("double")
+          / sum(col("n_docs")).over(all).cast("double"), 6))
+      .select("bucket", "lo_word", "n_docs", "n_tokens", "cum_docs", "cum_share")
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * hash char k-grams, take the min hash of each sliding window of w
     * — the distinct mins are the document's fingerprints. Returned

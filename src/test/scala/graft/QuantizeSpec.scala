@@ -53,6 +53,24 @@ class QuantizeSpec extends SparkSpec {
       "dequantization error exceeded one bucket width")
   }
 
+  test("label outliers: a planted cross-label vector ranks as its label's top outlier") {
+    import spark.implicits._
+    val a = Array(1.0f, 0.05f, 0.0f, 0.02f)
+    val b = Array(0.0f, 1.0f, 0.03f, 0.0f)
+    def jig(v: Array[Float], i: Int) = v.map(_ + i * 0.01f)
+    val rows = (0 until 20).map(i => (i.toLong, jig(a, i % 5), 0)) ++
+      (20 until 40).map(i => (i.toLong, jig(b, i % 5), 1)) :+
+      ((99L, b, 0)) // mislabeled: b-shaped vector tagged label 0
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(e, k = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(out.contains((0, 1, 99L)),
+      s"planted mislabel must be label 0's #1 outlier, got ${out.toSeq}")
+    // ranks are dense per label and scores are within [-1, 1]
+    val byLabel = out.groupBy(_._1)
+    byLabel.values.foreach(g => assert(g.map(_._2).sorted.toSeq == (1 to g.size).toSeq))
+  }
+
   test("semantic dedup: every drop is justified by a lower-id same-cell near neighbor") {
     val tau = 0.4
     val out = Similarity.semanticDedup(emb, tau = tau).collect()

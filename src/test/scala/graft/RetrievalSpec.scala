@@ -70,6 +70,41 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2L)._3 > out(1L)._3, "doc with the rare token scores higher")
   }
 
+  test("importance: on-target docs outscore off-target, smoothing keeps weights defined") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "alpha beta gamma delta", "en"),
+      (3L, "gamma delta gamma delta", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Retrieval.importance(d, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("mean_importance"))).toMap
+    // corpus counts: alpha 3 (all target), beta 3 (all target),
+    // gamma 3 (1 target), delta 3 (1 target)
+    val wAll = 1000000L * 4 / 4   // tc=3 → (3+1)/(3+1)
+    val wMix = 1000000L * 2 / 4   // tc=1 → (1+1)/(3+1)
+    assert(out(1L) == ((1, 4L, 4 * wAll, (4.0 * wAll / 4))))
+    assert(out(2L)._3 == 2 * wAll + 2 * wMix)
+    assert(out(3L)._1 == 0)
+    assert(out(1L)._4 > out(2L)._4 && out(2L)._4 > out(3L)._4,
+      "importance must order by target-likeness")
+  }
+
+  test("length histogram conserves docs and tokens; cumulative share ends at 1") {
+    val hist = graft.operators.TextAnalysis.lengthHistogram(docs).collect()
+    val total = docs.count()
+    assert(hist.map(_.getLong(2)).sum == total, "n_docs must sum to corpus size")
+    val expectTok = docs.select(
+      sum(graft.functions.TextFns.wordCount(col("text")).cast("long"))).head.getLong(0)
+    assert(hist.map(_.getLong(3)).sum == expectTok, "token mass conserved")
+    val last = hist.maxBy(_.getLong(0))
+    assert(last.getLong(4) == total && last.getAs[Double]("cum_share") == 1.0)
+    hist.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) * 64, "lo_word = bucket * width")
+    }
+  }
+
   test("rarity on the corpus: every token instance weighted, sums positive") {
     val out = Retrieval.rarity(docs)
     val bad = out.filter(col("rarity_sum") <= 0 || col("n_tokens") <= 0).count()
