@@ -269,13 +269,30 @@ object Dedup {
   /** Exact word-set Jaccard for candidate pairs sharing a text prefix
     * (cheap high-recall blocking for this corpus; swap the blocking
     * key for minhash bands at lower expected overlap).
+    *
+    * `maxBucket` is the cut-not-split saturation cap (same rationale
+    * as [[simhashPairs]]): a prefix shared by k docs is boilerplate —
+    * its k²/2 exact-Jaccard pairs are the quadratic no partitioner
+    * fixes (measured: a planted 64-replica prefix family turned the
+    * 64× blow-up sweep from seconds into tens of minutes). Buckets
+    * over the cap are dropped whole, not sampled, so the survivors'
+    * pair set is unchanged; exact dedup upstream owns true k-copy
+    * families. The oracle mirrors the cap (a window count is plain
+    * SQL), so the gate stays exact.
     */
   def prefixJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", prefixLen: Int = 40,
-      threshold: Double = 0.5): DataFrame = {
-    val d = docs.select(col(idCol).as("doc_id"),
+      threshold: Double = 0.5, maxBucket: Int = 32): DataFrame = {
+    val d0 = docs.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("pre"),
       TextFns.distinctWords(col(textCol)).as("ws"))
+    val d =
+      if (maxBucket <= 0) d0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("pre")
+        d0.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= maxBucket).drop("__n")
+      }
     val a = d.select(col("pre"), col("doc_id").as("doc_a"), col("ws").as("ws_a"))
     val b = d.select(col("pre"), col("doc_id").as("doc_b"), col("ws").as("ws_b"))
     a.join(b, Seq("pre"))
@@ -295,34 +312,80 @@ object Dedup {
     * share a hyperplane-signature bucket in one of `nTables` tables,
     * so the pair space is O(Σ bucket²) instead of O(n²); exact cosine
     * verifies. Recall < 1 by construction (tune bits/nTables).
+    *
+    * `bits = 0` (auto) sizes the signature from the corpus:
+    * ceil(log2(n/128)) clamped to [4, 20], so expected bucket
+    * occupancy stays ~128 and the Σ bucket² verify stays LINEAR in n.
+    * A FIXED bit width is quadratic-by-parameter at scale: 4 bits =
+    * 16 buckets per table regardless of corpus size, which at a 64×
+    * blow-up (128k vectors) meant 8k-vector buckets and an 8G-pair
+    * verify. Below ~2k vectors auto resolves to 4 bits — small-corpus
+    * results (and the sf0.01 oracle gate) unchanged.
     */
+  /** Largest double x (in [0, 2]) whose HALF_UP rounding to `scale`
+    * decimals is <= tau — so `round(c, scale) > tau` ⟺ `c > boundary`
+    * POINTWISE (same BigDecimal.valueOf rounding Catalyst's Round
+    * applies). Evaluating Round per row goes BigDecimal.valueOf →
+    * Double.toString → FloatingDecimal — ~1 µs of string formatting
+    * per candidate pair (jstack'd as the hot frame at the 64×
+    * blow-up); one driver-side binary search over the ordered double
+    * bits removes it without changing a single admit/reject decision.
+    */
+  private[graft] def roundGtBoundary(tau: Double, scale: Int = 6): Double = {
+    def roundsLe(x: Double): Boolean =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue() <= tau
+    require(roundsLe(0.0) && !roundsLe(2.0), s"tau $tau outside (0, 2)")
+    var lo = java.lang.Double.doubleToLongBits(0.0)
+    var hi = java.lang.Double.doubleToLongBits(2.0)
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (roundsLe(java.lang.Double.longBitsToDouble(mid))) lo = mid else hi = mid
+    }
+    java.lang.Double.longBitsToDouble(lo)
+  }
+
   def embeddingNearDupLsh(emb: DataFrame, tau: Double,
-      bits: Int = 8, nTables: Int = 4): DataFrame = {
+      bits: Int = 0, nTables: Int = 4): DataFrame = {
     import graft.functions.VectorFns
+    val useBits =
+      if (bits > 0) bits
+      else {
+        val n = math.max(1L, emb.count())
+        math.min(20, math.max(4,
+          math.ceil(math.log(n / 128.0) / math.log(2.0)).toInt))
+      }
     val base = emb.select(col("vec_id"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucketed = base.select(col("vec_id"),
+    // vectors ride the bucket join (the simhash lesson): the cosine
+    // cut evaluates INSIDE the join stage, so only true near-dup
+    // pairs reach the pair-dedup shuffle — never the Σ bucket²
+    // candidate space (a candidates-first dropDuplicates shuffled
+    // 128M pair rows at the 64× blow-up). The vector payload in the
+    // band shuffle is nTables × ~dim·4B per vec — linear, and tiny
+    // next to the quadratic it removes. The cut is `cos > boundary`,
+    // pointwise-identical to embeddingNearDup's round(cos, 6) > tau
+    // ([[roundGtBoundary]]) so the LSH path stays a strict subset of
+    // the exact reference (spec-asserted) without a per-pair
+    // BigDecimal.
+    val bucketed = base.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
-          VectorFns.hyperplaneSignature(col("embedding"), bits, t * bits).as("sig"))
+          VectorFns.hyperplaneSignature(col("embedding"), useBits, t * useBits).as("sig"))
       }: _*)).as("b"))
-      .select(col("vec_id"), col("b.tbl"), col("b.sig"))
-    val cands = bucketed.select(col("tbl"), col("sig"), col("vec_id").as("vec_a"))
-      .join(bucketed.select(col("tbl"), col("sig"), col("vec_id").as("vec_b")),
-        Seq("tbl", "sig"))
-      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("b.tbl"), col("b.sig"))
+    val a = bucketed.select(col("tbl").as("tbl_a"), col("sig").as("sig_a"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val bb = bucketed.select(col("tbl").as("tbl_b"), col("sig").as("sig_b"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val boundary = roundGtBoundary(tau)
+    a.join(bb, col("tbl_a") === col("tbl_b") && col("sig_a") === col("sig_b")
+        && col("vec_a") < col("vec_b")
+        && VectorFns.dot(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")) > boundary)
       .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
-    cands
-      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("nrm").as("nrm_a")), "vec_a")
-      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("nrm").as("nrm_b")), "vec_b")
-      .withColumn("cos",
-        VectorFns.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
-      .filter(round(col("cos"), 6) > tau)
-      .select("vec_a", "vec_b")
   }
 
   def embeddingNearDup(emb: DataFrame, probeFilter: Column,

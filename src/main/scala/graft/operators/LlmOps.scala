@@ -39,16 +39,27 @@ object LlmOps {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b"))
 
+  /** Registered with the hot-bucket cap ON (scale-path principle): on
+    * a natural-language corpus, stopword-dominated simhash bits
+    * correlate corpus-wide, so a few 16-bit window values cover large
+    * doc fractions — Σ bucket² quadratic (measured 366 s at the 64×
+    * blow-up; 256-cap cuts those windows whole while the other 7
+    * windows keep the recall, see SimHashSpec). sf0.01 buckets are far
+    * below the cap, so gate results are unchanged.
+    */
   private val simhashQ = GraftQuery(
     "d_simhash",
     None, // 64-bit simhash + banding not SQL-expressible; see SimHashSpec
-    (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, maxHamming = 10)
+    (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, maxHamming = 10,
+        maxBucket = 256)
       .orderBy("doc_a", "doc_b"))
 
   private val ngramJaccard = GraftQuery(
     "d_ngram_jaccard",
-    Some("""WITH d AS (SELECT doc_id, substr(text, 1, 40) AS pre,
-        list_distinct(string_split(text, ' ')) AS ws FROM documents)
+    Some("""WITH d0 AS (SELECT doc_id, substr(text, 1, 40) AS pre,
+        list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      d AS (SELECT doc_id, pre, ws FROM (SELECT *,
+          COUNT(*) OVER (PARTITION BY pre) AS n FROM d0) WHERE n <= 32)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
           / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
@@ -71,7 +82,7 @@ object LlmOps {
     "d_embed_neardup",
     None, // LSH recall < 1: rows-only; recall gated vs exact in LlmOpsSpec
     (s, dir) => Dedup.embeddingNearDupLsh(Tables(s, dir).embeddings,
-        tau = 0.4, bits = 4, nTables = 8)
+        tau = 0.4, bits = 0, nTables = 8) // bits auto-sized from n
       .orderBy("vec_a", "vec_b"))
 
   /** Exact brute-force reference for d_embed_neardup (oracle-backed;

@@ -61,7 +61,7 @@ object Similarity {
       .withColumn("cos",
         VectorFns.dot(col("emb_p"), col("embedding")) / (col("nrm_p") * col("nrm")))
     val w = Window.partitionBy("probe_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      .orderBy(gridKey(col("cos")).desc, col("vec_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -84,6 +84,50 @@ object Similarity {
     if (nCells > 0) nCells
     else math.min(1024L, math.max(16L, emb.count() / targetCellSize)).toInt
 
+  /** 1e-6-grid ranking key: floor(c·1e6 + 0.5) orders exactly like
+    * round(c, 6) (both are the half-up 1e-6 grid; they can differ
+    * only on EXACT negative half-grid doubles, which the 1e-6 grid
+    * doesn't contain) — but it is pure codegen arithmetic, while
+    * Catalyst's Round on double goes BigDecimal.valueOf →
+    * Double.toString per evaluation (~1 µs; jstack'd under the
+    * candidate-ranking window sort as most of d_ann_topk's wall).
+    * Used in the rows-only approximate paths; the oracle-backed
+    * brute-force twin keeps round() in lockstep with its SQL.
+    */
+  private def gridKey(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5))
+
+  /** Deterministic KMeans fit shared by the cell-partitioned ops.
+    * orderBy before limit => TakeOrderedAndProject: the training
+    * sample (and thus the centroids) is deterministic across runs and
+    * partitionings; sample scales with the cell count (≥20 points per
+    * centroid). The fixed repartition spreads the single-partition
+    * limit output so the fit's distance passes parallelize
+    * (round-robin sorts before splitting — assignment deterministic),
+    * and the PERSIST is load-bearing: KMeans runs ~15 jobs
+    * (k-means|| init rounds + iterations) over its input, and an
+    * uncached training frame re-derives the whole source pipeline —
+    * scan, norms, vectorize, sort-limit — per job (jstack'd as the
+    * d_ann_topk floor at the 64× blow-up: deep MapPartitionsRDD
+    * recompute chains, 30+ s of the 39 s total).
+    */
+  private def fitKMeans(base: DataFrame, cells: Int, trainSample: Int) = {
+    import org.apache.spark.ml.clustering.KMeans
+    // ≥10 points per centroid and 5 iterations: the centroids only
+    // PARTITION the space (cells for candidate generation) — recall
+    // comes from nProbe / the verify, not from tight convergence, and
+    // fit cost is k · sample · dim · iters through JVM BLAS
+    // (DistanceMeasure.findClosest profiled as half of d_ann_topk's
+    // wall at 10 iters / 20× sampling).
+    val train = base.orderBy("vec_id")
+      .limit(math.max(trainSample, 10 * cells)).repartition(32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      new KMeans().setK(cells).setSeed(42)
+        .setMaxIter(5).setFeaturesCol("features").fit(train)
+    finally train.unpersist()
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into k Voronoi
     * cells via KMeans centroids trained on a sample; each probe scans
     * only its nProbe nearest cells. The classic trade: train once,
@@ -104,13 +148,7 @@ object Similarity {
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // orderBy before limit => TakeOrderedAndProject: the training
-    // sample (and thus the centroids) is deterministic across runs
-    // and partitionings. Sample scales with the cell count (≥20
-    // training points per centroid).
-    val model = new KMeans().setK(cells).setSeed(42)
-      .setMaxIter(10).setFeaturesCol("features")
-      .fit(base.orderBy("vec_id").limit(math.max(trainSample, 20 * cells)))
+    val model = fitKMeans(base, cells, trainSample)
     val assigned = model.transform(base)
       .withColumnRenamed("prediction", "cell")
       .drop("features")
@@ -140,7 +178,7 @@ object Similarity {
         graft.functions.VectorFns.dot(col("emb_p"), col("embedding"))
           / (col("nrm_p") * col("nrm")))
     val w = Window.partitionBy("probe_id")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      .orderBy(gridKey(col("cos")).desc, col("vec_id"))
     val out = cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -283,11 +321,7 @@ object Similarity {
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic training sample (orderBy → TakeOrderedAndProject),
-    // same recipe as ivfTopK
-    val model = new KMeans().setK(cells).setSeed(42)
-      .setMaxIter(10).setFeaturesCol("features")
-      .fit(base.orderBy("vec_id").limit(math.max(trainSample, 20 * cells)))
+    val model = fitKMeans(base, cells, trainSample)
     val assigned = model.transform(base)
       .withColumnRenamed("prediction", "cell")
       .drop("features")

@@ -8,13 +8,21 @@ import org.apache.spark.sql.functions._
   * result through the noop sink (same honest-materialization rule as
   * graft.Bench).
   *
-  * The blow-up is NOT naive duplication: replica texts get a distinct
-  * replica-tagged token appended, and replica embeddings are
+  * The blow-up is NOT naive duplication: every 4th word of a replica
+  * text is tagged with the replica id, and replica embeddings are
   * deterministically perturbed per (replica, dimension). Exact
   * duplication would plant 64-copy exact-dup families and identical
   * vectors — the stacked worst case whose output cardinality, not the
-  * plan, dominates (measured in round 2); distinct replicas measure
-  * how the PLAN scales with data volume.
+  * plan, dominates (measured in round 2). Appending ONE distinct
+  * token is not enough either: replicas then share ~all shingles,
+  * minhash/simhash put all 64 in the same buckets, and the TRUE
+  * near-dup pair set itself is quadratic (measured: one partial-agg
+  * task ran 16+ minutes). Tagging every 4th word perturbs ~75% of
+  * word-3-shingles, so replica-pair Jaccard ≈ 0.14 — far below both
+  * the 0.8 verify threshold AND the (16,4)-band collision knee at
+  * J ≈ 0.5 (tag every 10th word and J ≈ 0.54 floods the verify join
+  * with ~8M candidates that all fail) — and the sweep measures how
+  * the PLAN scales with data volume, not a planted clique's output.
   *
   * Usage: ScaleCheck <sfDir> <factor> <workDir> <query> [query ...]
   */
@@ -35,20 +43,38 @@ object ScaleCheck {
     t.documents.crossJoin(reps)
       .select(
         (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
-        concat(col("text"), lit(" rep"), col("rep").cast("string"),
-          lit("x"), col("doc_id").cast("string")).as("text"),
-        col("lang"), col("source"),
-        (length(col("text")) + length(col("rep").cast("string"))
-          + length(col("doc_id").cast("string")) + 5).cast("long").as("n_chars"))
+        concat_ws(" ", transform(split(col("text"), " "), (w, i) =>
+          when(i % 4 === 0,
+            concat(w, lit("r"), col("rep").cast("string"))).otherwise(w)))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(cpus * 4)
       .write.mode(SaveMode.Overwrite).parquet(s"$workDir/documents.parquet")
 
+    // Replica embeddings get STRONG zero-mean hash noise, keyed per
+    // (vec_id, rep, dim) — ±1.0/dim against the corpus's unit norms,
+    // so EVERY pair of distinct blow-up vectors is noise-dominated
+    // (cosine ≈ 0). The old small positive-biased perturbation left
+    // replica cosines ≈ 0.75 (64-vector near-dup cliques, quadratic
+    // true pair set — the same planted-clique artifact as the text
+    // tags); and noise keyed only by (rep, dim) is worse still: the
+    // shared noise vector dominates every same-rep pair (cos ≈ 0.85,
+    // one 2000-vector ball per replica).
     t.embeddings.crossJoin(reps)
       .select(
         (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
-          x + ((col("rep") * 31 + i) % 17).cast("float") * lit(0.013f))
+          x + (pmod(hash(col("vec_id"), col("rep"), i), lit(2001)) - lit(1000))
+            .cast("float") * lit(0.001f))
           .as("embedding"),
         col("label"))
+      // repartition: the blown-up frame descends from ONE small input
+      // split via a broadcast crossJoin — written as-is it is a single
+      // 40 MB parquet file = a single read split, and every embedding
+      // op downstream runs on ONE task (jstack'd). Real corpora have
+      // many files; give the sweep the same property.
+      .repartition(cpus * 4)
       .write.mode(SaveMode.Overwrite).parquet(s"$workDir/embeddings.parquet")
 
     val nDocs = spark.read.parquet(s"$workDir/documents.parquet").count()
@@ -57,6 +83,7 @@ object ScaleCheck {
     queries.foreach { name =>
       val build = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
+      println(s"[scale] start $name"); Console.flush()
       val t0 = System.nanoTime()
       try {
         build(spark, workDir)

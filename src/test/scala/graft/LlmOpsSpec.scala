@@ -18,6 +18,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} pairs")
   }
 
+  test("prefix-jaccard bucket cap cuts a planted boilerplate family whole, keeps the rest") {
+    import spark.implicits._
+    val pre = (1 to 12).map(i => s"pw$i").mkString(" ") // 51 chars shared
+    val family = (0 until 40).map(i => (i.toLong, s"$pre tail$i"))
+    val shared = "unique alpha beta gamma delta epsilon zeta" // 42 chars
+    val pair = Seq((100L, s"$shared one"), (101L, s"$shared two"))
+    val d = (family ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.prefixJaccardPairs(d, threshold = 0.5, maxBucket = 32)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 40-doc family is over the cap → dropped whole (cut, not split)
+    assert(!capped.exists { case (a, b) => a < 100 || (b < 100) },
+      s"family pairs survived the cap: $capped")
+    // the small bucket's genuine near-dup pair survives
+    assert(capped.contains((100L, 101L)), capped.toString)
+    // cap off → the family's quadratic pair set is back
+    val uncapped = Dedup.prefixJaccardPairs(d, threshold = 0.5, maxBucket = 0).count()
+    assert(uncapped >= 40L * 39 / 2, s"uncapped pair count $uncapped")
+  }
+
   test("simhash hamming distance is small exactly for near-dup pairs") {
     val planted = Dedup.prefixJaccardPairs(docs, prefixLen = 40, threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -69,6 +88,24 @@ class LlmOpsSpec extends SparkSpec {
     if (brute.nonEmpty) {
       val recall = (brute & lsh).size.toDouble / brute.size
       assert(recall > 0.3, s"recall $recall over ${brute.size} pairs")
+    }
+  }
+
+  test("roundGtBoundary: c > boundary decides exactly like round(c,6) > tau") {
+    import org.apache.spark.sql.functions.round
+    import spark.implicits._
+    for (tau <- Seq(0.35, 0.4, 0.5)) {
+      val boundary = Dedup.roundGtBoundary(tau)
+      // probe a dense neighborhood of the boundary plus round values
+      val probes = (-5 to 5).map(k => boundary + k * math.ulp(boundary)) ++
+        (-3 to 3).map(k => tau + k * 5e-7) ++ Seq(0.0, 1.0, tau)
+      val viaRound = probes.toDF("c")
+        .select(col("c"), (round(col("c"), 6) > tau).as("r")).collect()
+        .map(r => r.getDouble(0) -> r.getBoolean(1)).toMap
+      probes.foreach { c =>
+        assert((c > boundary) == viaRound(c),
+          s"tau=$tau c=$c boundary=$boundary spark-round=${viaRound(c)}")
+      }
     }
   }
 

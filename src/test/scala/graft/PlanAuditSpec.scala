@@ -109,6 +109,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("importance reuses the doc-term exchange and joins vocab hash-based") {
+    val p = planOf("d_importance")
+    assert(p.contains("ReusedExchange"), "vocab must reuse the docTerm shuffle:\n" + p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("length histogram aggregates map-side; window only over the bucket frame") {
+    val p = planOf("d_len_hist")
+    assert(p.contains("partial_"), p)
+    // one bucket groupBy shuffle; the cumulative window runs on the
+    // ≤buckets-row aggregate (singlepartition), never over the corpus
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 1, p)
+  }
+
+  test("label outliers broadcast centroids back; no nested-loop over the corpus") {
+    val p = planOf("d_embed_outlier")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("semdedup evaluates the cosine cut inside the cell join, not after it") {
+    // the Σ cell² pair space must be cut by the join condition — the
+    // min-rep aggregation above the join sees only true near-dup pairs
+    val p = planOf("d_semdedup")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("cell_")).toSeq
+    assert(joinLines.nonEmpty, "no cell join found:\n" + p)
+    assert(joinLines.exists(_.toLowerCase.contains("floatdot")),
+      "dot not in the cell-join condition:\n" + joinLines.mkString("\n"))
+  }
+
   test("simhash verifies inside the bucket join, below the pair-dedup shuffle") {
     // regression guard: the bit_count cut must run BEFORE the
     // dropDuplicates aggregation, so only true near-dup pairs shuffle —
