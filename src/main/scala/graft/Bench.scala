@@ -62,12 +62,23 @@ object Bench {
       (name, times.min, err)
     }
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 4-decimal timings: full double precision tripled the line length
+    // and the driver's tail capture cut BENCH_r02/_r03 mid-JSON
+    def r4(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // durable copy in the repo so a truncated stdout capture never
+    // loses the artifact; the println stays the contract surface
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

@@ -61,8 +61,16 @@ object TableSink {
     * files per partition, and scan planning + open() overhead — not
     * IO — starts to dominate). The output file count is derived from
     * the CURRENT on-disk bytes, so compaction is idempotent: running
-    * it twice converges. Rewrite goes through repartition (round
-    * robin), which spreads rows evenly regardless of input skew.
+    * it twice converges.
+    *
+    * Hive-partitioned layouts (data files nested under key=value
+    * directories) are sized by a RECURSIVE listing and rewritten with
+    * the same partitionBy columns, so the layout — and with it
+    * partition pruning — survives compaction. Rows are shuffled on the
+    * partition columns so each hive partition's rows co-locate and the
+    * writer emits ~one file per (task, partition); flat layouts go
+    * through round-robin repartition, which spreads rows evenly
+    * regardless of input skew.
     *
     * Returns (inputFiles, outputFiles).
     */
@@ -72,17 +80,39 @@ object TableSink {
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(inPath)
     val fs = in.getFileSystem(conf)
-    val dataFiles = fs.listStatus(in)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
+    def listDataFiles(p: org.apache.hadoop.fs.Path) = {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      val it = fs.listFiles(p, true) // recursive: partitioned data nests
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += s
+      }
+      buf.toSeq
+    }
+    val dataFiles = listDataFiles(in)
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    spark.read.parquet(inPath)
-      .repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
-    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // hive-style partition columns = the key=value directory segments
+    // between the dataset root and its data files
+    val root = fs.makeQualified(in).toString.stripSuffix("/")
+    val partCols: Seq[String] = dataFiles.headOption.toSeq.flatMap { f =>
+      f.getPath.getParent.toString.stripPrefix(root)
+        .split("/").filter(seg => seg.nonEmpty && seg.contains("="))
+        .map(_.takeWhile(_ != '=')).toSeq
+    }
+    val df = spark.read.parquet(inPath)
+    val writer =
+      if (partCols.nonEmpty)
+        df.repartition(nOut, partCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      else
+        df.repartition(nOut).write.mode(SaveMode.Overwrite)
+    writer.parquet(outPath)
+    val outFiles = listDataFiles(new org.apache.hadoop.fs.Path(outPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, outFiles)
   }
 }

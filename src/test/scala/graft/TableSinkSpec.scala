@@ -74,4 +74,31 @@ class TableSinkSpec extends SparkSpec {
       s"$dir/compacted", s"$dir/compacted2", targetFileBytes = 512L * 1024)
     assert(in2 == outFiles && out2 <= in2 + 1, s"$in2 -> $out2")
   }
+
+  test("compaction of a hive-partitioned dataset preserves the layout") {
+    val dir = Files.createTempDirectory("graft_compact_part")
+    val src = Tables(spark, sf).events
+    // incremental ingest under a date-partitioned layout: many tiny
+    // files nested below p_date=... directories
+    src.withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(8)
+      .write.partitionBy("p_date").parquet(s"$dir/small")
+    val (inFiles, outFiles) = TableSink.compact(spark,
+      s"$dir/small", s"$dir/compacted", targetFileBytes = 16L * 1024 * 1024)
+    assert(inFiles > 8, s"premise: nested files counted recursively, saw $inFiles")
+    assert(outFiles < inFiles, s"must reduce files: $inFiles -> $outFiles")
+    // layout survives: key=value directories exist and pruning still works
+    val back = spark.read.parquet(s"$dir/compacted")
+    assert(back.columns.contains("p_date"))
+    val days = back.select(countDistinct(col("p_date"))).head().getLong(0)
+    val srcDays = src.select(countDistinct(date_format(col("ts"), "yyyy-MM-dd")))
+      .head().getLong(0)
+    assert(days == srcDays, s"partition values preserved: $days vs $srcDays")
+    assert(back.count() == src.count())
+    val oneDay = back.filter(col("p_date") === "2024-01-05")
+    oneDay.collect()
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_date"),
+      "pruning must survive compaction: " + plan)
+  }
 }
