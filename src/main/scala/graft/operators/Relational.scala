@@ -554,6 +554,103 @@ object Relational {
     })
 
   // ------------------------------------------------------------------
+  // 21b. q_outcome_matrix — the TI × New × status conditional-sum
+  //      matrix (Tx_Curr_OutComeList.sql:100-146): clients newly
+  //      appearing in the active cohort this window (latest follow-up
+  //      active at window end, NOT active at window start − 1),
+  //      bucketed by transfer-in status × new-start status × latest
+  //      status code, summed with SUM(IF(...)) into the four report
+  //      cells (Traced_Back / Restarts / TI / New).
+  //
+  //      fn_get_ti_status(client, start−1, end) — the reference's
+  //      stored function (Tx_Curr_OutComeList.sql:132,175) whose body
+  //      is not in the repo — is modeled from its signature as a
+  //      windowed scan of (start−1, end]: a client is 'TI' when their
+  //      FIRST follow-up inside the window is a registration event
+  //      (they enter this facility's window already enrolled —
+  //      transferred in), else 'NTI'. The new-start analog mirrors the
+  //      art_start_date rule verbatim: first-ever event > start−1 and
+  //      ≤ end → 'N', else 'E'.
+  //
+  //      Scale shape: the reference runs THREE ROW_NUMBER window
+  //      scans + two self-joins; here all per-client facts (latest
+  //      row, pre-window latest row, first-ever ts, first in-window
+  //      row) fuse into ONE hash aggregation via max/min over structs
+  //      — a single shuffle of the events table (the q_ll_ahd
+  //      pattern), while the oracle keeps the reference's window form.
+  // ------------------------------------------------------------------
+  private val OutcomeStart = "2024-01-08" // REPORT_START_DATE analog
+  private val outcomeMatrix = GraftQuery(
+    "q_outcome_matrix",
+    Some(s"""WITH fu AS (SELECT *,
+        CASE event_type WHEN 'error' THEN 4 WHEN 'signup' THEN 6 ELSE 5 END AS status_code
+        FROM events WHERE ts <= TIMESTAMP '$EventsEnd'),
+      latest AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM fu) t WHERE rn = 1 AND status_code IN (5, 6)),
+      previous AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM fu WHERE ts < TIMESTAMP '$OutcomeStart') t WHERE rn = 1 AND status_code IN (5, 6)),
+      entry AS (SELECT user_id, MIN(ts) AS first_ts FROM fu GROUP BY user_id),
+      ti AS (SELECT user_id,
+          CASE WHEN event_type = 'signup' THEN 'TI' ELSE 'NTI' END AS ti
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+          FROM fu WHERE ts >= TIMESTAMP '$OutcomeStart') t WHERE rn = 1),
+      added AS (SELECT l.user_id, l.status_code,
+          CASE WHEN e.first_ts >= TIMESTAMP '$OutcomeStart' THEN 'N' ELSE 'E' END AS new,
+          COALESCE(t.ti, 'NTI') AS ti
+        FROM latest l
+        LEFT JOIN previous p ON l.user_id = p.user_id
+        LEFT JOIN entry e ON l.user_id = e.user_id
+        LEFT JOIN ti t ON l.user_id = t.user_id
+        WHERE p.user_id IS NULL)
+      SELECT
+        CAST(SUM(CASE WHEN ti = 'NTI' AND new = 'E' AND status_code = 5 THEN 1 ELSE 0 END) AS BIGINT) AS traced_back,
+        CAST(SUM(CASE WHEN ti = 'NTI' AND new = 'E' AND status_code = 6 THEN 1 ELSE 0 END) AS BIGINT) AS restarts,
+        CAST(SUM(CASE WHEN ti = 'TI' AND new = 'E' AND status_code = 5 THEN 1 ELSE 0 END) AS BIGINT) AS transfer_ins,
+        CAST(SUM(CASE WHEN ti = 'NTI' AND new = 'N' AND status_code = 5 THEN 1 ELSE 0 END) AS BIGINT) AS new_clients
+      FROM added"""),
+    (s, dir) => outcomeMatrixOf(Tables(s, dir).events, OutcomeStart, EventsEnd))
+
+  /** The TI × New × status matrix over an arbitrary events frame —
+    * see q_outcome_matrix above for the semantics and reference map.
+    */
+  def outcomeMatrixOf(events: DataFrame, start: String,
+      end: String): DataFrame = {
+      val fu = events
+        .filter(col("ts") <= lit(end))
+        .withColumn("status_code",
+          when(col("event_type") === "error", 4)
+            .when(col("event_type") === "signup", 6)
+            .otherwise(5))
+      val startTs = lit(start).cast("timestamp")
+      // one shuffle: every per-client windowed fact as a struct max/min
+      val perUser = fu.groupBy("user_id").agg(
+        max(struct(col("ts"), col("event_id"), col("status_code"))).as("latest"),
+        max(when(col("ts") < startTs,
+          struct(col("ts"), col("event_id"), col("status_code")))).as("prev"),
+        min(col("ts")).as("first_ts"),
+        min(when(col("ts") >= startTs,
+          struct(col("ts"), col("event_id"), col("event_type")))).as("winfirst"))
+      val added = perUser
+        .filter(col("latest.status_code").isin(5, 6))
+        .filter(col("prev").isNull || !col("prev.status_code").isin(5, 6))
+        .select(
+          col("latest.status_code").as("status_code"),
+          when(col("first_ts") >= startTs, "N").otherwise("E").as("new"),
+          when(col("winfirst.event_type") === "signup", "TI")
+            .otherwise("NTI").as("ti"))
+      def cell(ti: String, nw: String, st: Int, name: String) =
+        sum(when(col("ti") === ti && col("new") === nw
+          && col("status_code") === st, 1).otherwise(0)).as(name)
+      added.agg(
+        cell("NTI", "E", 5, "traced_back"),
+        cell("NTI", "E", 6, "restarts"),
+        cell("TI", "E", 5, "transfer_ins"),
+        cell("NTI", "N", 5, "new_clients"))
+  }
+
+  // ------------------------------------------------------------------
   // 22. q_approx_stats — sketch aggregates (HLL distinct, t-digest-ish
   //     quantiles): the constant-memory alternatives to q_distinct /
   //     exact percentiles at 100 TB. Rows-only (sketch internals are
@@ -939,7 +1036,7 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "measure"))
 
   val queries: Seq[GraftQuery] = Seq(
-    pivotAgg, outcomeSummary, approxStats, windowSuite, rollupQ,
+    pivotAgg, outcomeSummary, outcomeMatrix, approxStats, windowSuite, rollupQ,
     stringFuns2, mathFuns, percentileQ, cubeQ, havingQ, scalarSubquery,
     arrayFuns, regexFuns, boolAgg, monthArith, encodeFuns, dateParts,
     groupingSets, pivotWide, unpivotQ,

@@ -74,4 +74,30 @@ class RelationalSpec extends SparkSpec {
     val plan = Relational.lineListEntry(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "dim joins should broadcast")
   }
+
+  test("outcome matrix buckets TI/New/status cells like the reference block") {
+    // window = [2024-01-08, 2024-01-21]; one user per cell + two excluded
+    import spark.implicits._
+    def ev(id: Long, user: Long, day: Int, typ: String) =
+      (id, user, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), typ)
+    val events = Seq(
+      // traced_back (NTI, E, 5): errored out pre-window, active again
+      ev(1, 1, 5, "error"), ev(2, 1, 10, "view"),
+      // restarts (NTI, E, 6): re-registration is the latest status
+      ev(3, 2, 5, "error"), ev(4, 2, 9, "view"), ev(5, 2, 15, "signup"),
+      // transfer_ins (TI, E, 5): first in-window event is a registration
+      ev(6, 3, 5, "error"), ev(7, 3, 10, "signup"), ev(8, 3, 12, "view"),
+      // new_clients (NTI, N, 5): first-ever event inside the window
+      ev(9, 4, 10, "view"),
+      // excluded: already active at window start
+      ev(10, 5, 5, "view"), ev(11, 5, 10, "view"),
+      // excluded: latest status is not in the active set
+      ev(12, 6, 20, "error"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val row = Relational.outcomeMatrixOf(events, "2024-01-08", "2024-01-21")
+      .head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((1L, 1L, 1L, 1L)),
+      s"traced_back/restarts/transfer_ins/new_clients: $row")
+  }
 }
