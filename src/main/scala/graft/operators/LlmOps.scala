@@ -224,10 +224,42 @@ object LlmOps {
         .orderBy("doc_a", "doc_b")
     })
 
+  // The DuckDB twin reproduces the whole pipeline declaratively:
+  // exact-dup edges (md5 group → min rep), near-dup edges as TRUE
+  // all-pairs jaccard ≥ 0.8 over the representatives, then connected
+  // components as a WITH RECURSIVE min-label fixpoint. The oracle's
+  // edge set equals the LSH edge set exactly when banding recall is 1
+  // at the verify scale — it is (deterministic fixed-seed signatures;
+  // verified exhaustively at sf0.01), so the iterative CC op is
+  // hash-gated, not just rows-only. PipelineSpec keeps the driver-side
+  // union-find property check for scales where recall < 1 is allowed.
   private val dedupCorpus = GraftQuery(
     "d_dedup_corpus",
-    None, // iterative connected components not SQL-expressible; PipelineSpec
-          // checks it against a driver-side union-find oracle
+    Some("""WITH RECURSIVE ws AS (SELECT doc_id, md5(text) AS h,
+        string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, h,
+        list_distinct(list_transform(
+          generate_series(1, CAST(greatest(len(w) - 2, 1) AS INT)),
+          i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS s
+        FROM ws),
+      rep AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM sh),
+      exact_edges AS (SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id),
+      reps AS (SELECT doc_id, s FROM rep WHERE doc_id = rep_id),
+      near_edges AS (SELECT x.doc_id AS a, y.doc_id AS b
+        FROM reps x JOIN reps y ON x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.s, y.s))) >= 0.8),
+      edges AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges),
+      und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      r(src, dst) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT r.src, u.b FROM r JOIN und u ON r.dst = u.a),
+      reach AS (SELECT src, MIN(dst) AS component FROM r GROUP BY src)
+      SELECT d.doc_id, rc.component, d.lang, d.source
+      FROM documents d JOIN reach rc ON d.doc_id = rc.src
+      WHERE d.doc_id = rc.component
+      ORDER BY d.doc_id"""),
     (s, dir) => DedupPipeline.dedupedCorpus(Tables(s, dir).documents)
       .select("doc_id", "component", "lang", "source")
       .orderBy("doc_id"))
@@ -459,12 +491,49 @@ object LlmOps {
 
   /** Incremental ingest dedup (DedupPipeline.incrementalDedup):
     * src0 is the arriving batch, everything else the standing corpus.
-    * Rows-only (near-dup membership isn't SQL-expressible); the
-    * admit/reject semantics are property-tested in PipelineSpec.
+    * The DuckDB twin runs the same four stages declaratively — exact
+    * admit (md5 anti-membership), near admit (all-pairs batch×corpus
+    * jaccard, exact where LSH recall is 1 at the verify scale), then
+    * within-batch exact+near CC via the same WITH RECURSIVE min-label
+    * fixpoint as d_dedup_corpus. PipelineSpec keeps the admit/reject
+    * property checks.
     */
   private val incrDedup = GraftQuery(
     "d_incr_dedup",
-    None,
+    Some("""WITH RECURSIVE doc AS (SELECT doc_id, source, md5(text) AS h,
+        string_split(lower(text), ' ') AS w FROM documents),
+      shin AS (SELECT doc_id, source, h,
+        list_distinct(list_transform(
+          generate_series(1, CAST(greatest(len(w) - 2, 1) AS INT)),
+          i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS s
+        FROM doc),
+      corpus AS (SELECT * FROM shin WHERE source <> 'src0'),
+      batch AS (SELECT * FROM shin WHERE source = 'src0'),
+      fresh AS (SELECT b.* FROM batch b
+        WHERE b.h NOT IN (SELECT h FROM corpus)),
+      dupc AS (SELECT DISTINCT f.doc_id FROM fresh f JOIN corpus c
+        ON CAST(len(list_intersect(f.s, c.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(f.s, c.s))) >= 0.8),
+      admitted AS (SELECT * FROM fresh
+        WHERE doc_id NOT IN (SELECT doc_id FROM dupc)),
+      rep AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM admitted),
+      exact_edges AS (SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id),
+      reps AS (SELECT doc_id, s FROM rep WHERE doc_id = rep_id),
+      near_edges AS (SELECT x.doc_id AS a, y.doc_id AS b
+        FROM reps x JOIN reps y ON x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.s, y.s))) >= 0.8),
+      edges AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges),
+      und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      r(src, dst) AS (
+        SELECT doc_id, doc_id FROM admitted
+        UNION
+        SELECT r.src, u.b FROM r JOIN und u ON r.dst = u.a),
+      reach AS (SELECT src, MIN(dst) AS component FROM r GROUP BY src)
+      SELECT a.doc_id, a.source
+      FROM admitted a JOIN reach rc ON a.doc_id = rc.src
+      WHERE a.doc_id = rc.component
+      ORDER BY a.doc_id"""),
     (s, dir) => {
       val d = Tables(s, dir).documents
       DedupPipeline.incrementalDedup(
