@@ -1,0 +1,242 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
+/** Pure-JVM media container codecs: byte-level BUILDERS for valid
+  * PNG / JPEG / WAV files and header PARSERS that recover the typed
+  * metadata (dimensions, bit depth, channels, sample rate) from raw
+  * bytes. No image/audio library involved — PNG chunks are written
+  * with real CRC32s and deflate-compressed scanlines (java.util.zip),
+  * JPEG is a structurally valid baseline marker stream, WAV is a
+  * complete RIFF/fmt/data layout. This is the decode step of the
+  * multimodal pipeline (SURVEY.md §2.3 #32): header-level decode is
+  * REAL — only pixel/sample decode would need an external codec.
+  */
+object MediaCodecs {
+
+  /** Parsed header metadata. Image rows use width/height/bitDepth/
+    * channels; audio rows use bitDepth/channels/sampleRate.
+    */
+  final case class MediaMeta(fmt: String, width: Option[Int],
+      height: Option[Int], bitDepth: Option[Int], channels: Option[Int],
+      sampleRate: Option[Int])
+
+  // ------------------------------------------------------------- PNG
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n')
+    .map(_.toByte)
+
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new CRC32
+    val t = typ.getBytes("US-ASCII")
+    crc.update(t); crc.update(data)
+    be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+  }
+
+  /** A complete, spec-valid PNG: signature, IHDR, one IDAT holding the
+    * deflated filter-byte-prefixed scanlines, IEND. `colorType` 0 =
+    * gray (1 byte/px), 2 = RGB (3), 6 = RGBA (4); bit depth 8. Pixels
+    * are a deterministic function of (x, y, seed).
+    */
+  def buildPng(width: Int, height: Int, colorType: Int, seed: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val bpp = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case other => throw new IllegalArgumentException(s"colorType $other")
+    }
+    val ihdr = be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val raw = new Array[Byte](height * (1 + width * bpp))
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + width * bpp) // leading 0 = no filter
+      var i = 0
+      while (i < width * bpp) {
+        raw(rowOff + 1 + i) = ((i * 31 + y * 17 + seed) & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.BEST_SPEED)
+    deflater.setInput(raw); deflater.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** PNG IHDR parse: signature check, then width/height/bit depth/
+    * color type from the first chunk (the spec REQUIRES IHDR first).
+    */
+  def parsePng(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 33) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+    // offset 8: chunk length (must be 13), offset 12: "IHDR"
+    if (readBe32(bytes, 8) != 13L) return None
+    if (!(bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D'
+        && bytes(15) == 'R')) return None
+    val w = readBe32(bytes, 16)
+    val h = readBe32(bytes, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+    val depth = bytes(24) & 0xFF
+    val channels = (bytes(25) & 0xFF) match {
+      case 0 => 1 // gray
+      case 2 => 3 // rgb
+      case 3 => 1 // palette index
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // rgba
+      case _ => return None
+    }
+    Some(MediaMeta("png", Some(w.toInt), Some(h.toInt), Some(depth),
+      Some(channels), None))
+  }
+
+  private def readBe32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  // ------------------------------------------------------------ JPEG
+
+  /** A structurally valid baseline JPEG marker stream: SOI, JFIF APP0,
+    * a COM segment, DQT, SOF0 carrying the dimensions, SOS, entropy
+    * filler (FF-free), EOI. Every segment length is correct, so any
+    * conformant header walker (including [[parseJpeg]]) finds SOF0.
+    * `channels` is 1 (grayscale) or 3 (YCbCr).
+    */
+  def buildJpeg(width: Int, height: Int, channels: Int, seed: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 65536 && height < 65536)
+    require(channels == 1 || channels == 3)
+    val out = new ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xFF); out.write(marker) }
+    def seg(marker: Int, data: Array[Byte]): Unit = {
+      m(marker)
+      val len = data.length + 2
+      out.write(len >>> 8); out.write(len & 0xFF); out.write(data)
+    }
+    m(0xD8) // SOI
+    seg(0xE0, "JFIF\u0000".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
+    seg(0xFE, s"graft synthetic $seed".getBytes("US-ASCII")) // COM
+    seg(0xDB, 0.toByte +: Array.tabulate(64)(i => ((i + 1) & 0x7F).toByte)) // DQT
+    val sof = Array[Byte](8, // precision
+      (height >>> 8).toByte, (height & 0xFF).toByte,
+      (width >>> 8).toByte, (width & 0xFF).toByte,
+      channels.toByte) ++
+      (1 to channels).flatMap(c => Seq(c.toByte, 0x11.toByte, 0.toByte))
+    seg(0xC0, sof) // SOF0 (baseline)
+    seg(0xDA, Array[Byte](channels.toByte) ++
+      (1 to channels).flatMap(c => Seq(c.toByte, 0.toByte)) ++
+      Array[Byte](0, 63, 0)) // SOS
+    val rnd = new scala.util.Random(seed)
+    (0 until 64 + rnd.nextInt(192)).foreach(_ => out.write(rnd.nextInt(255))) // 0..254: no FF
+    m(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** JPEG SOF parse: walk the marker segments from SOI to the first
+    * SOFn (C0-C3, C5-C7, C9-CB, CD-CF — progressive SOF2 included)
+    * and read precision / height / width / component count.
+    */
+  def parseJpeg(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF
+        || (bytes(1) & 0xFF) != 0xD8) return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xFF) != 0xFF) return None // desynced
+      val marker = bytes(i + 1) & 0xFF
+      if (marker == 0xFF) { i += 1 } // fill byte
+      else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
+      else if (marker == 0xD9) return None // EOI before SOF
+      else {
+        val len = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+        if (len < 2 || i + 2 + len > bytes.length) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (len < 8) return None
+          val depth = bytes(i + 4) & 0xFF
+          val h = ((bytes(i + 5) & 0xFF) << 8) | (bytes(i + 6) & 0xFF)
+          val w = ((bytes(i + 7) & 0xFF) << 8) | (bytes(i + 8) & 0xFF)
+          val nc = bytes(i + 9) & 0xFF
+          if (w == 0 || h == 0 || nc == 0) return None
+          return Some(MediaMeta("jpeg", Some(w), Some(h), Some(depth),
+            Some(nc), None))
+        }
+        if (marker == 0xDA) return None // SOS reached without SOF
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  // ------------------------------------------------------------- WAV
+
+  private def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+  private def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte,
+    (v >>> 16).toByte, (v >>> 24).toByte)
+
+  /** A complete PCM WAV file: RIFF/WAVE header, fmt chunk, data chunk
+    * with deterministic 16-bit samples.
+    */
+  def buildWav(sampleRate: Int, channels: Int, nSamples: Int, seed: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0)
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val data = new Array[Byte](nSamples * blockAlign)
+    var i = 0
+    while (i < data.length) { data(i) = ((i * 131 + seed) & 0xFF).toByte; i += 1 }
+    val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bits)
+    ("RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + fmt.length + 8 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data)
+  }
+
+  /** WAV fmt parse: RIFF/WAVE check, then walk chunks to `fmt ` and
+    * read channels / sample rate / bits per sample.
+    */
+  def parseWav(bytes: Array[Byte]): Option[MediaMeta] = {
+    def ascii(off: Int, s: String): Boolean =
+      off + s.length <= bytes.length &&
+        s.indices.forall(k => bytes(off + k) == s.charAt(k).toByte)
+    if (bytes.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val size = readLe32(bytes, i + 4)
+      if (ascii(i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > bytes.length) return None
+        val channels = readLe16(bytes, i + 10)
+        val rate = readLe32(bytes, i + 12)
+        val bits = readLe16(bytes, i + 22)
+        if (channels <= 0 || rate <= 0) return None
+        return Some(MediaMeta("wav", None, None, Some(bits),
+          Some(channels), Some(rate.toInt)))
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  private def readLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def readLe32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  /** Dispatch on magic bytes. */
+  def parse(bytes: Array[Byte]): Option[MediaMeta] =
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x89) parsePng(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF) parseJpeg(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'R') parseWav(bytes)
+    else None
+}

@@ -824,10 +824,13 @@ object LlmOps {
   private val mediaFeatures = GraftQuery(
     "d_media_features",
     None, // synthetic binary media (no media table in testdata); the
-          // dataflow shape is what's exercised — see MediaOpsSpec
+          // header decode is property-tested against the written
+          // bytes in MediaOpsSpec — see MediaCodecs
     (s, _) => MediaOps.extractFeatures(
         MediaOps.syntheticMedia(s, 200).repartition(8))
-      .select(col("media_id"), col("mime"), col("n_bytes"))
+      .select(col("media_id"), col("mime"), col("n_bytes"), col("fmt"),
+        col("width"), col("height"), col("bit_depth"), col("channels"),
+        col("sample_rate"))
       .orderBy("media_id"))
 
   val queries: Seq[GraftQuery] = Seq(

@@ -5,18 +5,22 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal column plumbing (SURVEY.md §2.3 #32): image/audio/video
-  * as opaque binary columns + typed metadata, with partition-aware
-  * batched "decode" — the Spark-side shape (schema, partitioning,
-  * batch iteration) is real and tested; the actual codec call is a
-  * clearly-marked deterministic STUB because no media libraries ship
-  * in this environment.
+/** Multimodal columns (SURVEY.md §2.3 #32): image/audio/video as
+  * binary columns + typed metadata, with partition-aware batched
+  * decode. The DECODE IS REAL at the container level: payloads are
+  * valid PNG / JPEG / WAV files (built byte-by-byte in
+  * [[graft.functions.MediaCodecs]]) and width/height/bit depth/
+  * channels/sample rate are parsed back from the raw bytes — no
+  * external codec library. Only pixel/sample decompression remains
+  * out of scope (no media libs in this environment); the 8-dim
+  * feature is a real byte-distribution statistic of the payload.
   *
-  * Scale: decode runs via mapPartitions so a real codec would be
+  * Scale: decode runs via mapPartitions so a heavier codec would be
   * initialized once per partition (not per row) and rows stream
   * through in batches; media bytes never hit the driver.
   */
 object MediaOps {
+  import graft.functions.MediaCodecs
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -29,15 +33,18 @@ object MediaOps {
     StructField("media_id", LongType, nullable = false),
     StructField("mime", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
+    StructField("fmt", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("bit_depth", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** STUB decode: a real implementation would hand `payload` to a
-    * codec (JPEG/PNG/ffmpeg) here. The stub derives a deterministic
-    * 8-dim "feature" from byte statistics so tests are reproducible
-    * and the dataflow is identical to the real thing.
+  /** Deterministic 8-dim byte-distribution feature (histogram of the
+    * top-3 bits of every payload byte, normalized).
     */
-  private[operators] def stubDecode(payload: Array[Byte]): Array[Float] = {
-    // ??? <- real codec call goes here; deterministic fake below
+  private[operators] def byteFeature(payload: Array[Byte]): Array[Float] = {
     val buckets = new Array[Long](8)
     var i = 0
     while (i < payload.length) {
@@ -48,18 +55,24 @@ object MediaOps {
     buckets.map(_ / n)
   }
 
-  /** Batched feature extraction over the binary column. One codec
-    * init per partition; constant memory per row.
+  /** Batched decode + feature extraction over the binary column:
+    * container headers (PNG IHDR / JPEG SOF / WAV fmt) are parsed
+    * from the payload bytes — the returned dimensions come from the
+    * FILE, not from the metadata columns. One decoder per partition;
+    * constant memory per row.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "mime", "payload").mapPartitions { rows =>
-      // (real codec would be initialized HERE, once per partition)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
+        val meta = MediaCodecs.parse(payload)
+        def f(get: MediaCodecs.MediaMeta => Option[Int]): Any =
+          meta.flatMap(get).orNull
         Row(r.getLong(0), r.getString(1), payload.length,
-          stubDecode(payload))
+          meta.map(_.fmt).orNull, f(_.width), f(_.height),
+          f(_.bitDepth), f(_.channels), f(_.sampleRate),
+          byteFeature(payload))
       }
     }(enc)
   }
@@ -120,15 +133,30 @@ object MediaOps {
       }(enc)
   }
 
-  /** Deterministic synthetic media table for tests/demo. */
+  /** Deterministic synthetic media table: every payload is a VALID
+    * file (PNG with CRC'd chunks and deflated scanlines, baseline
+    * JPEG marker stream, PCM WAV) whose header metadata matches the
+    * width/height columns — so header decode recovers real values
+    * from real bytes.
+    */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     (0 until n).map { i =>
-      val rnd = new scala.util.Random(i)
-      val len = 256 + rnd.nextInt(768)
-      val payload = Array.fill(len)(rnd.nextInt(256).toByte)
-      (i.toLong, if (i % 2 == 0) "image/png" else "audio/wav",
-        Some(64 + i % 32), Some(48 + i % 24), payload)
+      val w = 64 + i % 32
+      val h = 48 + i % 24
+      (i % 3) match {
+        case 0 =>
+          val colorType = Array(0, 2, 6)((i / 3) % 3)
+          (i.toLong, "image/png", Some(w), Some(h),
+            MediaCodecs.buildPng(w, h, colorType, seed = i))
+        case 1 =>
+          (i.toLong, "image/jpeg", Some(w), Some(h),
+            MediaCodecs.buildJpeg(w, h, if (i % 2 == 0) 1 else 3, seed = i))
+        case _ =>
+          (i.toLong, "audio/wav", None, None,
+            MediaCodecs.buildWav(8000 + 100 * (i % 5), 1 + i % 2,
+              nSamples = 64 + i % 128, seed = i))
+      }
     }.toDF("media_id", "mime", "width", "height", "payload")
   }
 }
