@@ -348,16 +348,18 @@ object Dedup {
   def embeddingNearDupLsh(emb: DataFrame, tau: Double,
       bits: Int = 0, nTables: Int = 4): DataFrame = {
     import graft.functions.VectorFns
-    val useBits =
-      if (bits > 0) bits
-      else {
-        val n = math.max(1L, emb.count())
-        math.min(20, math.max(4,
-          math.ceil(math.log(n / 128.0) / math.log(2.0)).toInt))
-      }
     val base = emb.select(col("vec_id"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val useBits =
+      if (bits > 0) bits
+      else {
+        // count AFTER persist: the sizing pass is the cache
+        // materialization, not an extra uncached source scan
+        val n = math.max(1L, base.count())
+        math.min(20, math.max(4,
+          math.ceil(math.log(n / 128.0) / math.log(2.0)).toInt))
+      }
     // vectors ride the bucket join (the simhash lesson): the cosine
     // cut evaluates INSIDE the join stage, so only true near-dup
     // pairs reach the pair-dedup shuffle — never the Σ bucket²

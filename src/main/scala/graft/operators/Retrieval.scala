@@ -13,9 +13,14 @@ import graft.functions.TextFns
   *
   * Cross-engine determinism (the oracle invariant): no
   * transcendentals — BM25's log-idf is replaced by its rational core
-  * (N - df + 0.5)/(df + 0.5), monotone in df so rankings are the
-  * classic BM25 rankings, and every value is reached by the same
-  * IEEE expression tree from exact integers on both engines. Rarity
+  * (N - df + 0.5)/(df + 0.5). Per TERM that is monotone in df, so
+  * single-term rankings match log-idf BM25 exactly; multi-term
+  * scores are sums, and dropping the log rescales each term's
+  * contribution, so multi-term rankings are BM25-FAMILY, not
+  * guaranteed identical to log-idf BM25. Every value is reached by
+  * the same IEEE expression tree from exact integers on both
+  * engines (the op is exactly self-consistent with its SQL oracle).
+  * Rarity
   * weights are integer-quantized (1e9 div count) so per-document
   * sums are integer sums — order-independent, immune to float
   * summation order across partitions.
@@ -85,12 +90,21 @@ object Retrieval {
           + lit(Bm25B) * (col("__dl").cast("double") / col("__avgdl")))))
     }
     val score = termScores.reduceLeft(_ + _)
-    scored.select(
+    val out = scored.select(
         col("doc_id") +: col("__dl").as("dl") +:
           terms.indices.map(i => col(s"__tf_$i").as(s"tf_${terms(i)}")) :+
           round(score, 6).as("bm25"): _*)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(limit)
+      // materialize the ≤limit-row result eagerly so the corpus-sized
+      // base cache can be RELEASED before returning — in a long-lived
+      // driver each bm25 call would otherwise pin another cached base
+      // until LRU thrashing (the DedupPipeline.unpersist rationale).
+      // The pinned result is ≤limit rows — constant, not corpus-sized.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist()
+    out
   }
 
   /** Corpus-frequency rarity score per document: each token instance

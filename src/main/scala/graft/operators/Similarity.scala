@@ -79,15 +79,20 @@ object Similarity {
     * a 3.2G-pair verify (383 s measured); auto (640 cells) is ~25×
     * less work.
     */
-  private def autoCells(emb: DataFrame, nCells: Int,
+  private def autoCells(n: Long, nCells: Int,
       targetCellSize: Int = 500): Int =
     if (nCells > 0) nCells
-    else math.min(1024L, math.max(16L, emb.count() / targetCellSize)).toInt
+    else math.min(1024L, math.max(16L, n / targetCellSize)).toInt
 
-  /** 1e-6-grid ranking key: floor(c·1e6 + 0.5) orders exactly like
-    * round(c, 6) (both are the half-up 1e-6 grid; they can differ
-    * only on EXACT negative half-grid doubles, which the 1e-6 grid
-    * doesn't contain) — but it is pure codegen arithmetic, while
+  /** 1e-6-grid ranking key: floor(c·1e6 + 0.5) orders like
+    * round(c, 6) away from bucket boundaries. The two are NOT
+    * bit-identical at half-grid neighborhoods — c·1e6 is binary-double
+    * arithmetic while Catalyst's Round goes through Double.toString
+    * shortest-decimal — so near-tie candidates can bucket differently
+    * in either direction; determinism is preserved regardless by the
+    * vec_id tiebreak, and the key is used ONLY in rows-only
+    * approximate paths (never under an oracle). The win: pure codegen
+    * arithmetic, while
     * Catalyst's Round on double goes BigDecimal.valueOf →
     * Double.toString per evaluation (~1 µs; jstack'd under the
     * candidate-ranking window sort as most of d_ann_topk's wall).
@@ -101,8 +106,8 @@ object Similarity {
     * orderBy before limit => TakeOrderedAndProject: the training
     * sample (and thus the centroids) is deterministic across runs and
     * partitionings; sample scales with the cell count (≥20 points per
-    * centroid). The fixed repartition spreads the single-partition
-    * limit output so the fit's distance passes parallelize
+    * centroid). The shuffle-partitions-wide repartition spreads the
+    * single-partition limit output so the fit's distance passes parallelize
     * (round-robin sorts before splitting — assignment deterministic),
     * and the PERSIST is load-bearing: KMeans runs ~15 jobs
     * (k-means|| init rounds + iterations) over its input, and an
@@ -120,7 +125,8 @@ object Similarity {
     // (DistanceMeasure.findClosest profiled as half of d_ann_topk's
     // wall at 10 iters / 20× sampling).
     val train = base.orderBy("vec_id")
-      .limit(math.max(trainSample, 10 * cells)).repartition(32)
+      .limit(math.max(trainSample, 10 * cells))
+      .repartition(base.sparkSession.sessionState.conf.numShufflePartitions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try
       new KMeans().setK(cells).setSeed(42)
@@ -143,11 +149,14 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
 
-    val cells = autoCells(emb, nCells)
     val base = emb.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sizing count runs on the just-persisted base, so it IS the
+    // cache materialization pass (KMeans + assignment read the cached
+    // blocks) — not an extra uncached source scan per invocation
+    val cells = autoCells(base.count(), nCells)
     val model = fitKMeans(base, cells, trainSample)
     val assigned = model.transform(base)
       .withColumnRenamed("prediction", "cell")
@@ -316,11 +325,12 @@ object Similarity {
       trainSample: Int = 2000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val cells = autoCells(emb, nCells)
     val base = emb.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count-after-persist: sizing pass doubles as cache materialization
+    val cells = autoCells(base.count(), nCells)
     val model = fitKMeans(base, cells, trainSample)
     val assigned = model.transform(base)
       .withColumnRenamed("prediction", "cell")
