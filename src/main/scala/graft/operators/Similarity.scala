@@ -116,7 +116,8 @@ object Similarity {
     * d_ann_topk floor at the 64× blow-up: deep MapPartitionsRDD
     * recompute chains, 30+ s of the 39 s total).
     */
-  private def fitKMeans(base: DataFrame, cells: Int, trainSample: Int) = {
+  private def fitKMeans(base: DataFrame, cells: Int, trainSample: Int,
+      initMode: String = "k-means||") = {
     import org.apache.spark.ml.clustering.KMeans
     // ≥10 points per centroid and 5 iterations: the centroids only
     // PARTITION the space (cells for candidate generation) — recall
@@ -129,7 +130,14 @@ object Similarity {
       .repartition(base.sparkSession.sessionState.conf.numShufflePartitions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try
-      new KMeans().setK(cells).setSeed(42)
+      // initMode is caller-chosen: ivfTopK uses seeded RANDOM init
+      // (k-means|| spends ~2 jobs per init step re-scanning the
+      // sample — roughly half the fit wall at the 64× blow-up — and
+      // IVF recall is carried by nProbe + the re-rank margin, gate
+      // unchanged); semanticDedup keeps k-means|| because its recall
+      // IS the cell quality (random init measurably dropped its
+      // recall-vs-exact gate at spec scale).
+      new KMeans().setK(cells).setSeed(42).setInitMode(initMode)
         .setMaxIter(5).setFeaturesCol("features").fit(train)
     finally train.unpersist()
   }
@@ -157,10 +165,17 @@ object Similarity {
     // cache materialization pass (KMeans + assignment read the cached
     // blocks) — not an extra uncached source scan per invocation
     val cells = autoCells(base.count(), nCells)
-    val model = fitKMeans(base, cells, trainSample)
+    val model = fitKMeans(base, cells, trainSample, initMode = "random")
+    // persist the ASSIGNED frame (it feeds the probe branch, the code
+    // scan, and the re-rank join — unpersisted, each consumer re-runs
+    // the KMeans assignment pass) and release the float base: after
+    // this point every read is either codes or an id-keyed re-rank.
     val assigned = model.transform(base)
       .withColumnRenamed("prediction", "cell")
       .drop("features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    base.unpersist()
 
     // probe → its nProbe nearest cells, by exact distance to the
     // (broadcast) centroid table
@@ -179,10 +194,54 @@ object Similarity {
       .withColumn("crank", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("dist2"), col("cell"))))
       .filter(col("crank") <= nProbe)
-      .select("probe_id", "emb_p", "nrm_p", "cell")
+      .select(col("probe_id"),
+        graft.plans.native.sq8Code(col("emb_p")).as("code_p"),
+        graft.plans.native.sq8Scale(col("emb_p")).as("qs_p"),
+        col("nrm_p"), col("cell"))
 
-    val cands = probeCells.join(assigned, Seq("cell"))
+    // IVF-SQ candidate scan (the FAISS IVF-SQ shape — the design a
+    // 100 TB ANN index actually runs): the per-cell scan reads int8
+    // CODES (1 byte/dim vs 4 for float32 — 4× less bandwidth) and
+    // ranks by the integer-dot approximate cosine; only the top
+    // `m = k + margin` survivors per probe are re-ranked with exact
+    // float dots. The re-rank joins move probes×m rows — constant per
+    // probe — while the float vectors stay OUT of the Σ(nProbe·cell)
+    // candidate space entirely.
+    //
+    // The per-probe cut is a BOUNDED HEAP AGGREGATE, not a rank
+    // window: a window must locally SORT every candidate row before
+    // WindowGroupLimit can cut (measured as the d_ann_topk wall at
+    // the 64× blow-up — the sort, not the dot), while the heap
+    // aggregate consumes candidates unsorted in the same stage as the
+    // join, keeps O(m) state per probe, and ships only tasks×probes×m
+    // entries into the final merge.
+    val codes = assigned.select(col("vec_id"), col("cell"),
+      graft.plans.native.sq8Code(col("embedding")).as("code"),
+      graft.plans.native.sq8Scale(col("embedding")).as("qs"),
+      col("nrm"))
+    val m = k + 16 // margin covers SQ8 rank jitter; recall spec-gated
+    // BROADCAST the probe side explicitly: probeCells is probes×nProbe
+    // rows of ~100 B (codes, not float vectors) — small by the IVF use
+    // case (probe set ≪ corpus). Left to AQE, the tiny post-window
+    // shuffle coalesces to ONE partition and Spark streams IT while
+    // broadcasting the corpus codes — putting the whole Σ(nProbe·cell)
+    // candidate scan on a single task (measured 13.5 s of a 16 s e2e
+    // at the 64× blow-up). With the hint, the scan runs across the
+    // cached code partitions and the heap partials stay map-side.
+    val survivors = codes.join(broadcast(probeCells), Seq("cell"))
       .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("qcos",
+        col("qs_p") * col("qs")
+          * graft.plans.native.byteDot(col("code_p"), col("code")).cast("double")
+          / (col("nrm_p") * col("nrm")))
+      .groupBy("probe_id")
+      .agg(graft.plans.BoundedTopK.boundedTopK(col("qcos"), col("vec_id"), m).as("tops"))
+      .select(col("probe_id"), explode(col("tops.id")).as("vec_id"))
+
+    // exact re-rank of the survivors: float vectors re-join on ids
+    val cands = survivors
+      .join(probes, Seq("probe_id"))
+      .join(assigned.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
       .withColumn("cos",
         graft.functions.VectorFns.dot(col("emb_p"), col("embedding"))
           / (col("nrm_p") * col("nrm")))
@@ -332,9 +391,13 @@ object Similarity {
     // count-after-persist: sizing pass doubles as cache materialization
     val cells = autoCells(base.count(), nCells)
     val model = fitKMeans(base, cells, trainSample)
+    // persist assignment (3 consumers below), release the float base
     val assigned = model.transform(base)
       .withColumnRenamed("prediction", "cell")
       .drop("features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    base.unpersist()
     val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("rep_cand"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vec_id"),

@@ -686,6 +686,126 @@ object native {
       copy(first = f, second = s, third = t)
   }
 
+  /** Per-vector symmetric int8 quantization (the FAISS IVF-SQ shape):
+    * code_i = round(x_i / max|x| · 127) as a signed byte, emitted as
+    * BINARY — 1 byte per dimension vs 4 for float32, so a candidate
+    * scan over codes moves 4× fewer bytes and does integer MACs.
+    * Decode side: x̂_i ≈ code_i · (max|x| / 127) = code_i ·
+    * [[Sq8Scale]], so dot(x, y) ≈ scale_x·scale_y·[[ByteDotProduct]].
+    * A zero vector encodes to all-zero bytes (scale 0 keeps the
+    * approximate dot at 0).
+    */
+  case class Sq8Code(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var s = 0.0; var i = 0
+      while (i < n) { val a = math.abs(x.getFloat(i).toDouble); if (a > s) s = a; i += 1 }
+      val out = new Array[Byte](n)
+      if (s > 0) {
+        i = 0
+        while (i < n) {
+          out(i) = math.round(x.getFloat(i).toDouble / s * 127.0).toByte
+          i += 1
+        }
+      }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val a = ctx.freshName("a")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = $x.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $a = java.lang.Math.abs((double) $x.getFloat($i));
+           |  if ($a > $s) $s = $a;
+           |}
+           |byte[] $out = new byte[$n];
+           |if ($s > 0) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $out[$i] = (byte) java.lang.Math.round(((double) $x.getFloat($i)) / $s * 127.0);
+           |  }
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Sq8Code =
+      copy(child = c)
+  }
+
+  /** max|x| / 127 — the per-vector dequantization scale paired with
+    * [[Sq8Code]].
+    */
+  case class Sq8Scale(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var s = 0.0; var i = 0
+      while (i < n) { val a = math.abs(x.getFloat(i).toDouble); if (a > s) s = a; i += 1 }
+      s / 127.0
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val a = ctx.freshName("a")
+        s"""
+           |int $n = $x.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $a = java.lang.Math.abs((double) $x.getFloat($i));
+           |  if ($a > $s) $s = $a;
+           |}
+           |${ev.value} = $s / 127.0;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Sq8Scale =
+      copy(child = c)
+  }
+
+  /** Σ aᵢ·bᵢ over two signed-byte arrays (BINARY) as a long — the
+    * integer MAC loop of the quantized candidate scan.
+    */
+  case class ByteDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
+      val n = math.min(x.length, y.length)
+      var acc = 0L; var i = 0
+      while (i < n) { acc += x(i).toLong * y(i).toLong; i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($x.length, $y.length);
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ((long) $x[$i]) * ((long) $y[$i]);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ByteDotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Ethiopian 'D/M/Y' rendering of a DATE child (days since epoch) —
     * native twin of functions.EthiopianCalendar.ethiopianDMY for SQL
     * registration (a Column-composed tree can't be registered as a
@@ -745,4 +865,11 @@ object native {
       levels: Int): Column =
     column(ScalarQuantizeCodes(expression(vec), expression(mns),
       expression(mxs), levels))
+
+  def sq8Code(vec: Column): Column = column(Sq8Code(expression(vec)))
+
+  def sq8Scale(vec: Column): Column = column(Sq8Scale(expression(vec)))
+
+  def byteDot(a: Column, b: Column): Column =
+    column(ByteDotProduct(expression(a), expression(b)))
 }

@@ -32,7 +32,32 @@ class NativeCodegenSpec extends SparkSpec {
         native.byteClassCount(col("text"), Seq(('a', 'f'), ('0', '9'))).as("bc"),
         native.scalarQuantizeCodes(col("vec"),
           array(lit(-1.0), lit(-0.4), lit(0.25), lit(0.2)),
-          array(lit(0.1), lit(0.5), lit(0.9), lit(0.2)), 256).as("sq"))
+          array(lit(0.1), lit(0.5), lit(0.9), lit(0.2)), 256).as("sq"),
+        hex(native.sq8Code(col("vec"))).as("q8"), // hex: Row.toString on raw binary prints the array identity
+        native.sq8Scale(col("vec")).as("q8s"),
+        native.byteDot(native.sq8Code(col("vec")),
+          native.sq8Code(col("vec"))).as("q8d"))
+  }
+
+  test("sq8 code/scale approximate the float dot within quantization error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 50).map(_ => Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "vec")
+    val paired = df.as("a").crossJoin(df.as("b"))
+      .select(
+        graft.functions.VectorFns.dot(col("a.vec"), col("b.vec")).as("exact"),
+        (native.sq8Scale(col("a.vec")) * native.sq8Scale(col("b.vec"))
+          * native.byteDot(native.sq8Code(col("a.vec")),
+            native.sq8Code(col("b.vec"))).cast("double")).as("approx"))
+      .collect()
+    paired.foreach { r =>
+      val (e, a) = (r.getDouble(0), r.getDouble(1))
+      // 64 dims × per-term error ≤ scale_a·scale_b·(|qa|+|qb|+0.5)/127:
+      // loose bound 0.5 for unit-range vectors — catches sign bugs,
+      // scale bugs, and truncation-vs-round regressions
+      assert(math.abs(e - a) < 0.5, s"exact $e vs sq8 $a")
+    }
   }
 
   test("minhash/simhash/hyperplane/shingles/winnowing generate code — no fallback marker") {
