@@ -71,6 +71,19 @@ object Dedup {
   /** MinHash parameters: k permutations in b bands of r rows
     * (k = b·r). Universal-hash constants from a fixed seed so every
     * run and executor agrees.
+    *
+    * Perm-count measurement (round 4, tools/MinhashProfile at the 64×
+    * blow-up + sf0.01): the signature pass is 3.5–6 s of the ~31 s
+    * d_minhash_lsh wall — candidate VERIFICATION (shingle re-join +
+    * exact jaccard), not perms, dominates. Halving to 32 perms
+    * (8 bands × 4 rows) still measured recall 1.0 on the sf0.01 true
+    * pair set (25/25), but raises the theoretical per-pair miss rate
+    * at j = 0.8 from 1 − (1 − 0.8⁴)¹⁶ ≈ 2·10⁻⁴ to ≈ 1.5·10⁻² — and
+    * since round 4 the d_dedup_corpus / d_incr_dedup DuckDB oracles
+    * hash-compare LSH-edge components against TRUE all-pairs edges,
+    * so the default must keep banding recall at 1. 64 perms stays:
+    * the ~3 s it could save is ~10% of the op for a 75× worse miss
+    * bound.
     */
   val MinhashK = 64
   val Bands = 16

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Perm-count measurement for the minhash LSH default (VERDICT r3 #7):
+  * how much of the 64× d_minhash_lsh wall is the signature pass, and
+  * what a 32-perm (8-band × 4-row) variant would cost in RECALL at
+  * the correctness scale. The recall check is the decisive one since
+  * round 4: the d_dedup_corpus / d_incr_dedup DuckDB oracles compare
+  * the LSH-edge connected components against TRUE all-pairs jaccard
+  * edges, so the registered default must keep banding recall = 1 at
+  * sf0.01 — a cheaper default that misses even one threshold-adjacent
+  * pair breaks the hash gate.
+  *
+  * Usage: MinhashProfile <blowUpDir> <sfDir>
+  */
+object MinhashProfile {
+  def main(args: Array[String]): Unit = {
+    val Array(blowDir, sfDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.GraftSession.local(cpus, "graft-minhash-profile")
+    import graft.operators.Dedup
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[mh] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      Console.flush()
+      r
+    }
+
+    // ---- cost side (64× blow-up) --------------------------------
+    val big = graft.Tables(spark, blowDir).documents
+    time("signature pass only (64 perms)") {
+      Dedup.minhashSignature(big, "text", "doc_id")
+        .select("doc_id", "sig")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("banding only (sig + 16 bands)") {
+      Dedup.bandedIds(Dedup.minhashSignature(big, "text", "doc_id"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("full d_minhash_lsh") {
+      graft.SparkEntry.queries("d_minhash_lsh")(spark, blowDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // ---- recall side (sf0.01, vs TRUE pair set) ------------------
+    val docs = graft.Tables(spark, sfDir).documents
+    val signed = Dedup.minhashSignature(docs, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // true pairs: all-pairs exact jaccard >= 0.8 (spec scale only)
+    val sh = signed.select(col("doc_id"), col("shingles"))
+    val truePairs = sh.select(col("doc_id").as("a"), col("shingles").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("shingles").as("sb")))
+      .filter(col("a") < col("b"))
+      .filter(graft.functions.TextFns.jaccard(col("sa"), col("sb")) >= 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[mh] true jaccard>=0.8 pairs at sf0.01: ${truePairs.size}")
+
+    // candidate pairs under (bands × rowsPerBand) banding of the SAME
+    // 64-perm signature prefix — band j hashes rows [j*r, (j+1)*r)
+    def lshPairs(bands: Int, rowsPerBand: Int): Set[(Long, Long)] = {
+      val banded = signed.select(col("doc_id"),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"),
+            xxhash64(lit(j) +: (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), j * rowsPerBand + r + 1)): _*).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+        .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b")),
+          Seq("band", "bucket"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    Seq((16, 4), (8, 4), (16, 2)).foreach { case (b, r) =>
+      val cand = lshPairs(b, r)
+      val missed = truePairs -- cand
+      println(s"[mh] bands=$b rows=$r (${b * r} perms): " +
+        s"candidates=${cand.size} recall=" +
+        f"${(truePairs.size - missed.size).toDouble / math.max(truePairs.size, 1)}%.4f" +
+        s" missed=${missed.size}")
+    }
+    spark.stop()
+  }
+}
