@@ -7,9 +7,33 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * factor directory (see TESTDATA.md). Column pruning / predicate
   * pushdown is left to Catalyst — callers select/filter and the
   * parquet scan only reads what survives.
+  *
+  * A `dir` starting with `jdbc:` routes every table through
+  * `spark.read.jdbc` instead — the reference tool's actual source is
+  * a SQL database (export.py db_properties), and this makes the whole
+  * registered query surface runnable against one unchanged. Connection
+  * and scan options come from session conf keys `graft.jdbc.*`
+  * (user, password, driver, fetchsize, and the partitioned-read
+  * knobs partitionColumn/numPartitions/lowerBound/upperBound — the
+  * single-partition default is the classic JDBC-at-scale trap; set
+  * them when the fact tables share a numeric key column). Predicate
+  * and projection pushdown into the database happen through Spark's
+  * JDBC source as usual.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def table(name: String): DataFrame =
+    if (dir.startsWith("jdbc:")) {
+      val props = new java.util.Properties()
+      Seq("user", "password", "driver").foreach { k =>
+        spark.conf.getOption(s"graft.jdbc.$k").foreach(props.setProperty(k, _))
+      }
+      val reader = spark.read
+      Seq("partitionColumn", "numPartitions", "lowerBound", "upperBound",
+        "fetchsize").foreach { k =>
+        spark.conf.getOption(s"graft.jdbc.$k").foreach(reader.option(k, _))
+      }
+      reader.jdbc(dir, name, props)
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame    = table("region")
   def nation: DataFrame    = table("nation")

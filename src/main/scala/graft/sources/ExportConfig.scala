@@ -13,14 +13,21 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * location lookups); `window` pins the Ethiopian report month — when
   * absent the run is "as of now" (CURDATE semantics).
   *
-  * DB connection properties are a non-goal (no MySQL wire protocol) —
-  * the data source is the parquet directory argument.
+  * `db_properties` mirrors the reference's connection block
+  * (export_config.json: DB_HOST/DB_USER/DB_PASS/DB_NAME). Here the
+  * engine-agnostic `DB_URL` (a full JDBC url) selects the source:
+  * when present, every table read routes through `spark.read.jdbc`
+  * (see graft.Tables) with DB_USER/DB_PASS as credentials; when
+  * absent, the source stays the parquet directory argument.
   */
 final case class ExportConfig(
     queries: Seq[(String, String)],
     constants: Seq[(String, String)],
     ethMonth: Option[Int],
-    ethYear: Option[Int])
+    ethYear: Option[Int],
+    db: Map[String, String] = Map.empty) {
+  def dbUrl: Option[String] = db.get("DB_URL")
+}
 
 object ExportConfig {
 
@@ -37,6 +44,7 @@ object ExportConfig {
       queries = entries("queries"),
       constants = entries("constants"),
       ethMonth = window.flatMap(w => Option(w.get("eth_month")).map(_.asInt())),
-      ethYear = window.flatMap(w => Option(w.get("eth_year")).map(_.asInt())))
+      ethYear = window.flatMap(w => Option(w.get("eth_year")).map(_.asInt())),
+      db = entries("db_properties").toMap)
   }
 }

@@ -42,11 +42,19 @@ object ExportMain {
     */
   def run(spark: org.apache.spark.sql.SparkSession,
       args: Array[String]): ExportJob.Result = {
-    val (sfDir, outDir) = (args(0), args(1))
+    val (argDir, outDir) = (args(0), args(1))
     val config: Option[ExportConfig] =
       if (args.length >= 3 && args(2).endsWith(".json"))
         Some(ExportConfig.load(Paths.get(args(2))))
       else None
+
+    // configured DB_URL switches the source to JDBC (the reference's
+    // analytics_db); otherwise the parquet directory argument stands
+    val sfDir = config.flatMap(_.dbUrl).getOrElse(argDir)
+    config.foreach { c =>
+      c.db.get("DB_USER").foreach(spark.conf.set("graft.jdbc.user", _))
+      c.db.get("DB_PASS").foreach(spark.conf.set("graft.jdbc.password", _))
+    }
 
     // window: CLI args > config > "as of now" (CURDATE semantics)
     val (m, y) = (config, args.drop(2)) match {

@@ -171,4 +171,43 @@ class ExportJobSpec extends SparkSpec {
     // the window always spans 30 days (21st -> 20th of consecutive months)
     assert(java.time.temporal.ChronoUnit.DAYS.between(start, end) == 29)
   }
+
+  test("jdbc-sourced export round-trips a report through embedded Derby") {
+    // seed an in-memory Derby database from the parquet tables — the
+    // reference's analytics_db stand-in (no wire protocol, same
+    // spark.read.jdbc path a MySQL url would take)
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val t = graft.Tables(spark, sf)
+    val props = new java.util.Properties()
+    Seq("customer", "nation", "region").foreach { n =>
+      t.table(n).write.mode("overwrite").jdbc(url, n, props)
+    }
+    t.events.write.mode("overwrite").jdbc(url, "events", props)
+
+    // the registered flagship, parameterized only by the source dir:
+    // a jdbc: dir must produce the SAME report as the parquet dir
+    val end = java.time.LocalDate.parse("2024-01-21")
+    val viaJdbc = graft.operators.Relational.lineListAsOf(spark, url, end)
+    val viaParquet = graft.operators.Relational.lineListAsOf(spark, sf, end)
+    val a = viaJdbc.collect().map(_.toString).sorted
+    val b = viaParquet.collect().map(_.toString).sorted
+    assert(a.length == b.length && a.sameElements(b),
+      s"jdbc rows ${a.length} vs parquet rows ${b.length}")
+
+    // and the packaged export flows through the jdbc source end-to-end
+    val out = Files.createTempDirectory("graft_jdbc_export")
+    val res = ExportJob.run(spark,
+      Map("Tx_Curr_LineList" -> viaJdbc),
+      Seq("Region" -> "R1"), out, "jdbcround")
+    assert(Files.exists(res.packagePath))
+    assert(res.csvFiles == Seq("Tx_Curr_LineList_jdbcround.csv"))
+
+    // config plumbing: DB_URL selects the jdbc source, credentials land
+    // in the session conf
+    val cfg = graft.sources.ExportConfig.parse(
+      s"""{"queries":{"A":"q_line_list"},
+          "db_properties":{"DB_URL":"$url","DB_USER":"app","DB_PASS":"x"}}""")
+    assert(cfg.dbUrl.contains(url))
+    assert(cfg.db("DB_USER") == "app")
+  }
 }
