@@ -651,6 +651,92 @@ object Relational {
   }
 
   // ------------------------------------------------------------------
+  // 21c. q_outcome_deduct — the to_be_deducted status row
+  //      (Tx_Curr_OutComeList.sql:188-218): clients ACTIVE at window
+  //      start − 1 but NOT active at window end, bucketed by their
+  //      latest status code (latest_follow_up_2 — the unfiltered
+  //      latest row) and summed into the six deduction cells
+  //      (TOs/Stops/Losts/Drops/Deads/Not_Updated).
+  //
+  //      "Active" mirrors the reference's compound rule: status in
+  //      the alive set AND art_dose_end covers the reference date.
+  //      The dose-coverage analog here is a 7-day activity horizon
+  //      (ts + 7 days ≥ the boundary) — scaled to the 30-day test
+  //      window as next_visit_date = ts + 30 is to the reference's
+  //      monthly cadence. Not_Updated (status 5 among deducted) is
+  //      exactly the reference's case: still Alive by status but
+  //      coverage lapsed. This query's status map spreads the five
+  //      event types across the reference's code space (view→5 Alive,
+  //      signup→6 Restart, purchase→0 TO, click→2 LTFU, error→4
+  //      Dead); codes 1/3 (Stop all / Ran away) have no event-type
+  //      analog on the 5-type schema — the cells exist and sum to 0,
+  //      as the reference's do when no client holds that status.
+  //
+  //      Same fused single-shuffle shape as q_outcome_matrix; the
+  //      oracle keeps the reference's ROW_NUMBER form.
+  // ------------------------------------------------------------------
+  private val outcomeDeduct = GraftQuery(
+    "q_outcome_deduct",
+    Some(s"""WITH fu AS (SELECT *,
+        CASE event_type WHEN 'view' THEN 5 WHEN 'signup' THEN 6
+          WHEN 'purchase' THEN 0 WHEN 'click' THEN 2 ELSE 4 END AS status_code
+        FROM events WHERE ts <= TIMESTAMP '$EventsEnd'),
+      latest AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM fu) t WHERE rn = 1),
+      previous AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM fu WHERE ts < TIMESTAMP '$OutcomeStart') t WHERE rn = 1),
+      deducted AS (SELECT l.status_code
+        FROM previous p JOIN latest l ON p.user_id = l.user_id
+        WHERE p.status_code IN (5, 6)
+          AND p.ts + INTERVAL 7 DAY >= TIMESTAMP '$OutcomeStart' - INTERVAL 1 DAY
+          AND NOT (l.status_code IN (5, 6)
+            AND l.ts + INTERVAL 7 DAY >= TIMESTAMP '$EventsEnd'))
+      SELECT
+        CAST(SUM(CASE WHEN status_code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tos,
+        CAST(SUM(CASE WHEN status_code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS stops,
+        CAST(SUM(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS losts,
+        CAST(SUM(CASE WHEN status_code = 3 THEN 1 ELSE 0 END) AS BIGINT) AS drops,
+        CAST(SUM(CASE WHEN status_code = 4 THEN 1 ELSE 0 END) AS BIGINT) AS deads,
+        CAST(SUM(CASE WHEN status_code = 5 THEN 1 ELSE 0 END) AS BIGINT) AS not_updated
+      FROM deducted"""),
+    (s, dir) => outcomeDeductOf(Tables(s, dir).events, OutcomeStart, EventsEnd))
+
+  /** The deduction status row over an arbitrary events frame — see
+    * q_outcome_deduct above for semantics and the reference map.
+    */
+  def outcomeDeductOf(events: DataFrame, start: String,
+      end: String): DataFrame = {
+    val fu = events
+      .filter(col("ts") <= lit(end))
+      .withColumn("status_code",
+        when(col("event_type") === "view", 5)
+          .when(col("event_type") === "signup", 6)
+          .when(col("event_type") === "purchase", 0)
+          .when(col("event_type") === "click", 2)
+          .otherwise(4))
+    val startTs = lit(start).cast("timestamp")
+    val endTs = lit(end).cast("timestamp")
+    val horizon = expr("INTERVAL 7 DAYS")
+    val perUser = fu.groupBy("user_id").agg(
+      max(struct(col("ts"), col("event_id"), col("status_code"))).as("latest"),
+      max(when(col("ts") < startTs,
+        struct(col("ts"), col("event_id"), col("status_code")))).as("prev"))
+    val deducted = perUser
+      .filter(col("prev").isNotNull
+        && col("prev.status_code").isin(5, 6)
+        && col("prev.ts") + horizon >= startTs - expr("INTERVAL 1 DAYS"))
+      .filter(!(col("latest.status_code").isin(5, 6)
+        && col("latest.ts") + horizon >= endTs))
+      .select(col("latest.status_code").as("status_code"))
+    def cell(st: Int, name: String) =
+      sum(when(col("status_code") === st, 1).otherwise(0)).as(name)
+    deducted.agg(cell(0, "tos"), cell(1, "stops"), cell(2, "losts"),
+      cell(3, "drops"), cell(4, "deads"), cell(5, "not_updated"))
+  }
+
+  // ------------------------------------------------------------------
   // 22. q_approx_stats — sketch aggregates (HLL distinct, t-digest-ish
   //     quantiles): the constant-memory alternatives to q_distinct /
   //     exact percentiles at 100 TB. Rows-only (sketch internals are
@@ -1036,7 +1122,7 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "measure"))
 
   val queries: Seq[GraftQuery] = Seq(
-    pivotAgg, outcomeSummary, outcomeMatrix, approxStats, windowSuite, rollupQ,
+    pivotAgg, outcomeSummary, outcomeMatrix, outcomeDeduct, approxStats, windowSuite, rollupQ,
     stringFuns2, mathFuns, percentileQ, cubeQ, havingQ, scalarSubquery,
     arrayFuns, regexFuns, boolAgg, monthArith, encodeFuns, dateParts,
     groupingSets, pivotWide, unpivotQ,

@@ -45,6 +45,51 @@ object MinhashProfile {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // ---- verify-stage variants (the wall is after banding) -------
+    {
+      val signed = Dedup.minhashSignature(big, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("  signed materialize")(signed.count())
+      val banded = Dedup.bandedIds(signed)
+      val cands = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+        .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+          Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("  candidate ids only")(cands.count())
+      val sh = signed.select(col("doc_id"), col("shingles"))
+      time("  verify: shuffle-join cached shingles") {
+        cands
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+          .withColumn("jaccard", graft.functions.TextFns.jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("  verify: broadcast candidate ids") {
+        broadcast(cands)
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+          .withColumn("jaccard", graft.functions.TextFns.jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val texts = big.select(col("doc_id"), col("text"))
+      time("  verify: re-derive shingles from text") {
+        val shA = graft.functions.TextFns.wordShingles(lower(col("text_a")), 3)
+        val shB = graft.functions.TextFns.wordShingles(lower(col("text_b")), 3)
+        broadcast(cands)
+          .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+          .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+          .withColumn("jaccard", graft.functions.TextFns.jaccard(shA, shB))
+          .filter(col("jaccard") >= 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      cands.unpersist(); signed.unpersist()
+    }
+
     // ---- recall side (sf0.01, vs TRUE pair set) ------------------
     val docs = graft.Tables(spark, sfDir).documents
     val signed = Dedup.minhashSignature(docs, "text", "doc_id")

@@ -100,4 +100,35 @@ class RelationalSpec extends SparkSpec {
       == ((1L, 1L, 1L, 1L)),
       s"traced_back/restarts/transfer_ins/new_clients: $row")
   }
+
+  test("outcome deduction buckets lapsed and exited clients like the reference block") {
+    // window = [2024-01-08, 2024-01-21]; active-before = status 5/6
+    // within 7 days of start-1
+    import spark.implicits._
+    def ev(id: Long, user: Long, day: Int, typ: String) =
+      (id, user, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), typ)
+    val events = Seq(
+      // tos: active before, latest is a transfer-out (purchase)
+      ev(1, 1, 5, "view"), ev(2, 1, 15, "purchase"),
+      // losts: active before, latest is LTFU (click)
+      ev(3, 2, 6, "view"), ev(4, 2, 16, "click"),
+      // deads: active before, latest is error
+      ev(5, 3, 5, "signup"), ev(6, 3, 18, "error"),
+      // not_updated: still Alive by status but coverage lapsed
+      // (latest view on day 10; 10 + 7 < 21)
+      ev(7, 4, 6, "view"), ev(8, 4, 10, "view"),
+      // excluded: active before AND still active at end (view day 20)
+      ev(9, 5, 5, "view"), ev(10, 5, 20, "view"),
+      // excluded: not active before (pre-window status is error)
+      ev(11, 6, 5, "error"), ev(12, 6, 15, "click"),
+      // excluded: pre-window activity too old (day 1 + 7 < start-1=day 7)
+      ev(13, 7, 1, "view").copy(_3 = java.sql.Timestamp.valueOf("2023-12-20 12:00:00")),
+      ev(14, 7, 15, "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val row = Relational.outcomeDeductOf(events, "2024-01-08", "2024-01-21")
+      .head()
+    val got = (0 until 6).map(row.getLong)
+    assert(got == Seq(1L, 0L, 1L, 0L, 1L, 1L),
+      s"tos/stops/losts/drops/deads/not_updated: $got")
+  }
 }
