@@ -166,9 +166,19 @@ object Dedup {
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     val sh = signed.select(col("doc_id"), col("shingles"))
+    // shuffle_hash on the verify joins — scale-correct BOTH ways:
+    // left to AQE, the tiny post-dropDuplicates candidate shuffle
+    // coalesces to ONE partition and the corpus shingle side fits
+    // under autoBroadcastJoinThreshold's estimate, so Spark
+    // broadcasts the CORPUS and runs the whole verify on a single
+    // task (two 1-task stages = 19 s of the 32 s 64× wall). The hint
+    // keeps both sides hash-partitioned: parallel locally, and never
+    // a corpus-sized broadcast (or driver collect) at cluster scale.
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

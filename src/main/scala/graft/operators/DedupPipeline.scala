@@ -175,9 +175,14 @@ object DedupPipeline {
         Seq("band", "bucket"))
       .select("b_id", "c_id")
       .dropDuplicates("b_id", "c_id")
+    // shuffle_hash for the same reason as minhashLsh's verify joins:
+    // keep the corpus side off the broadcast path and the candidate
+    // side off a 1-partition coalesce
     val dupOfCorpus = cands
-      .join(batchSigned.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
-      .join(corpusSigned.select(col("doc_id").as("c_id"), col("shingles").as("sh_c")), "c_id")
+      .join(batchSigned.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
+        .hint("shuffle_hash"), "b_id")
+      .join(corpusSigned.select(col("doc_id").as("c_id"), col("shingles").as("sh_c"))
+        .hint("shuffle_hash"), "c_id")
       .filter(graft.functions.TextFns.jaccard(col("sh_b"), col("sh_c")) >= threshold)
       .select(col("b_id").as(idCol)).distinct()
     // barrier: the within-batch dedup below scans `admitted`

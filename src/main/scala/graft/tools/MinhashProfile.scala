@@ -40,10 +40,34 @@ object MinhashProfile {
       Dedup.bandedIds(Dedup.minhashSignature(big, "text", "doc_id"))
         .write.format("noop").mode("overwrite").save()
     }
-    time("full d_minhash_lsh") {
-      graft.SparkEntry.queries("d_minhash_lsh")(spark, blowDir)
-        .write.format("noop").mode("overwrite").save()
+    val stages = new scala.collection.mutable.ArrayBuffer[(String, Double, Int)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val secs = (for {
+            s <- info.submissionTime; c <- info.completionTime
+          } yield (c - s) / 1e3).getOrElse(0.0)
+          stages.synchronized {
+            stages += ((s"stage ${info.stageId} ${info.name.takeWhile(_ != '(')}", secs, info.numTasks))
+          }
+        }
+      })
+    (1 to 2).foreach { i =>
+      spark.catalog.clearCache()
+      stages.synchronized(stages.clear())
+      time(s"full d_minhash_lsh (run $i, cold cache)") {
+        graft.SparkEntry.queries("d_minhash_lsh")(spark, blowDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      stages.synchronized {
+        stages.filter(_._2 > 0.5).sortBy(-_._2).take(10).foreach { case (n, s, t) =>
+          println(f"[mh]     $s%7.2f s  tasks=$t%-4d $n")
+        }
+      }
     }
+    spark.catalog.clearCache()
 
     // ---- verify-stage variants (the wall is after banding) -------
     {
