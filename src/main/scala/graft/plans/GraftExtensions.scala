@@ -56,6 +56,18 @@ object GraftExtensions {
         "graft_hyperplane_sig(vec, bits, planeOffset) - LSH signature"),
       (args: Seq[Expression]) => native.HyperplaneSignature(args(0),
         intArg(args(1), "bits"), intArg(args(2), "planeOffset"))),
+    (FunctionIdentifier("graft_sq8_code"),
+      info("graft_sq8_code",
+        "graft_sq8_code(vec) - per-vector symmetric int8 codes as binary"),
+      (args: Seq[Expression]) => native.Sq8Code(args.head)),
+    (FunctionIdentifier("graft_sq8_scale"),
+      info("graft_sq8_scale",
+        "graft_sq8_scale(vec) - dequantization scale (max|x|/127) for graft_sq8_code"),
+      (args: Seq[Expression]) => native.Sq8Scale(args.head)),
+    (FunctionIdentifier("graft_byte_dot"),
+      info("graft_byte_dot",
+        "graft_byte_dot(a, b) - signed-byte integer dot of two binary codes"),
+      (args: Seq[Expression]) => native.ByteDotProduct(args(0), args(1))),
     (FunctionIdentifier("graft_ethiopian_dmy"),
       info("graft_ethiopian_dmy",
         "graft_ethiopian_dmy(date) - Ethiopian calendar 'D/M/Y' string"),

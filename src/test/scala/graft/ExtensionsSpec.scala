@@ -79,4 +79,21 @@ class ExtensionsSpec extends SparkSpec {
         FROM emb_sql a JOIN emb_sql b ON a.vec_id = 0 AND b.vec_id = 1""").head().getDouble(0)
     assert(!v.isNaN)
   }
+
+  test("sq8 SQL functions approximate graft_dot like the Column API") {
+    GraftExtensions.registerAll(spark)
+    Tables(spark, sf).embeddings.createOrReplaceTempView("emb_sql2")
+    val r = spark.sql(
+      """SELECT graft_dot(a.embedding, b.embedding) AS exact,
+          graft_sq8_scale(a.embedding) * graft_sq8_scale(b.embedding)
+            * CAST(graft_byte_dot(graft_sq8_code(a.embedding),
+                graft_sq8_code(b.embedding)) AS DOUBLE) AS approx
+        FROM emb_sql2 a JOIN emb_sql2 b ON a.vec_id < 20 AND b.vec_id < 20""")
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 0.5,
+        s"exact ${row.getDouble(0)} vs sq8 ${row.getDouble(1)}")
+    }
+  }
 }
