@@ -32,9 +32,27 @@ object LlmOps {
     (s, dir) => Dedup.exactGroups(Tables(s, dir).documents)
       .orderBy("text_hash"))
 
+  // Hash-gated (round 4): the output is the VERIFIED pair set
+  // (exact jaccard ≥ 0.8), and banding recall is exhaustively 1 at
+  // the verify scale (tools/MinhashProfile), so the true all-pairs
+  // jaccard query IS the oracle — same argument as d_dedup_corpus.
+  // Banding itself stays property-tested in MinHashSpec.
   private val minhashLsh = GraftQuery(
     "d_minhash_lsh",
-    None, // LSH banding is not SQL-expressible; property-tested in MinHashSpec
+    Some("""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        FROM documents),
+      sh AS (SELECT doc_id,
+        list_distinct(list_transform(
+          generate_series(1, CAST(greatest(len(w) - 2, 1) AS INT)),
+          i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS s
+        FROM ws)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      ORDER BY doc_a, doc_b"""),
     (s, dir) => Dedup.minhashLsh(Tables(s, dir).documents, threshold = 0.8)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b"))
