@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SaveMode
+
+/** Per-stage wall/task profile of any registered query against any
+  * table directory — the generic form of the listener diagnosis that
+  * caught the AQE single-task broadcast-direction trap (SURVEY §11).
+  * A heavy stage with tasks=1 is the smell: some tiny coalesced
+  * shuffle became the streamed side of a join.
+  *
+  * Usage: StageProfile <tableDir> <query> [query ...]
+  */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val queries = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.GraftSession.local(cpus, "graft-stage-profile")
+
+    val stages = new scala.collection.mutable.ArrayBuffer[(Int, String, Double, Int)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val secs = (for {
+            s <- info.submissionTime; c <- info.completionTime
+          } yield (c - s) / 1e3).getOrElse(0.0)
+          stages.synchronized {
+            stages += ((info.stageId, info.name.takeWhile(_ != '('), secs,
+              info.numTasks))
+          }
+        }
+      })
+
+    queries.foreach { name =>
+      val build = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      spark.catalog.clearCache()
+      stages.synchronized(stages.clear())
+      val t0 = System.nanoTime()
+      build(spark, dir).write.format("noop").mode(SaveMode.Overwrite).save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stage] $name%-22s ${secs}%8.2f s total")
+      stages.synchronized {
+        stages.sortBy(-_._3).take(8).filter(_._3 > 0.3).foreach {
+          case (id, n, s, t) =>
+            val flag = if (t == 1 && s > 1.0) "  <-- SINGLE TASK" else ""
+            println(f"[stage]   ${s}%7.2f s  tasks=$t%-4d stage $id $n$flag")
+        }
+      }
+      Console.flush()
+    }
+    spark.stop()
+  }
+}
