@@ -251,6 +251,14 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 4).as("cos_r"))
+      // materialize the probes×k result eagerly so the corpus-sized
+      // assignment cache can be RELEASED before returning — repeated
+      // ANN calls in a long-lived driver would otherwise each pin a
+      // cached corpus (the bm25 unpersist rationale). The pinned
+      // result is probes×k rows — probe-sized, not corpus-sized.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    assigned.unpersist()
     out
   }
 
@@ -379,6 +387,12 @@ object Similarity {
     *
     * Returns (vec_id, cell, keep, rep_id): rep_id = the smallest-id
     * near-dup neighbor for dropped items, = vec_id for kept ones.
+    *
+    * The per-call assignment cache stays pinned until the (lazy,
+    * corpus-sized) result is consumed — unlike ivfTopK the output is
+    * as large as the input, so eager materialize-and-release would
+    * just move the memory. Long-lived drivers running many semdedup
+    * passes should `spark.catalog.clearCache()` between passes.
     */
   def semanticDedup(emb: DataFrame, tau: Double, nCells: Int = 0,
       trainSample: Int = 2000): DataFrame = {
