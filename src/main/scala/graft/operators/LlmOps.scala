@@ -851,7 +851,23 @@ object LlmOps {
         col("sample_rate"))
       .orderBy("media_id"))
 
+  /** Cluster-level curation report (Similarity.clusterTopics): the
+    * corpus partitioned in embedding space, each cluster sized and
+    * described by its top lift terms. Rows-only (KMeans cells are
+    * engine-specific); determinism + planted-topic recovery in
+    * QuantizeSpec.
+    */
+  private val clusterTopicsQ = GraftQuery(
+    "d_cluster_topics",
+    None,
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.clusterTopics(t.embeddings, t.documents, nClusters = 8)
+        .orderBy("cell", "rank")
+    })
+
   val queries: Seq[GraftQuery] = Seq(
+    clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,

@@ -436,4 +436,68 @@ object Similarity {
         col("rep_of_dropped").isNull.as("keep"),
         coalesce(col("rep_of_dropped"), col("vec_id")).as("rep_id"))
   }
+
+  /** Cluster-level corpus report — the curation view behind
+    * cluster-based data mixing (partition the corpus in embedding
+    * space, then inspect/weight clusters): KMeans cells over the
+    * embeddings, each cluster described by its size, token mass, and
+    * top distinguishing terms by LIFT (cluster term share ÷ corpus
+    * term share — corpus-common words demote themselves, no stopword
+    * list needed).
+    *
+    * Scale shape: ONE token explode collapsed map-side to
+    * per-(cell, term) counts before anything shuffles; corpus term
+    * counts aggregate from those cell counts (never from instances);
+    * totals broadcast back as one-row frames. The top-terms rank
+    * window runs over the per-(cell, term) AGGREGATE (vocab-sized,
+    * not instance-sized) with WindowGroupLimit partial limits.
+    * Deterministic: seeded k-means||, lift ties broken by term.
+    *
+    * Returns (cell, n_docs, n_tokens, rank, term, lift) — topTerms
+    * rows per cluster, rank 1 = most distinguishing.
+    */
+  def clusterTopics(emb: DataFrame, docs: DataFrame, nClusters: Int = 16,
+      topTerms: Int = 5, trainSample: Int = 2000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val model = fitKMeans(base, nClusters, trainSample)
+    val assigned = model.transform(base)
+      .select(col("vec_id"), col("prediction").as("cell"))
+    base.unpersist()
+    val cellTerms = docs
+      .join(assigned, col(idCol) === col("vec_id"))
+      .select(col("cell"), explode(graft.functions.TextFns.words(
+        lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy("cell", "term").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusTerms = cellTerms.groupBy("term")
+      .agg(sum(col("cnt")).as("corpus_cnt"))
+    val cellTotals = cellTerms.groupBy("cell")
+      .agg(sum(col("cnt")).as("cell_tokens"))
+    val corpusTotal = cellTerms.agg(sum(col("cnt")).as("corpus_tokens"))
+    val docsPerCell = assigned.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+    val lifted = cellTerms
+      .join(corpusTerms.hint("shuffle_hash"), Seq("term"))
+      .join(broadcast(cellTotals), Seq("cell"))
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("lift",
+        (col("cnt").cast("double") / col("cell_tokens").cast("double"))
+          / (col("corpus_cnt").cast("double") / col("corpus_tokens").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(col("lift").desc, col("term"))
+    val out = lifted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topTerms)
+      .join(broadcast(docsPerCell), Seq("cell"))
+      .select(col("cell"), col("n_docs"), col("cell_tokens").as("n_tokens"),
+        col("rank"), col("term"), round(col("lift"), 4).as("lift"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // clusters×topTerms rows; release the vocab cache
+    cellTerms.unpersist()
+    out
+  }
 }

@@ -109,4 +109,38 @@ class QuantizeSpec extends SparkSpec {
     val recall = recalled.toDouble / exact.size
     assert(recall >= 0.4, s"semdedup recall $recall over ${exact.size} exact pairs")
   }
+
+  test("cluster topics recover planted topics, deterministically") {
+    import spark.implicits._
+    // two well-separated embedding clusters with disjoint vocabularies
+    val rnd = new scala.util.Random(5)
+    def vec(center: Float) = Array.tabulate(16)(i =>
+      center + (if (i == 0) 0f else rnd.nextFloat() * 0.01f))
+    val rows = (0 until 40).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, vec(1.0f), "solar panel energy grid watt output yield")
+      else
+        (i.toLong, vec(-1.0f), "yeast bread dough oven crumb proof bake")
+    }
+    val embDf = rows.map(r => (r._1, r._2)).toDF("vec_id", "embedding")
+    val docsDf = rows.map(r => (r._1, r._3)).toDF("doc_id", "text")
+    val out = Similarity.clusterTopics(embDf, docsDf, nClusters = 2,
+      topTerms = 3, trainSample = 40)
+    val byCell = out.collect().groupBy(_.getAs[Int]("cell"))
+    assert(byCell.size == 2, s"expected 2 clusters: $byCell")
+    byCell.values.foreach { cluster =>
+      assert(cluster.length == 3) // topTerms rows each
+      assert(cluster.forall(_.getAs[Long]("n_docs") == 20L))
+      val terms = cluster.map(_.getAs[String]("term")).toSet
+      // a cluster's top terms come from ONE planted vocabulary
+      val solar = Set("solar", "panel", "energy", "grid", "watt", "output", "yield")
+      val bread = Set("yeast", "bread", "dough", "oven", "crumb", "proof", "bake")
+      assert(terms.subsetOf(solar) || terms.subsetOf(bread), terms.toString)
+    }
+    // deterministic across runs and input partitionings
+    val again = Similarity.clusterTopics(embDf.repartition(7),
+      docsDf.repartition(3), nClusters = 2, topTerms = 3, trainSample = 40)
+    assert(out.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+  }
 }
