@@ -19,12 +19,19 @@ import org.apache.spark.sql.functions._
   * Replica id doubles as the event-time axis: replica r's documents
   * arrive at minute r, one micro-batch per replica.
   *
-  * Usage: StreamScale <blowUpDir> [horizonMinutes=16]
+  * With `nCopies > 0`, every (nDocs/nCopies)-th document's text is
+  * replayed one minute later under a fresh id with `exciseExact = on`
+  * — the k-copy boilerplate bound: each copy must emit exactly its
+  * one representative edge (asserted), and none of the copies may
+  * grow the bucket state.
+  *
+  * Usage: StreamScale <blowUpDir> [horizonMinutes=16] [nCopies=0]
   */
 object StreamScale {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val horizon = args.lift(1).map(_.toLong).getOrElse(16L)
+    val nCopies = args.lift(2).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-stream-scale")
     import spark.implicits._
@@ -44,16 +51,31 @@ object StreamScale {
     val source = MemoryStream[(Long, String, java.sql.Timestamp)]
     val pairs = graft.streaming.StreamingDedup.candidatePairs(
       source.toDF().toDF("doc_id", "text", "ts"),
-      tsCol = "ts", horizonMinutes = horizon, watermarkDelay = "1 minute")
+      tsCol = "ts", horizonMinutes = horizon, watermarkDelay = "1 minute",
+      exciseExact = nCopies > 0)
     val query = pairs.writeStream.format("memory").queryName("stream_pairs")
       .outputMode("append").start()
+    // planted exact copies: doc d's text re-enters in the same
+    // micro-batch as d + 2·10^9 (event time +1 minute; copy ids sort
+    // after originals, so the original is the remembered
+    // representative) — excision must route each copy to ONE
+    // representative edge and keep it out of the bucket state
+    val copyStep = if (nCopies > 0) math.max(1, (nDocs / nCopies).toInt) else 0
+    val planted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val t0 = System.nanoTime()
     (0 until reps).foreach { r =>
       val batch = docs.filter(col("rep") === r)
         .select("doc_id", "text").collect()
         .map(row => (row.getLong(0), row.getString(1),
           new java.sql.Timestamp(base + r * 60000L)))
-      source.addData(batch.toSeq)
+      val copies =
+        if (copyStep > 0)
+          batch.filter(_._1 % copyStep == 0).map { case (id, text, _) =>
+            planted += ((id, id + 2000000000L))
+            (id + 2000000000L, text, new java.sql.Timestamp(base + (r + 1) * 60000L))
+          }
+        else Array.empty[(Long, String, java.sql.Timestamp)]
+      source.addData((batch ++ copies).toSeq)
       query.processAllAvailable()
       if ((r + 1) % 16 == 0) {
         val rows = query.lastProgress.stateOperators(0).numRowsTotal
@@ -85,11 +107,38 @@ object StreamScale {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[stream] batch candidates: $allBatch total, ${inHorizon.size} within horizon; $totalBuckets buckets ever touched")
 
-    // 1. recall: within-horizon batch pairs are a subset of streamed
-    val missed = inHorizon -- streamed
-    println(s"[stream] within-horizon pairs missed by stream: ${missed.size}")
+    // 0. excision: every planted copy pair must surface as exactly
+    //    its representative edge
+    if (planted.nonEmpty) {
+      val missedCopies = planted.toSet -- streamed
+      println(s"[stream] planted copy pairs: ${planted.size}, missed: ${missedCopies.size}")
+      assert(missedCopies.isEmpty,
+        s"excision must emit each copy's representative edge; missed ${missedCopies.take(5)}")
+    }
+
+    // 1. recall: within-horizon batch pairs are a subset of streamed —
+    //    directly without excision; up to representative transitivity
+    //    with it (a copy's pairs route through its rep, the documented
+    //    opt-in trade — the pair's endpoints must still land in one
+    //    streamed component)
+    val missed =
+      if (nCopies == 0) inHorizon -- streamed
+      else {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        streamed.foreach { case (a, b) => parent(find(a)) = find(b) }
+        inHorizon.filter { case (a, b) => find(a) != find(b) }
+      }
+    println(s"[stream] within-horizon pairs unrecovered: ${missed.size}" +
+      (if (nCopies > 0) " (component-level, excision on)" else ""))
     assert(missed.isEmpty,
-      s"stream must recall every within-horizon candidate; missed ${missed.take(5)}")
+      s"stream must recover every within-horizon candidate; missed ${missed.take(5)}")
     // 2. eviction bounds state: final rows well under the unbounded
     //    total (which only ever grows)
     println(f"[stream] state ceiling: $finalState of $totalBuckets unbounded (${100.0 * finalState / totalBuckets}%.1f%%)")
