@@ -202,6 +202,20 @@ object DedupPipeline {
     dedupedCorpus(admitted, threshold, textCol, idCol)
   }
 
+  /** (doc_id, component) for EVERY document — untouched docs label
+    * themselves. The full labeling behind [[dedupedCorpus]]'s kept
+    * view; also feeds family-size reporting (d_dup_families).
+    */
+  def componentsOf(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val labels = componentLabels(docs,
+        duplicateEdges(docs, threshold, textCol, idCol))
+      .withColumnRenamed("doc_id", "doc_id_label")
+    docs.join(labels, col(idCol) === col("doc_id_label"), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("component"))
+  }
+
   /** The kept corpus (one representative per duplicate component) plus
     * a `component` column for lineage.
     */

@@ -282,6 +282,48 @@ object LlmOps {
       .select("doc_id", "component", "lang", "source")
       .orderBy("doc_id"))
 
+  /** Duplicate-family size distribution — the dedup report an
+    * operator actually reads before committing a corpus rewrite (how
+    * much is duplicated, in how large families). Same edge set + CC
+    * labeling as d_dedup_corpus (DedupPipeline.componentsOf), then
+    * two tiny aggregations; oracle composes the same WITH RECURSIVE
+    * fixpoint with the histogram GROUP BYs.
+    */
+  private val dupFamilies = GraftQuery(
+    "d_dup_families",
+    Some("""WITH RECURSIVE ws AS (SELECT doc_id, md5(text) AS h,
+        string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, h,
+        list_distinct(list_transform(
+          generate_series(1, CAST(greatest(len(w) - 2, 1) AS INT)),
+          i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS s
+        FROM ws),
+      rep AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM sh),
+      exact_edges AS (SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id),
+      reps AS (SELECT doc_id, s FROM rep WHERE doc_id = rep_id),
+      near_edges AS (SELECT x.doc_id AS a, y.doc_id AS b
+        FROM reps x JOIN reps y ON x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.s, y.s))) >= 0.8),
+      edges AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges),
+      und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      r(src, dst) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT r.src, u.b FROM r JOIN und u ON r.dst = u.a),
+      comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM r GROUP BY src),
+      fam AS (SELECT component, COUNT(*) AS family_size FROM comp GROUP BY component)
+      SELECT CAST(family_size AS BIGINT) AS family_size,
+        CAST(COUNT(*) AS BIGINT) AS n_families,
+        CAST(SUM(family_size) AS BIGINT) AS n_docs
+      FROM fam GROUP BY family_size ORDER BY family_size"""),
+    (s, dir) => DedupPipeline.componentsOf(Tables(s, dir).documents)
+      .groupBy("component").agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size")
+      .agg(count(lit(1)).as("n_families"),
+        sum(col("family_size")).as("n_docs"))
+      .orderBy("family_size"))
+
   private val contamination = GraftQuery(
     "d_contamination",
     None, // xxhash-based fingerprints have no SQL twin; self-overlap
@@ -871,6 +913,7 @@ object LlmOps {
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
+    dupFamilies,
     consistentSample, contamination, bloomContam, mediaFeatures,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
     splitQ, packQ, incrDedup, segmentDedup, bm25Q, rarityQ,
