@@ -209,5 +209,43 @@ class ExportJobSpec extends SparkSpec {
           "db_properties":{"DB_URL":"$url","DB_USER":"app","DB_PASS":"x"}}""")
     assert(cfg.dbUrl.contains(url))
     assert(cfg.db("DB_USER") == "app")
+
+    // and the WHOLE ExportMain config flow against the database: a
+    // config whose db_properties carries the url must produce the
+    // same report rows as the parquet run (the parquet dir argument
+    // is ignored when DB_URL is set)
+    val cfgPath = Files.createTempFile("jdbccfg", ".json")
+    Files.writeString(cfgPath,
+      s"""{"queries":{"Tx_Curr_LineList":"q_line_list"},
+          "constants":{"Region":"R1","Woreda":"W1","Facility":"F1","HMISCode":"H1"},
+          "window":{"eth_month":5,"eth_year":2016},
+          "db_properties":{"DB_URL":"$url"}}""")
+    val outJ = Files.createTempDirectory("graft_jdbc_main")
+    val resJ = graft.sources.ExportMain.run(spark,
+      Array(sf, outJ.toString, cfgPath.toString))
+    assert(Files.exists(resJ.packagePath))
+    val outP = Files.createTempDirectory("graft_parq_main")
+    Files.writeString(cfgPath,
+      s"""{"queries":{"Tx_Curr_LineList":"q_line_list"},
+          "constants":{"Region":"R1","Woreda":"W1","Facility":"F1","HMISCode":"H1"},
+          "window":{"eth_month":5,"eth_year":2016}}""")
+    val resP = graft.sources.ExportMain.run(spark,
+      Array(sf, outP.toString, cfgPath.toString))
+    // the packaged zips differ in entry timestamps; the report
+    // CONTENT must be identical — compare the inner CSV bytes
+    def innerCsv(pkg: java.nio.file.Path): Seq[String] = {
+      val zf = new ZipFile(pkg.toFile)
+      val zipEntry = zf.entries().asScala.find(_.getName.endsWith(".zip")).get
+      val tmp = Files.createTempFile("inner", ".zip")
+      Files.copy(zf.getInputStream(zipEntry), tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val in = new ZipFile(tmp.toFile)
+      val lines = in.entries().asScala.toSeq.sortBy(_.getName).flatMap(e =>
+        Source.fromInputStream(in.getInputStream(e)).getLines().toSeq)
+      in.close(); zf.close()
+      lines
+    }
+    assert(innerCsv(resJ.packagePath) == innerCsv(resP.packagePath),
+      "jdbc-sourced export must equal the parquet-sourced export")
   }
 }
