@@ -100,6 +100,20 @@ object MinhashProfile {
           .filter(col("jaccard") >= 0.8)
           .write.format("noop").mode("overwrite").save()
       }
+      val sh64 = signed.select(col("doc_id"),
+        array_distinct(transform(col("shingles"), x => xxhash64(x))).as("hs"))
+      time("  verify: hashed-shingle (long) jaccard") {
+        cands
+          .join(sh64.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+            .hint("shuffle_hash"), "doc_a")
+          .join(sh64.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+            .hint("shuffle_hash"), "doc_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+              / size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+          .filter(col("jaccard") >= 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
       val texts = big.select(col("doc_id"), col("text"))
       time("  verify: re-derive shingles from text") {
         val shA = graft.functions.TextFns.wordShingles(lower(col("text_a")), 3)
