@@ -129,7 +129,7 @@ object Dedup {
     * the anti join moves only (id, band, bucket) longs, never text.
     */
   /** `maxBucket > 0` drops (band, bucket) groups larger than the cap
-    * before the self-join — same cut-not-split rationale as
+    * before pair expansion — same cut-not-split rationale as
     * simhashPairs: a giant bucket split keeps its cross-split pairs,
     * so it must be CUT. Exact-dup routing (DedupPipeline) already
     * collapses k identical copies, but a family of k NEAR-identical
@@ -151,19 +151,27 @@ object Dedup {
     val kept = excludeIds.foldLeft(bandedIds(signed))((b, ex) =>
       b.join(ex.select(col(ex.columns.head).as("doc_id")),
         Seq("doc_id"), "left_anti"))
-    val banded =
-      if (maxBucket <= 0) kept
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket")
-        kept.withColumn("__n", count(lit(1)).over(w))
-          .filter(col("__n") <= maxBucket).drop("__n")
-      }
-    val cands = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
-        Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    // candidate generation by bucket AGGREGATION, not a self-join:
+    // one shuffle of the n·bands band rows collects each bucket's
+    // members, non-singleton buckets (a sliver — banding is selective
+    // by design) expand to their within-bucket pairs map-side. The
+    // former self-join shuffled the band rows TWICE and probed a
+    // 10M-row hash table against itself (measured ~5 s of the 128×
+    // wall); the cap also becomes a plain size filter — cut whole,
+    // same cut-not-split semantics, no window pass.
+    val grouped = kept.groupBy("band", "bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val capped =
+      if (maxBucket <= 0) grouped
+      else grouped.filter(size(col("ids")) <= maxBucket)
+    val cands = capped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "da")))
+      .select(col("da"), explode(slice(col("ids"), col("i") + lit(2),
+        greatest(size(col("ids")) - col("i") - lit(1), lit(0)))).as("db"))
+      // collect_list order is partitioning-dependent — normalize
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val sh = signed.select(col("doc_id"), col("shingles"))
     // (measured, not guessed: verifying over xxhash64'd shingle arrays
