@@ -464,6 +464,9 @@ object Similarity {
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count()
+    // k-means|| init kept: measured no bench win from random init here
+    // (the wall is MLlib job scheduling + the token explode, not the
+    // init), and topic coherence benefits from the better seeds
     val model = fitKMeans(base, nClusters, trainSample)
     val assigned = model.transform(base)
       .select(col("vec_id"), col("prediction").as("cell"))
