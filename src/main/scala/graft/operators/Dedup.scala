@@ -66,6 +66,50 @@ object Dedup {
           x => x.getField("seg")), " ").as("clean_text"))
   }
 
+  /** CCNet-style boilerplate removal: a fixed-window segment is
+    * BOILERPLATE when it occurs in ≥ `minDocs` DISTINCT documents
+    * (headers, footers, nav chrome, license blocks), and every
+    * occurrence is dropped from every document — unlike
+    * [[segmentDedup]], which keeps the first occurrence. Returns
+    * (doc_id, n_segments, n_dropped, clean_text).
+    *
+    * Scale shape: segmentation is a narrow explode; the frequency
+    * table is ONE groupBy on the segment hash (countDistinct's
+    * two-phase partial dedups (hash, doc) map-side); segments re-join
+    * the hash-keyed frequency rows — each probe row matches exactly
+    * one build row, so hot boilerplate keys fan IN, never out — and
+    * the rebuild groupBy mirrors segmentDedup's
+    * partitioning-invariant ordered reassembly. Nothing is doc×doc,
+    * and no window ever collects a hot segment's full doc list (a
+    * collect_set-over-window variant would be quadratic on exactly
+    * the boilerplate this op exists to remove).
+    */
+  def boilerplateStrip(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", segWords: Int = 20,
+      minDocs: Int = 3): DataFrame = {
+    val segs = docs
+      .select(col(idCol).as("doc_id"), TextFns.words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          floor((col("n") - 1) / segWords).cast("int"))).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        array_join(slice(col("ws"), col("seg_idx") * segWords + 1,
+          lit(segWords)), " ").as("seg"))
+      .withColumn("__h", md5(col("seg")))
+    val freq = segs.groupBy("__h")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+    segs.join(freq, Seq("__h"))
+      .withColumn("__kept", col("__nd") < minDocs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** MinHash parameters: k permutations in b bands of r rows

@@ -337,6 +337,37 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** Exact n-gram contamination (TextAnalysis.ngramContamination) —
+    * the oracle-backed reference twin of the winnowing/bloom paths:
+    * string 8-grams join the benchmark set directly, so the DuckDB
+    * twin replays it bit-for-bit. Reports every candidate doc.
+    */
+  private val contaminationExact = GraftQuery(
+    "d_contamination_exact",
+    Some("""WITH sp AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents),
+      cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(ws) - 7, 1)),
+          i -> array_to_string(ws[i:least(i+7, len(ws))], ' ')))) AS ng
+        FROM sp WHERE source <> 'src0'),
+      bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(ws) - 7, 1)),
+          i -> array_to_string(ws[i:least(i+7, len(ws))], ' ')))) AS ng
+        FROM sp WHERE source = 'src0'),
+      j AS (SELECT cg.doc_id, cg.ng, bg.ng AS hit
+        FROM cg LEFT JOIN bg ON cg.ng = bg.ng)
+      SELECT doc_id, COUNT(*) AS n_ngrams,
+        CAST(COUNT(hit) AS BIGINT) AS n_hits,
+        round(CAST(COUNT(hit) AS DOUBLE) / COUNT(*), 6) AS overlap_ratio
+      FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      TextAnalysis.ngramContamination(
+          candidates = docs.filter(col("source") =!= "src0"),
+          benchmark = docs.filter(col("source") === "src0"))
+        .orderBy("doc_id")
+    })
+
   /** Scale path of d_contamination: broadcast bloom membership, no
     * benchmark-set join (one-sided error — superset of exact hits;
     * the no-false-negative property is spec-gated in LlmOpsSpec).
@@ -714,6 +745,32 @@ object LlmOps {
         md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id"))
 
+  /** CCNet-style boilerplate excision (Dedup.boilerplateStrip):
+    * segments occurring in ≥ 3 distinct docs are dropped from EVERY
+    * doc (vs segment_dedup's keep-first). Same 20-word windows, same
+    * md5-verified rebuilt text.
+    */
+  private val boilerplateQ = GraftQuery(
+    "d_boilerplate",
+    Some("""WITH m AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        len(string_split(text, ' ')) AS n FROM documents),
+      s AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+          array_to_string(ws[CAST(i*20+1 AS INT) : CAST(i*20+20 AS INT)], ' ') AS seg
+        FROM m, unnest(generate_series(0, CAST((n-1)//20 AS INT))) AS t(i)),
+      f AS (SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS nd
+        FROM s GROUP BY md5(seg)),
+      k AS (SELECT s.*, f.nd FROM s JOIN f ON md5(s.seg) = f.h)
+      SELECT doc_id, COUNT(*) AS n_segments,
+        CAST(SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+          FILTER (WHERE nd < 3), '')) AS clean_md5
+      FROM k GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => Dedup.boilerplateStrip(Tables(s, dir).documents,
+        segWords = 20, minDocs = 3)
+      .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id"))
+
   /** BM25 keyword relevance over the corpus (Retrieval.bm25): fixed
     * query terms, rational idf (no transcendentals — see Retrieval's
     * determinism note), conditional-aggregate stats + broadcast back,
@@ -764,6 +821,27 @@ object LlmOps {
       FROM j GROUP BY doc_id ORDER BY doc_id"""),
     (s, dir) => Retrieval.rarity(Tables(s, dir).documents)
       .orderBy("doc_id"))
+
+  /** Top-3 characteristic terms per doc by rational tf-idf
+    * (Retrieval.tfidf) — all-integer scoring, term-string tiebreak,
+    * so the DuckDB twin hash-matches exactly.
+    */
+  private val tfidfQ = GraftQuery(
+    "d_tfidf",
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      v AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      s AS (SELECT doc_id, term, tf, df,
+        tf * ((n_docs * CAST(1000000 AS BIGINT)) // df) AS score
+        FROM dt JOIN v USING (term), n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS rnk FROM s)
+      SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, df, score
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rank"""),
+    (s, dir) => Retrieval.tfidf(Tables(s, dir).documents, topK = 3)
+      .orderBy("doc_id", "rank"))
 
   /** Scalar quantization of the embedding column
     * (Similarity.scalarQuantize): per-dimension global stats →
@@ -914,8 +992,10 @@ object LlmOps {
     embedNearDup, embedNearDupExact, annTopK, annTopKExact,
     langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
     dupFamilies,
-    consistentSample, contamination, bloomContam, mediaFeatures,
+    consistentSample, contamination, contaminationExact, bloomContam,
+    mediaFeatures,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
-    splitQ, packQ, incrDedup, segmentDedup, bm25Q, rarityQ,
+    splitQ, packQ, incrDedup, segmentDedup, boilerplateQ, bm25Q, rarityQ,
+    tfidfQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)
 }

@@ -179,4 +179,40 @@ object Retrieval {
         round(col("rarity_sum").cast("double") / col("n_tokens").cast("double"), 4)
           .as("mean_rarity"))
   }
+
+  /** Top-k characteristic terms per document by rational tf-idf:
+    * score = tf · ((N·1e6) div df) — the idf is integer-quantized
+    * inverse document frequency (per term monotone-equivalent to
+    * log(N/df), so each term's doc ranking matches classic tf-idf;
+    * cross-term weighting is tf-idf-FAMILY, same caveat as [[bm25]]).
+    * All-integer scoring keeps the op bit-identical to its SQL twin.
+    *
+    * Scale shape: same as [[rarity]] — ONE explode collapsed to
+    * per-(doc, term) counts map-side; the vocab df aggregation reuses
+    * that exchange (ReuseExchange); the one-row corpus count
+    * broadcasts back. The per-doc top-k is a row_number window over
+    * doc_id whose partitions are per-doc DISTINCT TERM counts (tens
+    * to thousands, never corpus-sized) — WindowGroupLimit prunes to
+    * k per group map-side before the sort, so this is NOT the
+    * big-candidate-set trap that forced BoundedTopK in ivfTopK.
+    * Ties break on the term string for cross-engine determinism.
+    */
+  def tfidf(docs: DataFrame, topK: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docTerm = docs.select(col(idCol).as("doc_id"),
+        explode(TextFns.words(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    docTerm.join(vocab, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * expr("(__n_docs * CAST(1000000 AS BIGINT)) div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
 }

@@ -162,6 +162,32 @@ object TextAnalysis {
           .as("overlap_ratio"))
   }
 
+  /** Exact word-n-gram contamination — the oracle-backed reference
+    * twin of [[contamination]] (which winnows with engine-specific
+    * hashes): the fraction of each candidate doc's DISTINCT word
+    * n-grams that appear verbatim anywhere in the benchmark corpus.
+    * Same shape as the winnowing path — exploded n-grams equi-join,
+    * shuffle O(Σ n-grams), never doc×doc — but the n-grams are the
+    * strings themselves, so DuckDB can replay it exactly. Heavier
+    * per row than fingerprints (full n-gram strings shuffle instead
+    * of 64-bit mins); at scale run [[bloomContamination]] first and
+    * this only on the flagged survivors.
+    */
+  def ngramContamination(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(graft.plans.native.wordShingles(col(textCol), n)).as("ng"))
+    val benchGrams = grams(benchmark).select(col("ng")).distinct()
+      .withColumn("__hit", lit(1))
+    grams(candidates).join(benchGrams, Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), count(col("__hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_ngrams"), 6)
+          .as("overlap_ratio"))
+  }
+
   /** PII patterns (ASCII-only, no lookarounds/backreferences so Java
     * regex and DuckDB/RE2 agree): emails, NNN-NNN-NNNN phones, IPv4.
     * The standard pre-training scrub surface (emails/phones/IPs are

@@ -146,6 +146,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(high == 0, s"$high docs near-fully contaminated against unrelated corpus")
   }
 
+  test("exact n-gram contamination: verbatim spans hit, disjoint vocab scores zero") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val bench = Seq((100L, (1 to 12).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, (1 to 12).map(i => s"b$i").mkString(" ")), // full copy
+      (2L, (1 to 12).map(i => s"c$i").mkString(" ")), // disjoint vocab
+      // exactly one shared 8-gram (b1..b8) then fresh words
+      (3L, ((1 to 8).map(i => s"b$i") ++ (1 to 8).map(i => s"d$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramContamination(cand, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 == 1.0, "verbatim copy must fully overlap")
+    assert(out(2L)._2 == 0L, "disjoint vocabulary can never hit")
+    assert(out(3L)._2 == 1L, "exactly the one planted 8-gram hits")
+    assert(out(3L)._3 < 1.0)
+  }
+
   test("fingerprints are deterministic and bounded") {
     val a = docs.select(col("doc_id") +: TextAnalysis.fingerprint(col("text")): _*)
       .orderBy("doc_id").collect()

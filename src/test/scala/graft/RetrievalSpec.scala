@@ -39,6 +39,42 @@ class RetrievalSpec extends SparkSpec {
     assert(agg.getLong(0) <= agg.getLong(1))
   }
 
+  test("boilerplate strip drops every occurrence at the distinct-doc threshold") {
+    val seg1 = (1 to 20).map(i => s"a$i").mkString(" ") // 3 docs → boilerplate
+    val seg2 = (1 to 20).map(i => s"b$i").mkString(" ") // 2 docs → kept
+    val seg3 = (1 to 20).map(i => s"c$i").mkString(" ")
+    val d = mkDocs(Seq(
+      (1L, s"$seg1 $seg2"),
+      (2L, s"$seg1 $seg2"),
+      (3L, s"$seg1 $seg3")))
+    val out = Dedup.boilerplateStrip(d, segWords = 20, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (2L, 1L, seg2), "seg1 dropped from EVERY doc, seg2 kept")
+    assert(out(2L) == (2L, 1L, seg2))
+    assert(out(3L) == (2L, 1L, seg3))
+  }
+
+  test("tfidf ranks distinctive terms first with integer-exact scores") {
+    val d = mkDocs(Seq(
+      (1L, "rare rare common common common"),
+      (2L, "common common other"),
+      (3L, "common zebra")))
+    val out = Retrieval.tfidf(d, topK = 2).collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    assert(doc1.head.getString(2) == "rare", "doc-exclusive term outranks ubiquitous one")
+    // rare: tf=2, df=1 → 2·(3e6 div 1); common: tf=3, df=3 → 3·(3e6 div 3)
+    assert(doc1.head.getLong(5) == 6000000L)
+    assert(doc1(1).getString(2) == "common")
+    assert(doc1(1).getLong(5) == 3000000L)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(5))
+    val re = Retrieval.tfidf(d.repartition(5), topK = 2).collect()
+    assert(re.map(key).sortBy(x => (x._1, x._2)).toSeq ==
+      out.map(key).sortBy(x => (x._1, x._2)).toSeq,
+      "tfidf is partitioning-invariant")
+  }
+
   test("bm25 ranks by term density and is repartition-invariant") {
     val filler = (1 to 30).map(i => s"w$i").mkString(" ")
     val d = mkDocs(Seq(
