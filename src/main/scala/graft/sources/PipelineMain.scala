@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
-import graft.operators.{DedupPipeline, Sampling, TextAnalysis}
+import graft.operators.{DedupPipeline, Sampling, Similarity, TextAnalysis}
 
 /** End-to-end training-data preparation pipeline over the documents
   * table — the composed "prepare a corpus" flow a 100 TB ingest runs:
@@ -12,10 +12,15 @@ import graft.operators.{DedupPipeline, Sampling, TextAnalysis}
   *      StreamingIntake, so stream and batch admit identical docs)
   *   3. scrub: PII redaction on the admitted text
   *   4. dedup: exact + minhash near-dup -> one doc per component
+  *      (components computed ONCE, reported as the duplicate-family
+  *      histogram AND used to pick representatives)
   *   5. fingerprint: winnowing summary for downstream contamination checks
   *   6. sample: consistent per-language cap
   *   7. split: deterministic train/val/test holdout
   *   8. write parquet partitioned by split (small demo output)
+  *   9. report: dup-family histogram + embedding-cluster topic labels
+  *      (the d_dup_families / d_cluster_topics ops, chained on the
+  *      pipeline's own frames)
   *
   *   runMain graft.sources.PipelineMain <sfDir> <outDir>
   */
@@ -34,9 +39,15 @@ object PipelineMain {
     val filtered = annotated
       .filter(col("quality_score") >= 0.5 && col("n_tokens") >= 10)
       .withColumn("text", TextAnalysis.piiRedact(col("text")))
-    val deduped = DedupPipeline.dedupedCorpus(
-      filtered.select("doc_id", "text", "lang", "source"), threshold = 0.8)
-      .join(filtered.drop("text", "lang", "source"), "doc_id")
+    // one component computation feeds BOTH the kept-representative set
+    // and the dup-family report (dedupedCorpus would re-derive the
+    // same labels a second time)
+    val components = DedupPipeline.componentsOf(
+        filtered.select("doc_id", "text"), threshold = 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deduped = filtered
+      .join(components.filter(col("doc_id") === col("component"))
+        .select("doc_id"), "doc_id")
     val fingerprinted = deduped.select(
       (deduped.columns.filterNot(_ == "text").map(col).toSeq ++
         TextAnalysis.fingerprint(col("text"))): _*)
@@ -53,6 +64,28 @@ object PipelineMain {
       .orderBy("split").collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(",")
     println(s"[pipeline] in=$total kept=$kept by_lang=$byLang by_split=$bySplit out=$outDir")
+
+    // corpus report: duplicate-family histogram (size -> families) from
+    // the SAME component labels that drove the dedup step
+    val famHist = components
+      .groupBy("component").agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+      .orderBy("family_size").collect()
+      .map(r => s"${r.getLong(0)}x${r.getLong(1)}").mkString(",")
+    components.unpersist()
+    println(s"[pipeline] dup_families=$famHist")
+
+    // embedding-cluster topic labels over the full annotated corpus
+    // (cells x top terms — a constant-size frame, safe to collect)
+    val topics = Similarity.clusterTopics(
+        Tables(spark, sfDir).embeddings, docs, nClusters = 4, topTerms = 3)
+      .orderBy("cell", "rank").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cell, rows) =>
+        s"c$cell(${rows.head.getLong(1)}d):" +
+          rows.sortBy(_.getInt(3)).map(_.getString(4)).mkString("|")
+      }.mkString(" ")
+    println(s"[pipeline] topics=$topics")
     spark.stop()
   }
 }
