@@ -25,13 +25,23 @@ import org.apache.spark.sql.functions._
   * one representative edge (asserted), and none of the copies may
   * grow the bucket state.
   *
-  * Usage: StreamScale <blowUpDir> [horizonMinutes=16] [nCopies=0]
+  * With `maxBucket > 0` (4th arg) the run becomes the SATURATION-cap
+  * scale test instead: excision off, a handful of copy-families far
+  * larger than the cap are planted across the minutes, and the run
+  * asserts the cap's three documented properties — family emissions
+  * bounded by C(cap,2) (not C(k,2)), recovery of every pair that
+  * shares at least one never-saturating bucket, and the
+  * Σ min(bucketSize, cap) state ceiling.
+  *
+  * Usage: StreamScale <blowUpDir> [horizonMinutes=16] [nCopies=0] [maxBucket=0]
   */
 object StreamScale {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val horizon = args.lift(1).map(_.toLong).getOrElse(16L)
     val nCopies = args.lift(2).map(_.toInt).getOrElse(0)
+    val maxBucket = args.lift(3).map(_.toInt).getOrElse(0)
+    if (maxBucket > 0) { capMode(dir, maxBucket); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-stream-scale")
     import spark.implicits._
@@ -148,6 +158,110 @@ object StreamScale {
     // past the pairwise gap); report for the record
     println(s"[stream] streamed-beyond-horizon extras: ${(streamed -- inHorizon).size}")
     println("[stream] PASS")
+    spark.stop()
+  }
+
+  /** Saturation-cap mode: 4 planted copy-families of ~reps+1 docs each
+    * (every family ≫ cap), horizon wide open so eviction never fires —
+    * the cap is the ONLY state bound under test.
+    */
+  private def capMode(dir: String, cap: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.GraftSession.local(cpus, "graft-stream-cap")
+    import spark.implicits._
+    import graft.operators.Dedup
+
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") / 10000000L).cast("long").as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+    val reps = docs.select(max(col("rep"))).head().getLong(0).toInt + 1
+    val horizon = reps + 2L // nothing ever goes cold: pure cap test
+    val seeds = docs.filter(col("rep") === 0).orderBy("doc_id")
+      .limit(4).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    println(s"[stream-cap] $nDocs docs, $reps minutes, cap $cap, " +
+      s"families of ${reps + 1} from seeds ${seeds.map(_._1).mkString(",")}")
+
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pairs = graft.streaming.StreamingDedup.candidatePairs(
+      source.toDF().toDF("doc_id", "text", "ts"),
+      tsCol = "ts", horizonMinutes = horizon, watermarkDelay = "1 minute",
+      maxBucket = cap)
+    val query = pairs.writeStream.format("memory").queryName("stream_cap_pairs")
+      .outputMode("append").start()
+    def copyId(seedIdx: Int, minute: Int): Long =
+      3000000000L + seedIdx * 1000000L + minute
+    (0 until reps).foreach { r =>
+      val batch = docs.filter(col("rep") === r)
+        .select("doc_id", "text").collect()
+        .map(row => (row.getLong(0), row.getString(1),
+          new java.sql.Timestamp(base + r * 60000L)))
+      val copies = seeds.zipWithIndex.map { case ((_, text), i) =>
+        (copyId(i, r), text, new java.sql.Timestamp(base + r * 60000L))
+      }
+      source.addData((batch ++ copies).toSeq)
+      query.processAllAvailable()
+    }
+    val finalState = query.lastProgress.stateOperators(0).numRowsTotal
+    val streamed = spark.table("stream_cap_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    println(s"[stream-cap] streamed ${streamed.size} pairs; final state rows = $finalState")
+
+    // batch reference over EVERY arrival (originals + planted copies)
+    val copiesDf = (0 until reps).flatMap { r =>
+      seeds.zipWithIndex.map { case ((_, text), i) => (copyId(i, r), text) }
+    }.toDF("doc_id", "text")
+    val arrivals = docs.select("doc_id", "text").union(copiesDf)
+    val banded = Dedup.bandedIds(Dedup.minhashSignature(arrivals, "text", "doc_id"))
+      .select("band", "bucket", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = banded.groupBy("band", "bucket").agg(count(lit(1)).as("sz"))
+
+    // 1. family emissions: C(cap,2) bound instead of C(famSize,2)
+    seeds.zipWithIndex.foreach { case ((seedId, _), i) =>
+      val fam = Set(seedId) ++ (0 until reps).map(copyId(i, _))
+      val within = streamed.count { case (a, b) => fam(a) && fam(b) }
+      val capBound = cap * (cap - 1) / 2
+      val uncapped = fam.size * (fam.size - 1) / 2
+      println(s"[stream-cap] family $i: $within pairs (cap bound $capBound, uncapped $uncapped)")
+      assert(within > 0, s"family $i must emit its first-arrival pairs")
+      assert(within <= capBound,
+        s"family $i emitted $within pairs — saturation must bound it by $capBound")
+    }
+
+    // 2. recall outside saturation: any pair sharing a bucket that
+    //    NEVER reaches the cap has both endpoints admitted -> must be
+    //    streamed (horizon is wide open in this mode)
+    val small = banded.join(sized.filter(col("sz") < cap), Seq("band", "bucket"))
+    val mustHave = small.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(small.select(col("band"), col("bucket"), col("doc_id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = mustHave -- streamed
+    println(s"[stream-cap] pairs via never-saturating buckets: ${mustHave.size}, missed: ${missed.size}")
+    assert(missed.isEmpty,
+      s"cap may only cost saturated-bucket pairs; missed ${missed.take(5)}")
+
+    // 3. state ceiling: rows <= sum(min(size, cap)) and well under the
+    //    uncapped sum the planted families would force
+    val ceil = sized.agg(
+        sum(least(col("sz"), lit(cap.toLong))).as("capped"),
+        sum(col("sz")).as("uncapped"))
+      .head()
+    val (capped, uncapped) = (ceil.getLong(0), ceil.getLong(1))
+    println(s"[stream-cap] state: $finalState rows, ceiling $capped, uncapped would be $uncapped")
+    assert(finalState <= capped,
+      s"state $finalState exceeds the sum-min(size,cap) ceiling $capped")
+    assert(capped < uncapped,
+      "planted families must actually inflate the uncapped total")
+    println("[stream-cap] PASS")
     spark.stop()
   }
 }
