@@ -117,6 +117,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("tfidf reuses the doc-term exchange and never broadcasts the corpus side") {
+    val p = planOf("d_tfidf")
+    // df derives from tf so the vocab subtree reuses docTerm's shuffle
+    assert(p.contains("ReusedExchange"), "vocab must reuse the docTerm shuffle:\n" + p)
+    // the shuffle_hash hint pins the join: AQE once broadcast the
+    // corpus-sized docTerm side and ran scoring on one task
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ShuffledHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("boilerplate strip is two shuffles: hash window and per-doc rebuild") {
+    val p = planOf("d_boilerplate")
+    // dense_rank asc+desc over the same partitioning: extra sort, no
+    // extra exchange, no join of a frequency table
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length <= 2,
+      "unexpected extra shuffles:\n" + p)
+    assert(!finalPlan.contains("HashJoin") && !finalPlan.contains("SortMergeJoin"),
+      "frequency must come from the window, not a re-join:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("exact contamination joins n-grams hash-based with map-side partials") {
+    val p = planOf("d_contamination_exact")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("length histogram aggregates map-side; window only over the bucket frame") {
     val p = planOf("d_len_hist")
     assert(p.contains("partial_"), p)
