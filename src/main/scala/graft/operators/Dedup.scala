@@ -350,6 +350,77 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // ------------------------------------- exact shared-substring pairs
+
+  /** Exact substring-level duplicate pairs (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * pass, re-shaped for bucketed candidate generation): every pair
+    * of documents sharing a VERBATIM character span of ≥ `minLen` is
+    * returned with its distinct shared `minLen`-gram count. Two
+    * stages, both with guaranteed recall:
+    *
+    *  1. CANDIDATES from winnowing-fingerprint buckets: the winnowing
+    *     theorem (Schleimer et al. 2003) guarantees two strings
+    *     sharing a span of ≥ w + k − 1 chars select at least one
+    *     common fingerprint, so with minLen ≥ w + k − 1 (enforced)
+    *     the bucket join is a SUPERSET of the true pair set — recall
+    *     is 1 by construction, not by measurement. Same one-shuffle
+    *     bucket aggregation as minhashLsh (collect ids per
+    *     fingerprint, expand non-singleton buckets map-side).
+    *  2. VERIFY with plain string equality: the native
+    *     SharedGramCount confirms the ≥minLen-char overlap exactly —
+    *     no hashes in the decision — which is why the op is
+    *     oracle-backed: DuckDB replays it as an all-grams equi-join.
+    *
+    * The fingerprint k-gram must be LONG — k=40 (~8 words), not the
+    * contamination default 20: candidate volume is Σ bucket² over
+    * docs sharing one k-char gram, and on a small-vocabulary corpus
+    * 4-word grams collide by the birthday bound corpus-wide (the
+    * uncapped k=20 form never finished the 64× blow-up; k=40 makes
+    * collisions ≈ true long-span sharers and runs in seconds). Any
+    * k with w + k − 1 ≤ minLen preserves exactness — the pair set is
+    * DEFINED by the verify, candidates only need to be a superset.
+    * At corpus scale a ubiquitous boilerplate span still makes its
+    * bucket corpus-sized; `maxBucket` cuts those buckets WHOLE
+    * (cut-not-split, the simhash/minhash cap rationale). Off by
+    * default so the registered sf results stay oracle-exact; at
+    * 100 TB run [[boilerplateStrip]] first or set the cap.
+    */
+  def substrDedup(docs: DataFrame, minLen: Int = 60,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 40, w: Int = 8, maxBucket: Int = 0): DataFrame = {
+    require(minLen >= w + k - 1,
+      s"winnowing(k=$k, w=$w) only guarantees spans >= ${w + k - 1} chars")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val fps = base.select(col("doc_id"),
+      explode(graft.plans.native.winnowing(col("text"), k, w)).as("fp"))
+    val grouped = fps.groupBy("fp")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val capped =
+      if (maxBucket <= 0) grouped
+      else grouped.filter(size(col("ids")) <= maxBucket)
+    val cands = capped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "da")))
+      .select(col("da"), explode(slice(col("ids"), col("i") + lit(2),
+        greatest(size(col("ids")) - col("i") - lit(1), lit(0)))).as("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // shuffle_hash on the text re-joins: the tiny candidate shuffle
+    // against the corpus-sized text side is exactly the AQE
+    // corpus-broadcast shape (SURVEY §11) — hint it like minhashLsh
+    cands
+      .join(base.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+        .hint("shuffle_hash"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.plans.native.sharedGramCount(col("text_a"), col("text_b"),
+          minLen).as("n_shared"))
+      .filter(col("n_shared") >= 1)
+  }
+
   // ----------------------------------------- exact n-gram Jaccard pairs
 
   /** Exact word-set Jaccard for candidate pairs sharing a text prefix

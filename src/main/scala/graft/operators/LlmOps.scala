@@ -745,6 +745,26 @@ object LlmOps {
         md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id"))
 
+  /** Substring-level duplicate pairs (Dedup.substrDedup): winnowing
+    * buckets generate candidates with GUARANTEED recall for spans ≥
+    * w+k−1 = 27 chars (minLen 60), plain-string gram verify — so the
+    * DuckDB all-grams join is an exact twin despite the hash-based
+    * candidate stage.
+    */
+  private val substrDedupQ = GraftQuery(
+    "d_substr_dedup",
+    Some("""WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(text) - 59, 0)),
+        i -> substr(text, CAST(i AS INT), 60)))) AS gram
+      FROM documents WHERE len(text) >= 60)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(COUNT(DISTINCT a.gram) AS INT) AS n_shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => Dedup.substrDedup(Tables(s, dir).documents, minLen = 60)
+      .orderBy("doc_a", "doc_b"))
+
   /** CCNet-style boilerplate excision (Dedup.boilerplateStrip):
     * segments occurring in ≥ 3 distinct docs are dropped from EVERY
     * doc (vs segment_dedup's keep-first). Same 20-word windows, same
@@ -995,7 +1015,7 @@ object LlmOps {
     consistentSample, contamination, contaminationExact, bloomContam,
     mediaFeatures,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
-    splitQ, packQ, incrDedup, segmentDedup, boilerplateQ, bm25Q, rarityQ,
-    tfidfQ,
+    splitQ, packQ, incrDedup, segmentDedup, boilerplateQ, substrDedupQ,
+    bm25Q, rarityQ, tfidfQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)
 }

@@ -36,6 +36,32 @@ object NativeImpl {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** See [[native.SharedGramCount]]. Distinct CHARACTER n-grams
+    * present in both strings — java String.substring over decoded
+    * chars so the gram positions agree with DuckDB's
+    * character-addressed substr/list slicing on any UTF-8 input.
+    * Intended for VERIFYING candidate pairs (each call is
+    * O(|a| + |b|) gram hashing over two document-sized strings),
+    * never as a corpus-wide scan primitive.
+    */
+  def sharedGramCount(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String, n: Int): Int = {
+    val sa = a.toString; val sb = b.toString
+    if (sa.length < n || sb.length < n) return 0
+    val (s, t) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
+    val set = new java.util.HashSet[String](2 * (s.length - n + 1))
+    var i = 0
+    while (i + n <= s.length) { set.add(s.substring(i, i + n)); i += 1 }
+    val shared = new java.util.HashSet[String]()
+    var j = 0
+    while (j + n <= t.length) {
+      val g = t.substring(j, j + n)
+      if (set.contains(g)) shared.add(g)
+      j += 1
+    }
+    shared.size
+  }
+
   /** See [[native.LiteralOccurrences]]. One pass over the BYTES:
     * UTF8String.indexOf takes a char position and re-walks the string
     * from byte 0 to resolve it on every call — O(n·matches), which is
@@ -806,6 +832,30 @@ object native {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Distinct character n-grams shared by two strings — the exact
+    * verify step of the substring-dedup path: candidates come from
+    * winnowing-fingerprint buckets, and this confirms (and counts)
+    * the verbatim ≥n-char overlap with plain string equality, which
+    * a DuckDB gram-explode twin can replay exactly.
+    */
+  case class SharedGramCount(left: Expression, right: Expression, n: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeImpl.sharedGramCount(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.NativeImpl.sharedGramCount($a, $b, $n);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SharedGramCount =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Ethiopian 'D/M/Y' rendering of a DATE child (days since epoch) —
     * native twin of functions.EthiopianCalendar.ethiopianDMY for SQL
     * registration (a Column-composed tree can't be registered as a
@@ -872,4 +922,7 @@ object native {
 
   def byteDot(a: Column, b: Column): Column =
     column(ByteDotProduct(expression(a), expression(b)))
+
+  def sharedGramCount(a: Column, b: Column, n: Int): Column =
+    column(SharedGramCount(expression(a), expression(b), n))
 }

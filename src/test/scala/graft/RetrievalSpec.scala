@@ -75,6 +75,29 @@ class RetrievalSpec extends SparkSpec {
       "tfidf is partitioning-invariant")
   }
 
+  test("substring dedup finds exactly the pairs sharing a >=minLen span") {
+    // the full shared region includes the delimiting spaces: an
+    // 80-char planted span shares " span " = 82 chars -> 23 distinct
+    // 60-grams; a 57-char span shares 59 chars < minLen -> no pair
+    val span80 = (10 to 26).map(i => s"xx$i").mkString(" ").take(80)
+    assert(span80.length == 80)
+    val span57 = (30 to 45).map(i => s"yy$i").mkString(" ").take(57)
+    // letter-only pads, a DISTINCT alphabet per doc: no digits or
+    // shared pad text that could extend the planted span's match
+    def pad(t: String) = Seq.fill(14)(t * 4).mkString(" ")
+    val d = mkDocs(Seq(
+      (1L, s"${pad("e")} $span80 ${pad("f")}"),
+      (2L, s"${pad("g")} $span80 ${pad("h")}"),
+      (3L, s"${pad("i")} $span57 ${pad("j")}"),
+      (4L, s"${pad("k")} $span57 ${pad("l")}")))
+    val out = Dedup.substrDedup(d, minLen = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.contains((1L, 2L)), s"80-char span must be found: $out")
+    assert(out((1L, 2L)) == 23, s"expected 23 shared 60-grams: $out")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"59-char shared region is below minLen: $out")
+  }
+
   test("bm25 ranks by term density and is repartition-invariant") {
     val filler = (1 to 30).map(i => s"w$i").mkString(" ")
     val d = mkDocs(Seq(
