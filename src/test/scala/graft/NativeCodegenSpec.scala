@@ -26,6 +26,7 @@ class NativeCodegenSpec extends SparkSpec {
         native.wordShingles(col("text"), 3).as("ws"),
         native.winnowing(col("text"), 5, 4).as("wf"),
         native.literalCount(col("text"), "e").as("lc"),
+        native.sharedGramCount(col("text"), col("text"), 5).as("sg"),
         native.regexpCount(col("text"), "[aeiou]+").as("rc"),
         native.markerScores(lower(col("text")),
           Seq(Seq("one", "two"), Seq("beta", "zeta"))).as("ms"),

@@ -141,6 +141,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("substring dedup generates candidates by bucket aggregation, verifies hash-joined") {
+    val p = planOf("d_substr_dedup")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // candidates come from the fingerprint groupBy + map-side pair
+    // expansion, never a fps⋈fps self-join; text re-joins are hinted
+    assert(finalPlan.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("exact contamination joins n-grams hash-based with map-side partials") {
     val p = planOf("d_contamination_exact")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
