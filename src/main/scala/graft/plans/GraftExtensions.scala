@@ -68,6 +68,11 @@ object GraftExtensions {
       info("graft_byte_dot",
         "graft_byte_dot(a, b) - signed-byte integer dot of two binary codes"),
       (args: Seq[Expression]) => native.ByteDotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_shared_grams"),
+      info("graft_shared_grams",
+        "graft_shared_grams(a, b, n) - distinct character n-grams shared by two strings"),
+      (args: Seq[Expression]) => native.SharedGramCount(args(0), args(1),
+        intArg(args(2), "n"))),
     (FunctionIdentifier("graft_ethiopian_dmy"),
       info("graft_ethiopian_dmy",
         "graft_ethiopian_dmy(date) - Ethiopian calendar 'D/M/Y' string"),

@@ -80,6 +80,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(!v.isNaN)
   }
 
+  test("graft_shared_grams matches the Column API and counts planted overlap") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    Seq(("abcdefgh zz", "qq abcdefgh")).toDF("a", "b")
+      .createOrReplaceTempView("grams_sql")
+    // shared region "abcdefgh" = 8 chars -> 4 distinct 5-grams
+    val sql = spark.sql(
+      "SELECT graft_shared_grams(a, b, 5) AS n FROM grams_sql").head().getInt(0)
+    val api = Seq(("abcdefgh zz", "qq abcdefgh")).toDF("a", "b")
+      .select(graft.plans.native.sharedGramCount(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), 5))
+      .head().getInt(0)
+    assert(sql == 4 && api == 4, s"sql=$sql api=$api")
+  }
+
   test("sq8 SQL functions approximate graft_dot like the Column API") {
     GraftExtensions.registerAll(spark)
     Tables(spark, sf).embeddings.createOrReplaceTempView("emb_sql2")
