@@ -151,11 +151,15 @@ object DedupPipeline {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.8): DataFrame = {
-    // exact: batch text already present in the corpus
+    // exact: batch text already present in the corpus. The corpus
+    // md5 SET is corpus-sized — shuffle_hash keeps it off the
+    // broadcast path (its compressed shuffle stats slip under the
+    // 64 MB threshold long before the in-memory hashed relation
+    // does: the 256× ScaleCheck died broadcasting 1.28M md5 strings)
     val corpusH = corpus.select(md5(col(textCol)).as("__h")).distinct()
     val fresh = batch
       .withColumn("__h", md5(col(textCol)))
-      .join(corpusH, Seq("__h"), "left_anti")
+      .join(corpusH.hint("shuffle_hash"), Seq("__h"), "left_anti")
       .drop("__h")
     // near vs corpus: batch bands × corpus bands — candidates always
     // pair a batch doc with a corpus doc, verified on exact jaccard.

@@ -36,6 +36,19 @@ object ScaleCheck {
     val queries = args.drop(3).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-scale-check")
+    // partitions must scale with DATA, not cores — exactly what a real
+    // deployment does (the prompt-side sizing rule: partitions fit in
+    // executor memory at the target SF). With the session default
+    // (partitions = cores) a 256× blow-up packs 32× more rows per
+    // shuffle partition than 8×, and per-partition hash-join builds
+    // blow past the memory manager (measured: minhash verify and the
+    // CC edge join both died at 256× with partitions=8 — ~32 sf
+    // slices per partition; they pass comfortably at ≤4 slices).
+    // factor/4 keeps per-partition volume ≤ 4 slices at every factor
+    // without flooding the 8-core box with scheduling waves (one
+    // partition per replica measured +2× wall on the IVF op).
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(cpus, factor / 4).toString)
 
     val t = graft.Tables(spark, sfDir)
     val reps = spark.range(0, factor).select(col("id").as("rep"))
