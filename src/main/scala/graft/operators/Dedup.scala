@@ -115,6 +115,34 @@ object Dedup {
           x => x.getField("seg")), " ").as("clean_text"))
   }
 
+  /** Within-document segment dedup (the RefinedWeb "remove duplicated
+    * lines within a document" pass, at fixed-window granularity since
+    * the corpus carries no newlines): the first occurrence of each
+    * distinct `segWords`-word segment is kept, later repeats inside
+    * the SAME document are dropped, and the text is rebuilt in order.
+    * Returns (doc_id, n_segments, n_kept, clean_text).
+    *
+    * Scale shape: ZERO shuffles — duplication is decided per row, so
+    * the whole operator is one codegen'd narrow projection
+    * (plans.native.IntraDocDedup), unlike [[segmentDedup]]'s
+    * corpus-wide window. n_kept is derived from the rebuilt text's
+    * word count: every segment but the document's last has exactly
+    * segWords words, and the short last segment can never equal a
+    * full one (space-join over space-free words is length-bijective),
+    * so ceil(words/segWords) counts survivors exactly.
+    */
+  def intraDocDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", segWords: Int = 20): DataFrame = {
+    val clean = graft.plans.native.intraDedupText(col(textCol), segWords)
+    def nSegs(t: Column): Column =
+      (floor((TextFns.wordCount(t) - 1) / segWords) + 1).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+      nSegs(col(textCol)).as("n_segments"),
+      clean.as("clean_text"))
+      .withColumn("n_kept", nSegs(col("clean_text")))
+      .select("doc_id", "n_segments", "n_kept", "clean_text")
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** MinHash parameters: k permutations in b bands of r rows

@@ -203,6 +203,46 @@ object LlmOps {
       .select(col("doc_id") +: TextAnalysis.quality(col("text")): _*)
       .orderBy("doc_id"))
 
+  /** Gopher-rule battery (TextAnalysis.gopherRules): stats, one
+    * boolean per hard filter rule, AND'd keep flag. One narrow
+    * projection — see the builder's determinism note (raw-double
+    * rule comparisons on identical operands, round only in outputs).
+    */
+  private val gopherQ = GraftQuery(
+    "d_gopher_rules",
+    Some {
+      val stopSql = langScoreSql(TextAnalysis.StopSet)
+      s"""WITH m AS (SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_words,
+        ${occSql("text", "#")} + ${occSql("text", "...")} AS n_symbol,
+        len(list_filter(string_split(text, ' '),
+          w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        $stopSql AS n_stop
+        FROM documents),
+      r AS (SELECT *,
+        CAST(n_chars - n_words + 1 AS DOUBLE) / n_words AS mwl,
+        CAST(n_symbol AS DOUBLE) / n_words AS sr,
+        CAST(n_alpha AS DOUBLE) / n_words AS ar
+        FROM m)
+      SELECT doc_id, n_words,
+        round(mwl, 4) AS mean_word_len,
+        round(sr, 6) AS symbol_ratio,
+        round(ar, 6) AS alpha_ratio,
+        n_stop,
+        (n_words BETWEEN 10 AND 100000) AS r_word_count,
+        (mwl BETWEEN 2 AND 10) AS r_mean_word,
+        (sr <= 0.1) AS r_symbol,
+        (ar >= 0.8) AS r_alpha,
+        (n_stop >= 2) AS r_stop,
+        ((n_words BETWEEN 10 AND 100000) AND (mwl BETWEEN 2 AND 10)
+          AND (sr <= 0.1) AND (ar >= 0.8) AND (n_stop >= 2)) AS keep_flag
+      FROM r ORDER BY doc_id"""
+    },
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id") +: TextAnalysis.gopherRules(col("text")): _*)
+      .orderBy("doc_id"))
+
   private val tokenCountQ = GraftQuery(
     "d_token_count",
     Some("""SELECT doc_id,
@@ -765,6 +805,32 @@ object LlmOps {
     (s, dir) => Dedup.substrDedup(Tables(s, dir).documents, minLen = 60)
       .orderBy("doc_a", "doc_b"))
 
+  /** Within-document segment dedup (Dedup.intraDocDedup — the
+    * RefinedWeb "remove duplicated lines within a document" pass at
+    * 20-word windows): keep-first WITHIN each doc, zero shuffles
+    * (one codegen'd narrow projection). Rebuilt text md5-verified.
+    * The oracle keeps segmentDedup's windowed form with the
+    * partition key widened to (doc_id, segment hash).
+    */
+  private val intraDedupQ = GraftQuery(
+    "d_intradoc_dedup",
+    Some("""WITH m AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        len(string_split(text, ' ')) AS n FROM documents),
+      s AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+          array_to_string(ws[CAST(i*20+1 AS INT) : CAST(i*20+20 AS INT)], ' ') AS seg
+        FROM m, unnest(generate_series(0, CAST((n-1)//20 AS INT))) AS t(i)),
+      k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, md5(seg)
+          ORDER BY seg_idx) AS rn FROM s)
+      SELECT doc_id, COUNT(*) AS n_segments,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+          FILTER (WHERE rn = 1), '')) AS clean_md5
+      FROM k GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => Dedup.intraDocDedup(Tables(s, dir).documents, segWords = 20)
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id"))
+
   /** CCNet-style boilerplate excision (Dedup.boilerplateStrip):
     * segments occurring in ≥ 3 distinct docs are dropped from EVERY
     * doc (vs segment_dedup's keep-first). Same 20-word windows, same
@@ -862,6 +928,33 @@ object LlmOps {
       FROM r WHERE rnk <= 3 ORDER BY doc_id, rank"""),
     (s, dir) => Retrieval.tfidf(Tables(s, dir).documents, topK = 3)
       .orderBy("doc_id", "rank"))
+
+  /** Bigram-LM fluency (Retrieval.bigramFluency): corpus-trained
+    * conditional bigram counts, exact-integer surprisal totals (the
+    * perplexity-filter analog — see the builder's rationale for the
+    * rational 1/p form). All-integer, so the oracle is exact.
+    */
+  private val bigramLmQ = GraftQuery(
+    "d_bigram_lm",
+    Some("""WITH m AS (SELECT doc_id, string_split(lower(text), ' ') AS ws,
+        len(string_split(lower(text), ' ')) AS n FROM documents),
+      b AS (SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS bg
+        FROM m, unnest(generate_series(1, CAST(n - 1 AS INT))) AS t(i)
+        WHERE n >= 2),
+      dt AS (SELECT doc_id, bg, COUNT(*) AS tf FROM b GROUP BY doc_id, bg),
+      cf AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS cf FROM dt GROUP BY bg),
+      cx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(cf) AS BIGINT) AS cf_ctx
+        FROM cf GROUP BY 1),
+      s AS (SELECT doc_id, tf,
+          tf * ((cf_ctx * CAST(1000000 AS BIGINT)) // cf) AS score
+        FROM dt JOIN cf USING (bg)
+        JOIN cx ON split_part(dt.bg, ' ', 1) = cx.w1)
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        CAST(SUM(score) AS BIGINT) AS surprisal,
+        CAST(SUM(score) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS ppl_proxy
+      FROM s GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => Retrieval.bigramFluency(Tables(s, dir).documents)
+      .orderBy("doc_id"))
 
   /** Scalar quantization of the embedding column
     * (Similarity.scalarQuantize): per-dimension global stats →
@@ -1010,12 +1103,14 @@ object LlmOps {
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact,
-    langIdQ, qualityQ, tokenCountQ, fingerprintQ, editDistance, dedupCorpus,
+    langIdQ, qualityQ, gopherQ, tokenCountQ, fingerprintQ, editDistance,
+    dedupCorpus,
     dupFamilies,
     consistentSample, contamination, contaminationExact, bloomContam,
     mediaFeatures,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
-    splitQ, packQ, incrDedup, segmentDedup, boilerplateQ, substrDedupQ,
-    bm25Q, rarityQ, tfidfQ,
+    splitQ, packQ, incrDedup, intraDedupQ, segmentDedup, boilerplateQ,
+    substrDedupQ,
+    bm25Q, rarityQ, tfidfQ, bigramLmQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)
 }

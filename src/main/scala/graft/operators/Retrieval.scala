@@ -233,4 +233,47 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .select("doc_id", "rank", "term", "tf", "df", "score")
   }
+
+  /** Bigram-LM fluency score per document — the CONTEXT-CONDITIONAL
+    * step up from [[rarity]]'s unigram frequencies: each bigram
+    * occurrence w1·w2 contributes tf · (cf(w1·) · 10⁶ div cf(w1,w2)),
+    * an integer proportional to 1/p(w2|w1) under the corpus-trained
+    * bigram model. Low totals = text whose transitions the corpus
+    * predicts well (fluent/templated); high totals = improbable word
+    * sequences (the CCNet "tail" a perplexity filter cuts). Summing
+    * 1/p instead of log(1/p) keeps every value exact-integer
+    * (cross-engine reproducible, no transcendentals) at the cost of
+    * being perplexity-FAMILY, not log-perplexity: per-bigram the map
+    * is monotone, multi-bigram totals weight improbable transitions
+    * more heavily than a log-sum would.
+    *
+    * Documents with fewer than two words have no complete bigram
+    * context and are excluded (native.WordNgrams yields an empty
+    * array; the oracle's generate_series guard mirrors it).
+    *
+    * Scale shape (the d_tfidf recipe): ONE explode collapsed map-side
+    * to (doc, bigram) counts; corpus bigram counts aggregate that
+    * frame (sum(tf) keeps the column reference, so the first exchange
+    * is reused — see tfidf's NullPropagation note); context counts
+    * aggregate the VOCAB-sized bigram table, never the corpus;
+    * shuffle_hash hints on both joins back (AQE must not broadcast
+    * the corpus-sized side — the trap measured on d_tfidf).
+    */
+  def bigramFluency(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val docBg = docs.select(col(idCol).as("doc_id"),
+        explode(graft.plans.native.wordNgrams(lower(col(textCol)), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val cf = docBg.groupBy("bg").agg(sum(col("tf")).as("cf"))
+    val ctx = cf.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cf")).as("cf_ctx"))
+    docBg.join(cf.hint("shuffle_hash"), Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx.hint("shuffle_hash"), Seq("w1"))
+      .withColumn("score",
+        col("tf") * expr("(cf_ctx * CAST(1000000 AS BIGINT)) div cf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("score")).as("surprisal"))
+      .withColumn("ppl_proxy", expr("surprisal div n_bigrams"))
+  }
 }

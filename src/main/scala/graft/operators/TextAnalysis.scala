@@ -59,7 +59,7 @@ object TextAnalysis {
     val punct = graft.plans.native.byteClassCount(text,
       Seq(('!', '/'), (':', '@'), ('[', '`'), ('{', '~')))
     val digits = graft.plans.native.byteClassCount(text, Seq(('0', '9')))
-    val stop = langScore(text, Seq("the", "and", "of", "to", "a", "in", "is"))
+    val stop = langScore(text, StopSet)
     val punctRatio = punct.cast("double") / nChars.cast("double")
     val digitRatio = digits.cast("double") / nChars.cast("double")
     val stopRatio = stop.cast("double") / nTokens.cast("double")
@@ -76,6 +76,55 @@ object TextAnalysis {
       round(digitRatio, 6).as("digit_ratio"),
       round(stopRatio, 6).as("stopword_ratio"),
       score.as("quality_score"))
+  }
+
+  /** Stop set shared by [[quality]]'s stopword ratio and
+    * [[gopherRules]]'s minimum-stopword rule (and their SQL oracles).
+    */
+  val StopSet: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is")
+
+  /** Gopher-style quality-RULE battery (Rae et al. 2021 §A1.1): the
+    * hard per-document filters a pretraining pipeline applies before
+    * any scoring — word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (# and ellipsis), fraction of words with an
+    * alphabetic character, and a minimum stop-word count. Emits the
+    * measured stats, one boolean per rule, and the AND'd keep flag,
+    * so downstream can both filter and report per-rule kill counts.
+    * (The paper's line-level bullet/ellipsis rules need newlines,
+    * which this corpus does not carry — out of scope here.)
+    *
+    * Determinism: every ratio is ONE division of exact integer counts
+    * computed identically by the DuckDB oracle, and rules compare
+    * those raw doubles to constants — identical operands, identical
+    * IEEE results on both sides. round() appears only in output
+    * columns (the oracle-locked exception in the round() rule).
+    */
+  def gopherRules(text: Column): Seq[Column] = {
+    val nWords = TextFns.wordCount(text)
+    val nChars = length(text)
+    val meanWordLen = (nChars - nWords + 1).cast("double") / nWords.cast("double")
+    val nSymbol = TextFns.countOccurrences(text, "#") +
+      TextFns.countOccurrences(text, "...")
+    val symbolRatio = nSymbol.cast("double") / nWords.cast("double")
+    val nAlpha = size(filter(TextFns.words(text), w => w.rlike("[A-Za-z]")))
+    val alphaRatio = nAlpha.cast("double") / nWords.cast("double")
+    val nStop = langScore(text, StopSet)
+    val rWords = nWords.between(10, 100000)
+    val rMean = meanWordLen.between(2.0, 10.0)
+    val rSymbol = symbolRatio <= 0.1
+    val rAlpha = alphaRatio >= 0.8
+    val rStop = nStop >= 2
+    Seq(nWords.as("n_words"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      nStop.as("n_stop"),
+      rWords.as("r_word_count"),
+      rMean.as("r_mean_word"),
+      rSymbol.as("r_symbol"),
+      rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      (rWords && rMean && rSymbol && rAlpha && rStop).as("keep_flag"))
   }
 
   /** Whitespace tokens + BPE-ish segment count (letter runs, digit

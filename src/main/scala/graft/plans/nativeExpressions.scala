@@ -36,6 +36,56 @@ object NativeImpl {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** See [[native.WordNgrams]]. ALL word k-grams in document order,
+    * repeats included — the counting form an n-gram LM needs (unlike
+    * [[wordShingles]], whose distinct-set semantics are what dedup
+    * banding wants). Texts shorter than k words yield an EMPTY array
+    * (an LM has no complete context there), not a whole-text gram.
+    */
+  def wordNgrams(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): ArrayData = {
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val toks = text.split(space, -1)
+    val m = toks.length - (k - 1)
+    if (m <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(space,
+        java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** See [[native.IntraDocDedup]]. One pass per document: fixed
+    * `segWords`-word segments, FIRST occurrence of each distinct
+    * segment kept, survivors rejoined in order. Purely per-row (the
+    * whole operator is a narrow projection — the within-document twin
+    * of the corpus-wide operators.Dedup.segmentDedup window form).
+    */
+  def intraDedup(text: org.apache.spark.unsafe.types.UTF8String,
+      segWords: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val toks = text.split(space, -1)
+    val n = toks.length
+    val nSegs = (n - 1) / segWords + 1
+    val seen =
+      new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](nSegs * 2)
+    val kept =
+      new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](nSegs)
+    var i = 0
+    while (i < n) {
+      val seg = org.apache.spark.unsafe.types.UTF8String.concatWs(space,
+        java.util.Arrays.copyOfRange(toks, i, math.min(i + segWords, n)): _*)
+      if (seen.add(seg)) kept.add(seg)
+      i += segWords
+    }
+    org.apache.spark.unsafe.types.UTF8String.concatWs(space,
+      kept.toArray(
+        new Array[org.apache.spark.unsafe.types.UTF8String](kept.size())): _*)
+  }
+
   /** See [[native.SharedGramCount]]. Distinct CHARACTER n-grams
     * present in both strings — java String.substring over decoded
     * chars so the gram positions agree with DuckDB's
@@ -487,6 +537,46 @@ object native {
       copy(child = c)
   }
 
+  /** All word k-grams with repeats, in order — see
+    * NativeImpl.wordNgrams for the semantics split vs [[WordShingles]].
+    */
+  case class WordNgrams(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.wordNgrams(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text =>
+        s"${ev.value} = graft.plans.NativeImpl.wordNgrams($text, $k);")
+
+    override protected def withNewChildInternal(c: Expression): WordNgrams =
+      copy(child = c)
+  }
+
+  /** Within-document segment dedup in one pass — keep the first
+    * occurrence of each distinct fixed-window segment, rebuild the
+    * text (NativeImpl.intraDedup). A per-row scalar, so the operator
+    * built on it is a zero-shuffle narrow projection.
+    */
+  case class IntraDocDedup(child: Expression, segWords: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.intraDedup(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], segWords)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text =>
+        s"${ev.value} = graft.plans.NativeImpl.intraDedup($text, $segWords);")
+
+    override protected def withNewChildInternal(c: Expression): IntraDocDedup =
+      copy(child = c)
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) in
     * one pass over the text: hash every char k-gram, take the min of
     * each sliding window of w hashes, return the distinct mins sorted.
@@ -895,6 +985,12 @@ object native {
 
   def wordShingles(text: Column, k: Int): Column =
     column(WordShingles(expression(text), k))
+
+  def wordNgrams(text: Column, k: Int): Column =
+    column(WordNgrams(expression(text), k))
+
+  def intraDedupText(text: Column, segWords: Int): Column =
+    column(IntraDocDedup(expression(text), segWords))
 
   def literalCount(text: Column, pattern: String): Column =
     column(LiteralOccurrences(expression(text), pattern))

@@ -363,4 +363,85 @@ class LlmOpsSpec extends SparkSpec {
       .as[String].collect().mkString("\n")
     assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
   }
+
+  test("intra-doc dedup drops exactly the within-doc repeats, brute-force checked") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    // docs with planted within-doc repeats: some segments repeat
+    // inside the doc, some appear in OTHER docs (must NOT be dropped)
+    val shared = (1 to 3).map(_ => vocab(rnd.nextInt(5))).mkString(" ")
+    val texts = (0L until 40L).map { i =>
+      val segs = (0 until 6).map(_ =>
+        (1 to 3).map(_ => vocab(rnd.nextInt(5))).mkString(" "))
+      val withRepeat = segs ++ Seq(segs(rnd.nextInt(6)), shared)
+      (i, withRepeat.mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.intraDocDedup(df, segWords = 3)
+      .orderBy("doc_id").collect()
+    val expect = texts.map { case (_, t) =>
+      val toks = t.split(" ", -1)
+      val segs = toks.grouped(3).map(_.mkString(" ")).toSeq
+      val kept = segs.foldLeft(Vector.empty[String]) {
+        case (acc, s) => if (acc.contains(s)) acc else acc :+ s
+      }
+      (segs.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+    got.zip(expect).foreach { case (r, (nSeg, nKept, clean)) =>
+      assert(r.getLong(1) == nSeg, s"n_segments: $r")
+      assert(r.getLong(2) == nKept, s"n_kept: $r")
+      assert(r.getString(3) == clean, s"clean_text: $r")
+    }
+    // shared-across-docs segment survives in every doc (within-doc only)
+    assert(got.forall(_.getString(3).contains(shared)))
+  }
+
+  test("gopher rules: each rule triggers on its designed violation") {
+    import spark.implicits._
+    val good = (("the quick brown fox and the lazy dog trot in step " * 3).trim, true)
+    val tooShort = ("the and of to in is very tiny", false) // 8 words < 10
+    val longWords = ("the " + Seq.fill(12)("pneumonoultramicroscopics").mkString(" ")
+      + " and in is", false) // mean word len > 10
+    val symbols = (("# " * 12 + "the and in of to is here now ok yes").trim, false)
+    val nonAlpha = (("12 34 56 78 90 11 22 33 44 55 66 77 88 99 00 "
+      + "the and is").trim, false) // alpha fraction 3/18 < 0.8
+    val noStops = ("red green blue cyan teal plum gray pink gold jade", false)
+    val rows = Seq(good, tooShort, longWords, symbols, nonAlpha, noStops)
+      .zipWithIndex.map { case ((t, k), i) => (i.toLong, t, k) }
+      .toDF("doc_id", "text", "expect_keep")
+    val got = rows.select((col("doc_id") +: col("expect_keep") +:
+        TextAnalysis.gopherRules(col("text"))): _*)
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("keep_flag"))
+        == r.getBoolean(r.fieldIndex("expect_keep")), r.toString)
+    }
+    // the designed violations hit the intended rule specifically
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(!byId(1L).getBoolean(byId(1L).fieldIndex("r_word_count")))
+    assert(!byId(2L).getBoolean(byId(2L).fieldIndex("r_mean_word")))
+    assert(!byId(3L).getBoolean(byId(3L).fieldIndex("r_symbol")))
+    assert(!byId(4L).getBoolean(byId(4L).fieldIndex("r_alpha")))
+    assert(!byId(5L).getBoolean(byId(5L).fieldIndex("r_stop")))
+  }
+
+  test("bigram fluency: corpus-predicted transitions score below rare ones") {
+    import spark.implicits._
+    // 20 template docs make "x y" transitions overwhelmingly likely;
+    // one doc breaks the template with never-repeated transitions
+    val template = "x y x y x y x y x y"
+    val rare = "x q y r x s y t x u"
+    val df = ((0L until 20L).map(i => (i, template)) ++ Seq((20L, rare)))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Retrieval.bigramFluency(df)
+      .orderBy("doc_id").collect()
+    val ppl = got.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ppl(0L) < ppl(20L),
+      s"template ${ppl(0L)} must be more fluent than rare ${ppl(20L)}")
+    // hand check the template doc: 9 bigrams, ctx cf for w1=x counts
+    // all bigrams starting with x across the corpus
+    val nBigrams = got.head.getLong(1)
+    assert(nBigrams == 9L, got.head.toString)
+  }
 }

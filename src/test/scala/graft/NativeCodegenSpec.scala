@@ -24,6 +24,8 @@ class NativeCodegenSpec extends SparkSpec {
         native.simhash64(split(col("text"), " ")).as("sh"),
         native.hyperplaneSig(col("vec"), 12, 24).as("hp"),
         native.wordShingles(col("text"), 3).as("ws"),
+        native.wordNgrams(col("text"), 2).as("wn"),
+        native.intraDedupText(col("text"), 2).as("idd"),
         native.winnowing(col("text"), 5, 4).as("wf"),
         native.literalCount(col("text"), "e").as("lc"),
         native.sharedGramCount(col("text"), col("text"), 5).as("sg"),
@@ -86,6 +88,31 @@ class NativeCodegenSpec extends SparkSpec {
           / lit(pat.length)).cast("int")).head.getInt(0)
       assert(got == ref, s"countLiteral('$text', '$pat'): got $got, replace-length $ref")
     }
+  }
+
+  test("wordNgrams keeps repeats and order; short texts yield no grams") {
+    import spark.implicits._
+    def grams(t: String, k: Int): Seq[String] =
+      Seq(t).toDF("t").select(native.wordNgrams(col("t"), k)).head
+        .getSeq[String](0)
+    assert(grams("a b a b c", 2) == Seq("a b", "b a", "a b", "b c"))
+    assert(grams("a b c", 3) == Seq("a b c"))
+    assert(grams("a b", 3) == Seq.empty)
+    assert(grams("solo", 2) == Seq.empty)
+    // double space: split keeps the empty token, same as split(text,' ')
+    assert(grams("a  b", 2) == Seq("a ", " b"))
+  }
+
+  test("intraDedupText keeps first occurrence per segment, in order") {
+    import spark.implicits._
+    def dedup(t: String, w: Int): String =
+      Seq(t).toDF("t").select(native.intraDedupText(col("t"), w)).head
+        .getString(0)
+    assert(dedup("a b a b c d", 2) == "a b c d")        // repeat dropped
+    assert(dedup("a b c a b c a b", 2) == "a b c a b c") // ["a b","c a","b c","a b"] -> drop last
+    assert(dedup("x y z", 5) == "x y z")                 // single short segment
+    assert(dedup("q q q q", 1) == "q")
+    assert(dedup("", 3) == "")
   }
 
   test("generated code compiles and matches the interpreted evaluation") {

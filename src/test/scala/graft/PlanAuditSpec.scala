@@ -185,6 +185,28 @@ class PlanAuditSpec extends SparkSpec {
       "dot not in the cell-join condition:\n" + joinLines.mkString("\n"))
   }
 
+  test("intra-doc dedup is a narrow projection: no joins, no hash shuffle") {
+    // duplication is decided per row (plans.native.IntraDocDedup), so
+    // the only exchange allowed is the registered query's final sort
+    val p = planOf("d_intradoc_dedup")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join") && !finalPlan.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).isEmpty, p)
+    // "*(n)" stage prefixes = whole-stage codegen spans
+    assert(finalPlan.contains("*(1)"), p)
+  }
+
+  test("bigram LM reuses the doc-bigram exchange and never broadcasts the corpus side") {
+    val p = planOf("d_bigram_lm")
+    // cf derives from tf so its subtree reuses docBg's shuffle
+    assert(p.contains("ReusedExchange"), "cf must reuse the docBg shuffle:\n" + p)
+    val finalPlan = p.split("== Initial Plan ==").head
+    // shuffle_hash hints pin both joins (the d_tfidf AQE broadcast trap)
+    assert(finalPlan.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("simhash verifies inside the bucket join, below the pair-dedup shuffle") {
     // regression guard: the bit_count cut must run BEFORE the
     // dropDuplicates aggregation, so only true near-dup pairs shuffle —
