@@ -956,6 +956,86 @@ object LlmOps {
     (s, dir) => Retrieval.bigramFluency(Tables(s, dir).documents)
       .orderBy("doc_id"))
 
+  // ------------------------------------------------- BPE tokenizer
+
+  /** DuckDB twin of one Bpe.learn iteration: pair counts → argmax
+    * merge (count desc, pair asc) → greedy application via
+    * gaps-and-islands (consecutive candidate positions = an island,
+    * apply at even offsets). MATERIALIZED is load-bearing — each
+    * iteration reads the previous symbol table twice, and inlined
+    * CTEs double the plan per merge (exponential; never finished at
+    * 8 merges without it). Mirrors Bpe.scala's barrier() exactly.
+    */
+  private def bpeIterSql(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""
+  p$k AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS c FROM (
+      SELECT freq, sym AS l,
+        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r
+      FROM $prev) WHERE r IS NOT NULL GROUP BY l, r),
+  m$k AS MATERIALIZED (SELECT l, r, c FROM p$k
+    ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+  c$k AS (SELECT s.word, s.freq, s.pos, s.sym,
+      lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
+      (s.sym = m.l AND coalesce(lead(s.sym)
+        OVER (PARTITION BY s.word ORDER BY s.pos) = m.r, false)) AS cand
+    FROM $prev s CROSS JOIN m$k m),
+  i$k AS (SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER()
+      OVER (PARTITION BY word, cand ORDER BY pos) END AS isl FROM c$k),
+  a$k AS (SELECT *, (cand AND (pos - MIN(pos)
+      OVER (PARTITION BY word, isl)) % 2 = 0) AS act FROM i$k),
+  b$k AS (SELECT *, coalesce(lag(act)
+      OVER (PARTITION BY word ORDER BY pos), false) AS consumed FROM a$k),
+  s$k AS MATERIALIZED (SELECT word, freq,
+      CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS INT) AS pos,
+      CASE WHEN act THEN sym || nxt ELSE sym END AS sym
+    FROM b$k WHERE NOT consumed)"""
+  }
+
+  private def bpeBaseSql: String =
+    """WITH wf AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM
+    (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w),
+  s0 AS MATERIALIZED (SELECT word, freq, CAST(i AS INT) AS pos,
+      substr(word, CAST(i AS INT), 1) AS sym
+    FROM wf, unnest(generate_series(1, length(word))) AS t(i))"""
+
+  private def bpeChainSql: String =
+    bpeBaseSql + "," + (1 to Bpe.Merges).map(bpeIterSql).mkString(",")
+
+  /** BPE tokenizer TRAINING (Bpe.trainReport — Sennrich et al. 2016):
+    * the learned merge list, replayed merge-for-merge by the oracle.
+    * All-integer pair counts + lexicographic tie-break make training
+    * fully deterministic, so the hash gate covers the whole iterative
+    * algorithm, not just a summary.
+    */
+  private val bpeTrainQ = GraftQuery(
+    "d_bpe_train",
+    Some(bpeChainSql + "\n  " +
+      (1 to Bpe.Merges).map(k =>
+        s"SELECT $k AS rank, l AS left_sym, r AS right_sym, c AS pair_freq FROM m$k")
+        .mkString(" UNION ALL ") + " ORDER BY rank"),
+    (s, dir) => Bpe.trainReport(Tables(s, dir).documents).orderBy("rank"))
+
+  /** BPE ENCODING under the learned merges (Bpe.encodeStats):
+    * per-document word/char/BPE-token counts. Encoding happens on the
+    * distinct-word table and joins back — the corpus is never
+    * re-segmented per merge.
+    */
+  private val bpeEncodeQ = GraftQuery(
+    "d_bpe_encode",
+    Some(bpeChainSql + s""",
+  wt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+    FROM s${Bpe.Merges} GROUP BY word),
+  dw AS (SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS n FROM
+    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY doc_id, w)
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+    CAST(SUM(n * length(word)) AS BIGINT) AS n_chars,
+    CAST(SUM(n * n_sym) AS BIGINT) AS n_tokens
+  FROM dw JOIN wt USING (word) GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => Bpe.encodeStats(Tables(s, dir).documents).orderBy("doc_id"))
+
   /** Scalar quantization of the embedding column
     * (Similarity.scalarQuantize): per-dimension global stats →
     * 256-level integer codes. The oracle recomputes the same codes in
@@ -1111,6 +1191,6 @@ object LlmOps {
     repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
     splitQ, packQ, incrDedup, intraDedupQ, segmentDedup, boilerplateQ,
     substrDedupQ,
-    bm25Q, rarityQ, tfidfQ, bigramLmQ,
+    bm25Q, rarityQ, tfidfQ, bigramLmQ, bpeTrainQ, bpeEncodeQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)
 }

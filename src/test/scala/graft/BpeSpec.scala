@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Bpe.learn/trainReport/encodeStats vs an in-test reference
+  * implementation of classic BPE (pair counts weighted by word
+  * frequency, argmax with (count desc, pair asc) tie-break, greedy
+  * left-to-right merge application) — including equal-symbol runs,
+  * where greediness is the part the relational islands formulation
+  * has to get right.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Reference BPE on a word-frequency map. Returns (merges, final
+    * symbol sequences per word).
+    */
+  private def refBpe(wf: Map[String, Long], k: Int)
+      : (Seq[(String, String, Long)], Map[String, List[String]]) = {
+    var words = wf.keys.map(w => w -> w.toList.map(_.toString)).toMap
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to k) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- words; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + wf(w)
+      val ((a, b), c) = pc.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      merges += ((a, b, c))
+      words = words.map { case (w, syms) =>
+        val out = List.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    (merges.result(), words)
+  }
+
+  private def docsDf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private def wordFreqOf(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.toLowerCase.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+
+  test("trainReport equals reference BPE incl. equal-symbol runs") {
+    // aaaa/aaa force overlapping (a,a) candidates: greedy must merge
+    // at offsets 0,2 within a run, never at 1
+    val texts = Seq(
+      "aaaa aaa banana bananas cabana",
+      "low lower lowest low low slow",
+      "aaaa aaaa banana slowest lowly",
+      "newer newest wider widest low")
+    val got = Bpe.trainReport(docsDf(texts), merges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val (want, _) = refBpe(wordFreqOf(texts), 8)
+    assert(got == want)
+  }
+
+  test("encodeStats equals reference token counts") {
+    val texts = Seq(
+      "aaaa aaa aa a banana",
+      "low lower lowest slow slower",
+      "banana cabana aaaa low low")
+    val df = Bpe.encodeStats(docsDf(texts), merges = 6).orderBy("doc_id").collect()
+    val (_, words) = refBpe(wordFreqOf(texts), 6)
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      (i.toLong, ws.length.toLong, ws.map(_.length).sum.toLong,
+        ws.map(w => words(w).length).sum.toLong)
+    }
+    val got = df.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // merged tokens really compress: every doc has n_tokens < n_chars
+    assert(got.forall(r => r._4 < r._3))
+  }
+
+  test("merge choice tie-break is lexicographic at equal counts") {
+    // "zz" and "yy" both appear exactly twice; (y,y) must win rank 1
+    val texts = Seq("zz yy", "zz yy")
+    val got = Bpe.trainReport(docsDf(texts), merges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "y", "y", 2L), (2, "z", "z", 2L)))
+  }
+}
