@@ -956,6 +956,53 @@ object LlmOps {
     (s, dir) => Retrieval.bigramFluency(Tables(s, dir).documents)
       .orderBy("doc_id"))
 
+  /** Inverted-index build (Retrieval.invertedIndex): per-term df /
+    * total tf / bounded ascending posting sample. The bounded-heap
+    * posting aggregate is the scale story (no unbounded collect_list
+    * per term); the oracle replays it as a plain sorted-list slice.
+    */
+  private val invertedIndexQ = GraftQuery(
+    "d_inverted_index",
+    Some("""WITH dt AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM
+        (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         FROM documents) GROUP BY term, doc_id)
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        CAST(SUM(tf) AS BIGINT) AS tf_total,
+        array_to_string(list_transform(list_sort(list(doc_id))[1:20],
+          x -> CAST(x AS VARCHAR)), ',') AS postings
+      FROM dt GROUP BY term ORDER BY df DESC, term LIMIT 200"""),
+    (s, dir) => Retrieval.invertedIndex(Tables(s, dir).documents,
+        topTerms = 200, postingCap = 20)
+      .orderBy(col("df").desc, col("term")))
+
+  /** Windowed PMI co-occurrence (Retrieval.cooccurrencePmi):
+    * collocation mining over a ±3 position window. Counts are exact
+    * integers; the PMI ratio is one double multiply/divide of those
+    * integers on both engines (bit-identical, so even the
+    * score-ordered LIMIT agrees).
+    */
+  private val cooccurQ = GraftQuery(
+    "d_cooccur",
+    Some("""WITH m AS (SELECT string_split(lower(text), ' ') AS ws,
+        len(string_split(lower(text), ' ')) AS n FROM documents),
+      pr AS (SELECT least(ws[CAST(i AS INT)], ws[CAST(i + d AS INT)]) AS a,
+          greatest(ws[CAST(i AS INT)], ws[CAST(i + d AS INT)]) AS b
+        FROM m, unnest([1, 2, 3]) AS dd(d),
+          unnest(generate_series(1, CAST(n - d AS INT))) AS t(i)),
+      pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pr GROUP BY a, b),
+      u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM
+        (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        GROUP BY w),
+      nt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tokens FROM u)
+      SELECT a, b, c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+        (CAST(c_ab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+          / (CAST(ua.c_w AS DOUBLE) * CAST(ub.c_w AS DOUBLE)) AS pmi
+      FROM pc JOIN u ua ON pc.a = ua.w JOIN u ub ON pc.b = ub.w, nt
+      WHERE c_ab >= 5 ORDER BY pmi DESC, a, b LIMIT 100"""),
+    (s, dir) => Retrieval.cooccurrencePmi(Tables(s, dir).documents,
+        window = 3, topPairs = 100, minCount = 5)
+      .orderBy(col("pmi").desc, col("a"), col("b")))
+
   // ------------------------------------------------- BPE tokenizer
 
   /** DuckDB twin of one Bpe.learn iteration: pair counts → argmax
@@ -1192,5 +1239,6 @@ object LlmOps {
     splitQ, packQ, incrDedup, intraDedupQ, segmentDedup, boilerplateQ,
     substrDedupQ,
     bm25Q, rarityQ, tfidfQ, bigramLmQ, bpeTrainQ, bpeEncodeQ,
+    invertedIndexQ, cooccurQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)
 }

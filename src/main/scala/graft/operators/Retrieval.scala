@@ -276,4 +276,83 @@ object Retrieval {
       .agg(sum(col("tf")).as("n_bigrams"), sum(col("score")).as("surprisal"))
       .withColumn("ppl_proxy", expr("surprisal div n_bigrams"))
   }
+
+  /** Inverted index build — the retrieval-infrastructure twin of
+    * [[bm25]]: per term, document frequency, total term frequency,
+    * and a BOUNDED posting-list sample (the `postingCap` smallest
+    * doc_ids, ascending).
+    *
+    * Scale shape: one explode collapsed map-side to (term, doc)
+    * counts, then one aggregation per term. The posting sample uses
+    * the bounded-heap top-k aggregate ([[graft.plans.BoundedTopK]])
+    * with score = −doc_id, NOT collect_list + sort: a stopword's
+    * posting list is the whole corpus, and an unbounded collect_list
+    * buffers it per group (the classic inverted-index OOM at 100 TB);
+    * the heap ships at most `postingCap` entries per term per task.
+    * Output order (df desc, term) via TakeOrderedAndProject.
+    */
+  def invertedIndex(docs: DataFrame, topTerms: Int = 200,
+      postingCap: Int = 20, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val docTerm = docs.select(col(idCol).as("doc_id"),
+        explode(TextFns.words(lower(col(textCol)))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    docTerm.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        graft.plans.BoundedTopK.boundedTopK(
+          -col("doc_id").cast("double"), col("doc_id"), postingCap).as("tops"))
+      .select(col("term"), col("df"), col("tf_total"),
+        concat_ws(",",
+          transform(col("tops"), t => t.getField("id").cast("string")))
+          .as("postings"))
+      .orderBy(col("df").desc, col("term")).limit(topTerms)
+  }
+
+  /** Windowed co-occurrence statistics with a PMI-style association
+    * ratio — the collocation-mining pass of corpus analysis (phrase
+    * detection, word2vec-style context tables).
+    *
+    * A co-occurrence event is an ordered position pair (i, i+d) for
+    * d ≤ `window`, normalized to an unordered (a ≤ b) pair. Pair
+    * generation is NARROW: one explode of the concatenated
+    * 2..(window+1)-gram arrays, first/last word of each gram — no
+    * positional self-join, so the only corpus-sized shuffles are the
+    * two map-side-combined count aggregations (pairs + unigrams).
+    * The association score is the raw PMI ratio
+    * p(a,b)/(p(a)p(b)) = c_ab·N / (c_a·c_b·window-factor), computed
+    * in ONE double multiply/divide of exact integer counts — bit
+    * identical cross-engine (IEEE), no transcendentals (log PMI would
+    * be monotone-equivalent and engine-divergent). Joins back to
+    * unigram counts carry shuffle_hash hints (the d_tfidf AQE trap:
+    * never let the corpus-derived side become the broadcast build).
+    */
+  def cooccurrencePmi(docs: DataFrame, window: Int = 3,
+      topPairs: Int = 100, minCount: Long = 5, textCol: String = "text")
+      : DataFrame = {
+    val grams = (2 to window + 1).map(k =>
+      graft.plans.native.wordNgrams(lower(col(textCol)), k))
+    val pairs = docs
+      .select(explode(concat(grams: _*)).as("g"))
+      .select(least(substring_index(col("g"), " ", 1),
+          substring_index(col("g"), " ", -1)).as("a"),
+        greatest(substring_index(col("g"), " ", 1),
+          substring_index(col("g"), " ", -1)).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val uni = docs.select(explode(TextFns.words(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val tot = uni.agg(sum(col("c_w")).as("n_tokens"))
+    pairs
+      .join(uni.select(col("w").as("a"), col("c_w").as("c_a"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c_w").as("c_b"))
+        .hint("shuffle_hash"), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("pmi",
+        (col("c_ab").cast("double") * col("n_tokens").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b")).limit(topPairs)
+  }
 }

@@ -164,6 +164,49 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("invertedIndex equals a reference index incl. posting cap") {
+    import spark.implicits._
+    val texts = Seq(
+      (10L, "a b a c"), (3L, "b a"), (7L, "c c c a"), (1L, "b"), (5L, "a"))
+    val df = texts.toDF("doc_id", "text")
+    val got = Retrieval.invertedIndex(df, topTerms = 10, postingCap = 2)
+      .orderBy(col("df").desc, col("term")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // reference: term -> (docs touched, total occurrences, 2 smallest ids)
+    val occ = texts.flatMap { case (id, t) => t.split(" ").map(w => (w, id)) }
+    val want = occ.groupBy(_._1).map { case (w, os) =>
+      val byDoc = os.groupBy(_._2)
+      (w, byDoc.size.toLong, os.size.toLong,
+        byDoc.keys.toSeq.sorted.take(2).mkString(","))
+    }.toSeq.sortBy(t => (-t._2, t._1))
+    assert(got.toSeq == want)
+  }
+
+  test("cooccurrencePmi equals a reference windowed count + ratio") {
+    import spark.implicits._
+    val texts = Seq((1L, "x y z x y"), (2L, "x y x"), (3L, "z z y x q q q q"))
+    val df = texts.toDF("doc_id", "text")
+    val got = Retrieval.cooccurrencePmi(df, window = 3, topPairs = 50, minCount = 2)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    // reference
+    val uni = texts.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val n = uni.values.sum
+    val pc = scala.collection.mutable.Map[(String, String), Long]()
+    for ((_, t) <- texts; ws = t.split(" "); i <- ws.indices;
+         d <- 1 to 3 if i + d < ws.length) {
+      val (a, b) = if (ws(i) <= ws(i + d)) (ws(i), ws(i + d)) else (ws(i + d), ws(i))
+      pc((a, b)) = pc.getOrElse((a, b), 0L) + 1
+    }
+    val want = pc.filter(_._2 >= 2).map { case ((a, b), c) =>
+      (a, b) -> (c, uni(a), uni(b),
+        (c.toDouble * n.toDouble) / (uni(a).toDouble * uni(b).toDouble))
+    }.toMap
+    assert(got == want)
+  }
+
   test("rarity on the corpus: every token instance weighted, sums positive") {
     val out = Retrieval.rarity(docs)
     val bad = out.filter(col("rarity_sum") <= 0 || col("n_tokens") <= 0).count()
