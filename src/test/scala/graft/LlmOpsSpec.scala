@@ -444,4 +444,42 @@ class LlmOpsSpec extends SparkSpec {
     val nBigrams = got.head.getLong(1)
     assert(nBigrams == 9L, got.head.toString)
   }
+
+  test("span corruption: sentinels number in order, rebuild round-trips") {
+    import spark.implicits._
+    import graft.operators.{Sampling, TextAnalysis}
+    val texts = (0L to 19L).map(i =>
+      (i, (1 to 23).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    val rows = TextAnalysis.spanCorrupt(df, spanWords = 3, rate = 0.4)
+      .orderBy("doc_id").collect()
+    val cut = Sampling.hexCut(0.4)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex8(s: String): String =
+      md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    rows.zip(texts).foreach { case (r, (id, t)) =>
+      val ws = t.split(" ")
+      val groups = ws.grouped(3).map(_.mkString(" ")).toSeq
+      assert(r.getLong(1) == groups.length)
+      val masks = groups.indices.map(g => hex8(s"$id:$g") < cut)
+      assert(r.getLong(2) == masks.count(identity).toLong)
+      var k = -1
+      val corrupted = groups.zip(masks).map { case (seg, m) =>
+        if (m) { k += 1; s"<extra_id_$k>" } else seg
+      }.mkString(" ")
+      k = -1
+      val targets = groups.zip(masks).collect { case (seg, true) =>
+        k += 1; s"<extra_id_$k> $seg"
+      }.mkString(" ")
+      assert(r.getString(3) == corrupted, s"doc $id corrupted")
+      assert(r.getString(4) == targets, s"doc $id targets")
+      // every unmasked word survives in order: dropping sentinels from
+      // the corrupted text must give the original minus masked spans
+      val kept = corrupted.split(" ").filterNot(_.startsWith("<extra_id_"))
+      val wantKept = groups.zip(masks).collect { case (seg, false) => seg }
+        .flatMap(_.split(" "))
+      assert(kept.toSeq == wantKept.toSeq)
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "rate 0.4 masked nothing")
+  }
 }
