@@ -219,4 +219,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(agg >= 0 && cut >= 0, p)
     assert(agg < cut, "hamming cut is above the dedup shuffle:\n" + p)
   }
+
+  test("span corruption is a narrow projection: no joins, no hash shuffle") {
+    // masking + rebuild happen per row (plans.native.SpanCorrupt);
+    // only the registered final sort may exchange
+    val p = planOf("d_span_corrupt")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join") && !finalPlan.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).isEmpty, p)
+    assert(finalPlan.contains("*(1)"), p)
+  }
+
+  test("inverted index aggregates postings with the bounded heap, no collect_list") {
+    val p = planOf("d_inverted_index")
+    assert(p.contains("boundedtopk"), p)
+    assert(!p.contains("collect_list"), "unbounded posting buffer:\n" + p)
+    assert(p.contains("partial_"), "posting heaps must combine map-side:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("cooccurrence generates pairs narrowly and joins stats hash-based") {
+    val p = planOf("d_cooccur")
+    // pair generation is an explode of per-row gram arrays — no
+    // positional self-join (the O(n·w) join formulation). The only
+    // nested-loop allowed is the one-row n_tokens broadcast (the bm25
+    // stats-pass pattern).
+    assert(!p.contains("CartesianProduct"), p)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ShuffledHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("bpe encode joins the corpus to the vocab without shuffling tokens twice") {
+    val p = planOf("d_bpe_encode")
+    // the (doc,word) frame is corpus-sized: it must never be the
+    // broadcast build side; the vocab side may broadcast or hash-join
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), "doc-word counts must combine map-side:\n" + p)
+  }
 }
