@@ -566,6 +566,27 @@ object LlmOps {
       .select("source", "doc_id")
       .orderBy("source", "doc_id"))
 
+  /** Temperature-scaled mixture weights (Sampling.temperatureWeights,
+    * α = 1/2): integer-quantized √count masses so the normalizer is
+    * an order-independent integer sum and every weight/quota is
+    * integer div — exact cross-engine, sqrt included (one IEEE op).
+    */
+  private val temperatureMixQ = GraftQuery(
+    "d_temperature_mix",
+    Some("""WITH d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_d,
+        CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE) * 1000000.0)) AS BIGINT) AS s_d
+      FROM documents GROUP BY source),
+      t AS (SELECT CAST(SUM(s_d) AS BIGINT) AS s_tot,
+        CAST(SUM(n_d) AS BIGINT) AS n_tot FROM d)
+      SELECT source, n_d, s_d,
+        (s_d * CAST(1000000 AS BIGINT)) // s_tot AS weight_ppm,
+        (n_d * CAST(1000000 AS BIGINT)) // n_tot AS raw_ppm,
+        (CAST(100000 AS BIGINT) * s_d) // s_tot AS quota_docs
+      FROM d, t ORDER BY source"""),
+    (s, dir) => Sampling.temperatureWeights(Tables(s, dir).documents,
+        domainCol = "source", budget = 100000L)
+      .orderBy("source"))
+
   /** PII scrub (emails / NNN-NNN-NNNN phones / IPv4): per-class match
     * counts + typed-placeholder redaction. The corpus has no PII, so
     * the query plants deterministic spans derived from doc_id — the
@@ -1265,7 +1286,8 @@ object LlmOps {
     dupFamilies,
     consistentSample, contamination, contaminationExact, bloomContam,
     mediaFeatures,
-    repetition, topNgrams, chunk, domainStats, mixSampleQ, piiQ, normalizeQ,
+    repetition, topNgrams, chunk, domainStats, mixSampleQ, temperatureMixQ,
+    piiQ, normalizeQ,
     splitQ, packQ, incrDedup, intraDedupQ, segmentDedup, boilerplateQ,
     substrDedupQ,
     bm25Q, rarityQ, tfidfQ, bigramLmQ, bpeTrainQ, bpeEncodeQ,

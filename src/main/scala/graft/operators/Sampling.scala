@@ -91,4 +91,33 @@ object Sampling {
       .filter(col("__hr") <= col("__quota"))
       .drop("__hr", "__quota")
   }
+
+  /** Temperature-scaled mixture weights at α = 1/2 — the canonical
+    * multilingual/domain rebalance (w_d ∝ c_d^α, Conneau & Lample
+    * 2019): α = 1/2 upweights small domains relative to proportional
+    * sampling without letting head domains dominate. Exact α = 1/2 is
+    * chosen deliberately: c^0.5 is ONE IEEE sqrt — deterministic
+    * cross-engine — where a general pow(c, α) is a transcendental
+    * with no bit-exactness guarantee.
+    *
+    * Determinism shape: s_d = floor(sqrt(c_d · 10⁶)) quantizes each
+    * domain's temperature mass to an INTEGER, so the normalizing sum
+    * is an order-independent integer sum (a double Σ√c would depend
+    * on reduction order); weights and quotas are integer div of those
+    * sums. One domain-count aggregation + a one-row broadcast — the
+    * mixSample plan shape minus the per-row window.
+    */
+  def temperatureWeights(df: DataFrame, domainCol: String,
+      budget: Long = 100000L): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_d"))
+      .withColumn("s_d",
+        floor(sqrt(col("n_d").cast("double") * 1e6)).cast("long"))
+    val tot = counts.agg(sum(col("s_d")).as("s_tot"),
+      sum(col("n_d")).as("n_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_d"), col("s_d"),
+        expr("(s_d * CAST(1000000 AS BIGINT)) div s_tot").as("weight_ppm"),
+        expr("(n_d * CAST(1000000 AS BIGINT)) div n_tot").as("raw_ppm"),
+        expr(s"(CAST($budget AS BIGINT) * s_d) div s_tot").as("quota_docs"))
+  }
 }

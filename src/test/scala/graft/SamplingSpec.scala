@@ -80,6 +80,36 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "holdout split must stay narrow")
   }
 
+  test("temperature weights flatten the mixture and match the α=1/2 formula") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // skewed domains: 1000 / 100 / 10 docs
+    val rows = (1 to 1000).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (1000L + i, "mid")) ++
+      (1 to 10).map(i => (2000L + i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val got = Sampling.temperatureWeights(df, "source", budget = 100000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val sD = Map("big" -> 1000L, "mid" -> 100L, "small" -> 10L)
+      .map { case (k, n) => k -> math.floor(math.sqrt(n.toDouble * 1e6)).toLong }
+    val sTot = sD.values.sum
+    got.foreach { case (dom, (n, s, wppm, rppm, quota)) =>
+      assert(s == sD(dom))
+      assert(wppm == s * 1000000L / sTot)
+      assert(rppm == n * 1000000L / 1110L)
+      assert(quota == 100000L * s / sTot)
+    }
+    // α = 1/2 flattens: small domains gain weight vs proportional,
+    // the head loses
+    assert(got("small")._3 > got("small")._4)
+    assert(got("big")._3 < got("big")._4)
+    // quotas stay within one doc of the budget (integer floors)
+    val qSum = got.values.map(_._5).sum
+    assert(qSum <= 100000L && qSum >= 100000L - 3)
+  }
+
   test("holdout split handles boundary fractions and rejects invalid ones") {
     import graft.operators.Sampling
     val docs = Tables(spark, sf).documents
