@@ -134,6 +134,17 @@ object LlmOps {
         col("vec_id") % 50 === 0, k = 5)
       .orderBy("probe_id", "rank"))
 
+  /** Mutual k-NN graph (Similarity.knnGraph): cell-blocked top-k
+    * neighbors + mutuality join. KMeans blocking → rows-only;
+    * exactness at nCells=1 and edge properties are spec-gated
+    * (SimilaritySpec "knn graph").
+    */
+  private val knnGraphQ = GraftQuery(
+    "d_knn_graph",
+    None,
+    (s, dir) => Similarity.knnGraph(Tables(s, dir).embeddings, k = 4)
+      .orderBy("vec_a", "vec_b"))
+
   /** Exact top-k reference for d_ann_topk (oracle-backed recall
     * baseline; see bruteForceTopK note on scale).
     */
@@ -1280,7 +1291,7 @@ object LlmOps {
   val queries: Seq[GraftQuery] = Seq(
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
-    embedNearDup, embedNearDupExact, annTopK, annTopKExact,
+    embedNearDup, embedNearDupExact, annTopK, annTopKExact, knnGraphQ,
     langIdQ, qualityQ, gopherQ, tokenCountQ, fingerprintQ, editDistance,
     dedupCorpus,
     dupFamilies,

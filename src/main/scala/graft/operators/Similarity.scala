@@ -437,6 +437,61 @@ object Similarity {
         coalesce(col("rep_of_dropped"), col("vec_id")).as("rep_id"))
   }
 
+  /** Mutual k-NN graph over the embedding space — the input structure
+    * of graph-based curation (connected-component semantic families,
+    * label propagation, graph clustering). An edge (a, b) exists iff
+    * b is in a's top-k cosine neighbors AND a is in b's — mutuality
+    * prunes the hub vectors that plain kNN graphs over-connect.
+    *
+    * Blocked approximation, same shape as [[semanticDedup]]: KMeans
+    * cells bound the pair space to Σ cell² (autoCells holds cell size
+    * ~constant as n grows), neighbor candidates stay within a cell.
+    * Per-vector top-k is the bounded-heap aggregate — the Σ cell²
+    * candidate rows ship at most k entries per vector per task (a
+    * rank window would sort the whole candidate space; the
+    * d_ann_topk lesson). The mutuality check is one equi-join of the
+    * n·k directed edge list against its own swap, shuffle_hash pinned
+    * (both sides identical size — never let AQE broadcast a
+    * corpus-order side).
+    */
+  def knnGraph(emb: DataFrame, k: Int = 4, nCells: Int = 0,
+      trainSample: Int = 2000): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = autoCells(base.count(), nCells)
+    // nCells = 1 disables blocking (exact kNN; MLlib requires k ≥ 2)
+    val assigned = (if (cells <= 1) base.withColumn("cell", lit(0))
+      else fitKMeans(base, cells, trainSample).transform(base)
+        .withColumnRenamed("prediction", "cell"))
+      .drop("features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    base.unpersist()
+    val a = assigned.select(col("cell"), col("vec_id").as("src"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("dst"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val directed = a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (graft.functions.VectorFns.dot(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .groupBy("src")
+      .agg(graft.plans.BoundedTopK.boundedTopK(col("cos"), col("dst"), k)
+        .as("tops"))
+      .select(col("src"), explode(col("tops")).as("t"))
+      .select(col("src"), col("t.id").as("dst"), col("t.score").as("cos"))
+    directed.as("x")
+      .join(directed.as("y").hint("shuffle_hash"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
+          && col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
+        col("x.cos").as("cos"))
+  }
+
   /** Cluster-level corpus report — the curation view behind
     * cluster-based data mixing (partition the corpus in embedding
     * space, then inspect/weight clusters): KMeans cells over the

@@ -192,4 +192,46 @@ class PipelineSpec extends SparkSpec {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall > 0.3, s"ivf recall $recall")
   }
+
+  test("knn graph: exact at one cell, mutual-only and recall-gated when blocked") {
+    val emb = Tables(spark, sf).embeddings
+    // brute-force mutual kNN reference
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val topk = ids.map { s =>
+      s -> ids.filter(_ != s)
+        .map(d => (d, cos(vecs(s), vecs(d))))
+        .sortBy { case (d, c) => (-c, d) }.take(4).map(_._1).toSet
+    }.toMap
+    val wantMutual = (for {
+      a <- ids; b <- topk(a) if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+
+    // nCells = 1: blocking disabled, output must EQUAL the reference
+    val oneCell = Similarity.knnGraph(emb, k = 4, nCells = 1)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneCell == wantMutual)
+
+    // auto cells: every edge must still be mutual in the blocked
+    // top-k sense (a subset of candidates), ordered a < b, and keep
+    // real recall vs the exact mutual graph
+    val blocked = Similarity.knnGraph(emb, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(blocked.forall { case (a, b, c) => a < b && c <= 1.0001 })
+    val blockedSet = blocked.map(t => (t._1, t._2)).toSet
+    val recall = (wantMutual & blockedSet).size.toDouble /
+      math.max(wantMutual.size, 1)
+    assert(recall > 0.3, s"knn-graph recall $recall of ${wantMutual.size}")
+  }
 }
