@@ -257,19 +257,25 @@ object Dedup {
     // the per-element hash transform costs what the smaller payload
     // saves, so the string verify stays, keeping the oracle exact.)
     //
-    // shuffle_hash on the verify joins — scale-correct BOTH ways:
-    // left to AQE, the tiny post-dropDuplicates candidate shuffle
-    // coalesces to ONE partition and the corpus shingle side fits
-    // under autoBroadcastJoinThreshold's estimate, so Spark
-    // broadcasts the CORPUS and runs the whole verify on a single
-    // task (two 1-task stages = 19 s of the 32 s 64× wall). The hint
-    // keeps both sides hash-partitioned: parallel locally, and never
-    // a corpus-sized broadcast (or driver collect) at cluster scale.
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-        .hint("shuffle_hash"), "doc_a")
+    // Verify-join physical shapes, chosen per build side (the round-4
+    // shuffle_hash-everywhere form had a 256× OOM cliff: AQE's 64 MB
+    // advisory target coalesces the factor-scaled partitions, and a
+    // corpus-sized ShuffledHashJoin BUILD side is not spillable —
+    // tasks die building multi-hundred-MB hash relations):
+    //  - join 1 hints the CANDIDATE side as the hash build — ids
+    //    only, bounded by the pair count, a few bytes each; the
+    //    corpus shingle frame streams. No broadcast (the 64× 1-task
+    //    AQE trap), no unbounded build.
+    //  - join 2's smaller side now carries sh_a (candidate-bounded
+    //    but heavy), so neither side is a safe hash build at every
+    //    scale → sort-merge, which spills gracefully instead of
+    //    OOMing. Sorting the corpus side is the price of surviving
+    //    any corpus:memory ratio.
+    cands.hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+        "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-        .hint("shuffle_hash"), "doc_b")
+        .hint("merge"), "doc_b")
       .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

@@ -152,14 +152,17 @@ object DedupPipeline {
       textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.8): DataFrame = {
     // exact: batch text already present in the corpus. The corpus
-    // md5 SET is corpus-sized — shuffle_hash keeps it off the
-    // broadcast path (its compressed shuffle stats slip under the
-    // 64 MB threshold long before the in-memory hashed relation
-    // does: the 256× ScaleCheck died broadcasting 1.28M md5 strings)
+    // md5 SET is corpus-sized and an anti join always BUILDS its
+    // right side — neither a broadcast (the round-4 256× failure:
+    // compressed stats slip under the 64 MB threshold) nor a shuffled
+    // hash build (the round-5 256× failure: AQE coalesces the
+    // factor-scaled partitions and the per-partition hash relation —
+    // unspillable — blows the heap) survives every corpus size.
+    // Sort-merge anti does: both sides sort and spill.
     val corpusH = corpus.select(md5(col(textCol)).as("__h")).distinct()
     val fresh = batch
       .withColumn("__h", md5(col(textCol)))
-      .join(corpusH.hint("shuffle_hash"), Seq("__h"), "left_anti")
+      .join(corpusH.hint("merge"), Seq("__h"), "left_anti")
       .drop("__h")
     // near vs corpus: batch bands × corpus bands — candidates always
     // pair a batch doc with a corpus doc, verified on exact jaccard.
@@ -179,14 +182,15 @@ object DedupPipeline {
         Seq("band", "bucket"))
       .select("b_id", "c_id")
       .dropDuplicates("b_id", "c_id")
-    // shuffle_hash for the same reason as minhashLsh's verify joins:
-    // keep the corpus side off the broadcast path and the candidate
-    // side off a 1-partition coalesce
+    // verify joins follow minhashLsh's build-side rule: the
+    // batch-sized shingle frame is a bounded hash build; the CORPUS
+    // shingle frame is not (unspillable SHJ build = the 256× OOM) —
+    // sort-merge for that side, which spills instead of dying
     val dupOfCorpus = cands
       .join(batchSigned.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
         .hint("shuffle_hash"), "b_id")
       .join(corpusSigned.select(col("doc_id").as("c_id"), col("shingles").as("sh_c"))
-        .hint("shuffle_hash"), "c_id")
+        .hint("merge"), "c_id")
       .filter(graft.functions.TextFns.jaccard(col("sh_b"), col("sh_c")) >= threshold)
       .select(col("b_id").as(idCol)).distinct()
     // barrier: the within-batch dedup below scans `admitted`
