@@ -80,9 +80,9 @@ object Similarity {
     * less work.
     */
   private def autoCells(n: Long, nCells: Int,
-      targetCellSize: Int = 500): Int =
+      targetCellSize: Int = 500, maxCells: Int = 1024): Int =
     if (nCells > 0) nCells
-    else math.min(1024L, math.max(16L, n / targetCellSize)).toInt
+    else math.min(maxCells.toLong, math.max(16L, n / targetCellSize)).toInt
 
   /** 1e-6-grid ranking key: floor(c·1e6 + 0.5) orders like
     * round(c, 6) away from bucket boundaries. The two are NOT
@@ -461,29 +461,94 @@ object Similarity {
       .withColumn("features",
         org.apache.spark.ml.functions.array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = autoCells(base.count(), nCells)
+    // Tighter cells than the ANN/semdedup default (128 vs 500): a
+    // graph scan costs n·cellSize rows through the heap-aggregate
+    // boundary (every vector scans its whole cell), so cell size is
+    // the direct per-vector cost — 500-vector cells measured 64M
+    // candidate rows and a 66 s aggregate stage at the 64× blow-up,
+    // 4× the 128-cell form. The cell-count cap rises with it and the
+    // KMeans train sample scales at 4 points per centroid.
+    val cells = autoCells(base.count(), nCells,
+      targetCellSize = 128, maxCells = 8192)
     // nCells = 1 disables blocking (exact kNN; MLlib requires k ≥ 2)
     val assigned = (if (cells <= 1) base.withColumn("cell", lit(0))
-      else fitKMeans(base, cells, trainSample).transform(base)
+      else fitKMeans(base, cells,
+          math.max(trainSample, 4 * cells)).transform(base)
         .withColumnRenamed("prediction", "cell"))
       .drop("features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count()
     base.unpersist()
-    val a = assigned.select(col("cell"), col("vec_id").as("src"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("dst"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    val directed = a.join(b, Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        (graft.functions.VectorFns.dot(col("emb_a"), col("emb_b"))
-          / (col("nrm_a") * col("nrm_b"))).as("cos"))
-      .groupBy("src")
-      .agg(graft.plans.BoundedTopK.boundedTopK(col("cos"), col("dst"), k)
-        .as("tops"))
-      .select(col("src"), explode(col("tops")).as("t"))
-      .select(col("src"), col("t.id").as("dst"), col("t.score").as("cos"))
+    // Within-cell candidate scan. Blocked mode reuses the IVF-SQ
+    // recipe (the d_ann_topk 41→12 s lesson): the Σ cell² scan reads
+    // int8 codes and ranks by integer dot, exact float dots re-rank
+    // only the k+8 survivors per vector — the float vectors never
+    // enter the quadratic candidate space. The exact (nCells = 1)
+    // path scans float dots directly so "blocking disabled" means
+    // exactly the brute-force graph (SQ8 margin jitter would not).
+    val emb2 = assigned.select(col("vec_id"), col("embedding"), col("nrm"))
+    val directedRaw =
+      if (cells <= 1) {
+        val a = assigned.select(col("cell"), col("vec_id").as("src"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = assigned.select(col("cell"), col("vec_id").as("dst"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+        a.join(b, Seq("cell"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            (graft.functions.VectorFns.dot(col("emb_a"), col("emb_b"))
+              / (col("nrm_a") * col("nrm_b"))).as("cos"))
+          .groupBy("src")
+          .agg(graft.plans.BoundedTopK.boundedTopK(col("cos"), col("dst"), k)
+            .as("tops"))
+          .select(col("src"), explode(col("tops")).as("t"))
+          .select(col("src"), col("t.id").as("dst"), col("t.score").as("cos"))
+      } else {
+        val codes = assigned.select(col("cell"), col("vec_id"),
+          graft.plans.native.sq8Code(col("embedding")).as("code"),
+          graft.plans.native.sq8Scale(col("embedding")).as("qs"),
+          col("nrm"))
+        val m = k + 8 // margin covers SQ8 rank jitter; recall spec-gated
+        val survivors = codes
+          .select(col("cell"), col("vec_id").as("src"),
+            col("code").as("code_a"), col("qs").as("qs_a"),
+            col("nrm").as("nrm_a"))
+          .join(codes.select(col("cell"), col("vec_id").as("dst"),
+            col("code").as("code_b"), col("qs").as("qs_b"),
+            col("nrm").as("nrm_b")), Seq("cell"))
+          .filter(col("src") =!= col("dst"))
+          .withColumn("qcos",
+            col("qs_a") * col("qs_b")
+              * graft.plans.native.byteDot(col("code_a"), col("code_b"))
+                .cast("double")
+              / (col("nrm_a") * col("nrm_b")))
+          .groupBy("src")
+          .agg(graft.plans.BoundedTopK.boundedTopK(col("qcos"), col("dst"), m)
+            .as("tops"))
+          .select(col("src"), explode(col("tops.id")).as("dst"))
+        val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+        survivors
+          .join(emb2.select(col("vec_id").as("src"),
+            col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("src"))
+          .join(emb2.select(col("vec_id").as("dst"),
+            col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("dst"))
+          .withColumn("cos",
+            graft.functions.VectorFns.dot(col("emb_a"), col("emb_b"))
+              / (col("nrm_a") * col("nrm_b")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("src"), col("dst"), col("cos"))
+      }
+    // materialize the n·k directed edges ONCE before the mutual
+    // self-join — its two legs would otherwise each re-run the whole
+    // cell scan (the componentLabels double-execution lesson;
+    // measured as 2× the knn-graph wall at the 64× blow-up). The
+    // pinned frame is n·k rows; the corpus-sized assignment cache is
+    // released here.
+    val directed = directedRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    directed.count()
+    assigned.unpersist()
     directed.as("x")
       .join(directed.as("y").hint("shuffle_hash"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
