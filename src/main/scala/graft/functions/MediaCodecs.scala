@@ -10,8 +10,12 @@ import java.util.zip.{CRC32, Deflater}
   * with real CRC32s and deflate-compressed scanlines (java.util.zip),
   * JPEG is a structurally valid baseline marker stream, WAV is a
   * complete RIFF/fmt/data layout. This is the decode step of the
-  * multimodal pipeline (SURVEY.md §2.3 #32): header-level decode is
-  * REAL — only pixel/sample decode would need an external codec.
+  * multimodal pipeline (SURVEY.md §2.3 #32). Round 5: decode is real
+  * at the PIXEL/SAMPLE level too — [[decodePngPixels]] inflates IDAT
+  * and reverses all five scanline filters (zlib IS the PNG codec and
+  * ships with the JVM), [[decodeWavSamples]] reads PCM straight from
+  * the data chunk. Only JPEG entropy decode still needs an external
+  * codec.
   */
 object MediaCodecs {
 
@@ -42,7 +46,18 @@ object MediaCodecs {
     * gray (1 byte/px), 2 = RGB (3), 6 = RGBA (4); bit depth 8. Pixels
     * are a deterministic function of (x, y, seed).
     */
-  def buildPng(width: Int, height: Int, colorType: Int, seed: Int): Array[Byte] = {
+  /** The deterministic test pixel value at (byte i of row y). */
+  def pngPixelByte(i: Int, y: Int, seed: Int): Byte =
+    ((i * 31 + y * 17 + seed) & 0xFF).toByte
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  def buildPng(width: Int, height: Int, colorType: Int, seed: Int,
+      filtered: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0)
     val bpp = colorType match {
       case 0 => 1
@@ -52,13 +67,30 @@ object MediaCodecs {
     }
     val ihdr = be32(width.toLong) ++ be32(height.toLong) ++
       Array[Byte](8, colorType.toByte, 0, 0, 0)
-    val raw = new Array[Byte](height * (1 + width * bpp))
+    val rowBytes = width * bpp
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    // `filtered` cycles through every PNG filter type (y mod 5) and
+    // writes the spec's encoded residuals — so a decoder round-trip
+    // proves real unfiltering, not just inflate
     var y = 0
     while (y < height) {
-      val rowOff = y * (1 + width * bpp) // leading 0 = no filter
+      val rowOff = y * (1 + rowBytes)
+      val ft = if (filtered) y % 5 else 0
+      raw(rowOff) = ft.toByte
       var i = 0
-      while (i < width * bpp) {
-        raw(rowOff + 1 + i) = ((i * 31 + y * 17 + seed) & 0xFF).toByte
+      while (i < rowBytes) {
+        val cur = pngPixelByte(i, y, seed) & 0xFF
+        val left = if (i >= bpp) pngPixelByte(i - bpp, y, seed) & 0xFF else 0
+        val up = if (y > 0) pngPixelByte(i, y - 1, seed) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) pngPixelByte(i - bpp, y - 1, seed) & 0xFF else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(rowOff + 1 + i) = (enc & 0xFF).toByte
         i += 1
       }
       y += 1
@@ -103,6 +135,89 @@ object MediaCodecs {
   private def readBe32(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
       ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  /** Decoded PNG pixel plane: row-major, `channels` bytes per pixel. */
+  final case class PngPixels(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  /** FULL PNG pixel decode, pure JVM: walk the chunk stream (all IDAT
+    * chunks concatenated, as the spec allows), inflate with
+    * java.util.zip, then reverse all five scanline filters (None /
+    * Sub / Up / Average / Paeth). Supports the 8-bit gray / RGB /
+    * RGBA subset our builder emits — interlace, palettes and 16-bit
+    * depths return None rather than wrong pixels. This closes the
+    * "only pixel decompression remains external" gap: zlib IS the
+    * PNG codec, and it ships with the JVM.
+    */
+  def decodePngPixels(bytes: Array[Byte]): Option[PngPixels] = {
+    val meta = parsePng(bytes).filter(_.fmt == "png").getOrElse(return None)
+    if (!meta.bitDepth.contains(8)) return None
+    val colorType = bytes(25) & 0xFF
+    val bpp = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case _ => return None
+    }
+    if ((bytes(26) & 0xFF) != 0 || (bytes(28) & 0xFF) != 0) return None // non-deflate / interlaced
+    val w = meta.width.get; val h = meta.height.get
+    // collect IDAT payloads
+    val idat = new ByteArrayOutputStream()
+    var off = 8
+    var ok = true
+    while (ok && off + 8 <= bytes.length) {
+      val len = readBe32(bytes, off)
+      if (len < 0 || off + 12 + len > bytes.length) ok = false
+      else {
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        if (typ == "IDAT") idat.write(bytes, off + 8, len.toInt)
+        if (typ == "IEND") ok = false
+        off += 12 + len.toInt
+      }
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val rowBytes = w * bpp
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    try {
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // unfilter in place into the pixel plane
+    val px = new Array[Byte](h * rowBytes)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + rowBytes)) & 0xFF
+      if (ft > 4) return None
+      val in = y * (1 + rowBytes) + 1
+      val out = y * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(in + i) & 0xFF
+        val left = if (i >= bpp) px(out + i - bpp) & 0xFF else 0
+        val up = if (y > 0) px(out - rowBytes + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) px(out - rowBytes + i - bpp) & 0xFF else 0
+        val rec = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 => x + paeth(left, up, ul)
+        }
+        px(out + i) = (rec & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(PngPixels(w, h, bpp, px))
+  }
 
   // ------------------------------------------------------------ JPEG
 
@@ -232,6 +347,35 @@ object MediaCodecs {
   private def readLe32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
       ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  /** Decoded PCM samples from the WAV data chunk (16-bit LE PCM —
+    * the format [[buildWav]] writes and fmt declares). Sample decode
+    * for audio needs no codec at all: RIFF's data chunk IS the PCM.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (parseWav(bytes).isEmpty) return None
+    if (readLe16(bytes, 34) != 16) return None // bits per sample
+    // walk RIFF chunks from offset 12 to the data chunk
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val len = readLe32(bytes, off + 4)
+      if (id == "data") {
+        if (off + 8 + len > bytes.length) return None
+        val n = (len / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((bytes(off + 8 + 2 * i) & 0xFF) |
+            (bytes(off + 9 + 2 * i) << 8)).toShort
+          i += 1
+        }
+        return Some(out)
+      }
+      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
 
   /** Dispatch on magic bytes. */
   def parse(bytes: Array[Byte]): Option[MediaMeta] =

@@ -39,6 +39,14 @@ object MediaOps {
     StructField("bit_depth", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
+    // pixel/sample-level decode results (round 5): PNG pixels via
+    // zlib inflate + full unfiltering, WAV PCM read straight from the
+    // data chunk — null for formats whose entropy decode would need
+    // an external codec (JPEG)
+    StructField("px_count", LongType, nullable = true),
+    StructField("px_sum", LongType, nullable = true),
+    StructField("px_min", IntegerType, nullable = true),
+    StructField("px_max", IntegerType, nullable = true),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
 
   /** Deterministic 8-dim byte-distribution feature (histogram of the
@@ -69,9 +77,34 @@ object MediaOps {
         val meta = MediaCodecs.parse(payload)
         def f(get: MediaCodecs.MediaMeta => Option[Int]): Any =
           meta.flatMap(get).orNull
+        // pixel/sample plane where the container's codec is pure JVM
+        val plane: Option[(Long, Long, Int, Int)] = meta.map(_.fmt) match {
+          case Some("png") => MediaCodecs.decodePngPixels(payload).map { p =>
+            var s = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < p.pixels.length) {
+              val v = p.pixels(i) & 0xFF
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            (p.pixels.length.toLong, s, if (p.pixels.length == 0) 0 else mn, mx)
+          }
+          case Some("wav") => MediaCodecs.decodeWavSamples(payload).map { ss =>
+            var s = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < ss.length) {
+              s += ss(i); if (ss(i) < mn) mn = ss(i); if (ss(i) > mx) mx = ss(i)
+              i += 1
+            }
+            (ss.length.toLong, s, if (ss.isEmpty) 0 else mn, if (ss.isEmpty) 0 else mx)
+          }
+          case _ => None // JPEG entropy decode needs a real codec
+        }
         Row(r.getLong(0), r.getString(1), payload.length,
           meta.map(_.fmt).orNull, f(_.width), f(_.height),
           f(_.bitDepth), f(_.channels), f(_.sampleRate),
+          plane.map(_._1).orNull, plane.map(_._2).orNull,
+          plane.map(_._3).orNull, plane.map(_._4).orNull,
           byteFeature(payload))
       }
     }(enc)
@@ -147,8 +180,11 @@ object MediaOps {
       (i % 3) match {
         case 0 =>
           val colorType = Array(0, 2, 6)((i / 3) % 3)
+          // every other PNG cycles all five scanline filters, so the
+          // registered query's pixel stats exercise real unfiltering
           (i.toLong, "image/png", Some(w), Some(h),
-            MediaCodecs.buildPng(w, h, colorType, seed = i))
+            MediaCodecs.buildPng(w, h, colorType, seed = i,
+              filtered = i % 2 == 0))
         case 1 =>
           (i.toLong, "image/jpeg", Some(w), Some(h),
             MediaCodecs.buildJpeg(w, h, if (i % 2 == 0) 1 else 3, seed = i))

@@ -66,6 +66,103 @@ class MediaOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("png pixel decode round-trips every filter type and color type") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 30; ct <- Seq(0, 2, 6); filtered <- Seq(false, true)) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val seed = rnd.nextInt(1 << 20)
+      val png = MediaCodecs.buildPng(w, h, ct, seed, filtered)
+      val px = MediaCodecs.decodePngPixels(png)
+        .getOrElse(fail(s"decode failed w=$w h=$h ct=$ct filtered=$filtered"))
+      val bpp = Seq(1, -1, 3, -1, -1, -1, 4)(ct)
+      assert(px.width == w && px.height == h && px.channels == bpp)
+      // decoded plane must equal the deterministic builder formula —
+      // filtered rows prove Sub/Up/Average/Paeth reversal, byte for byte
+      var y = 0
+      while (y < h) {
+        var i = 0
+        while (i < w * bpp) {
+          assert(px.pixels(y * w * bpp + i) == MediaCodecs.pngPixelByte(i, y, seed),
+            s"pixel ($i,$y) w=$w h=$h ct=$ct filtered=$filtered")
+          i += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("png pixel decode handles split IDAT, rejects truncated streams") {
+    val png = MediaCodecs.buildPng(16, 16, 2, seed = 5, filtered = true)
+    // split the single IDAT chunk into two consecutive IDAT chunks
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]) = {
+      val crc = new java.util.zip.CRC32
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+    val len = ((png(33) & 0xFF) << 24) | ((png(34) & 0xFF) << 16) |
+      ((png(35) & 0xFF) << 8) | (png(36) & 0xFF)
+    val data = java.util.Arrays.copyOfRange(png, 41, 41 + len)
+    val head = java.util.Arrays.copyOfRange(png, 0, 33)
+    val tail = java.util.Arrays.copyOfRange(png, 41 + len + 4, png.length)
+    val cut = data.length / 3
+    val split = head ++ chunk("IDAT", data.take(cut)) ++
+      chunk("IDAT", data.drop(cut)) ++ tail
+    val one = MediaCodecs.decodePngPixels(png).get
+    val two = MediaCodecs.decodePngPixels(split).get
+    assert(java.util.Arrays.equals(one.pixels, two.pixels))
+    // truncated deflate stream → None, not garbage
+    val trunc = head ++ chunk("IDAT", data.take(data.length / 2)) ++ tail
+    assert(MediaCodecs.decodePngPixels(trunc).isEmpty)
+  }
+
+  test("wav sample decode recovers the exact PCM the builder wrote") {
+    val rnd = new scala.util.Random(23)
+    (1 to 20).foreach { _ =>
+      val sr = 8000 + rnd.nextInt(8000)
+      val ch = 1 + rnd.nextInt(2)
+      val n = rnd.nextInt(300)
+      val seed = rnd.nextInt(1 << 20)
+      val wav = MediaCodecs.buildWav(sr, ch, n, seed)
+      val got = MediaCodecs.decodeWavSamples(wav).getOrElse(fail("no decode"))
+      assert(got.length == n * ch)
+      got.indices.foreach { s =>
+        val lo = (2 * s * 131 + seed) & 0xFF
+        val hi = ((2 * s + 1) * 131 + seed) & 0xFF
+        assert(got(s) == ((lo | (hi << 8)).toShort), s"sample $s")
+      }
+    }
+  }
+
+  test("extractFeatures pixel stats match a local decode of the same bytes") {
+    val media = MediaOps.syntheticMedia(spark, 30).repartition(3)
+    val feats = MediaOps.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    MediaOps.syntheticMedia(spark, 30).collect().foreach { m =>
+      val id = m.getLong(0)
+      val payload = m.getAs[Array[Byte]]("payload")
+      val r = feats(id)
+      def optLong(name: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(name))) None else Some(r.getLong(r.fieldIndex(name)))
+      m.getString(1) match {
+        case "image/png" =>
+          val px = MediaCodecs.decodePngPixels(payload).get
+          val want = px.pixels.map(_ & 0xFF)
+          assert(optLong("px_count").contains(want.length.toLong))
+          assert(optLong("px_sum").contains(want.map(_.toLong).sum))
+        case "audio/wav" =>
+          val ss = MediaCodecs.decodeWavSamples(payload).get
+          assert(optLong("px_count").contains(ss.length.toLong))
+          assert(optLong("px_sum").contains(ss.map(_.toLong).sum))
+        case _ => // jpeg: entropy decode out of scope, stats null
+          assert(optLong("px_count").isEmpty)
+      }
+    }
+  }
+
   test("resize rewrites metadata and shrinks payload") {
     val media = MediaOps.syntheticMedia(spark, 10)
     val out = MediaOps.resize(media, 32, 24).collect()
