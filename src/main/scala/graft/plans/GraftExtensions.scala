@@ -68,6 +68,17 @@ object GraftExtensions {
       info("graft_byte_dot",
         "graft_byte_dot(a, b) - signed-byte integer dot of two binary codes"),
       (args: Seq[Expression]) => native.ByteDotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_span_corrupt"),
+      info("graft_span_corrupt",
+        "graft_span_corrupt(doc_id, text, span_words, rate_ppm) - T5 span " +
+          "corruption: struct(n_groups, n_masked, corrupted, targets); " +
+          "masking is the md5-prefix draw at rate_ppm/1e6"),
+      (args: Seq[Expression]) => native.SpanCorrupt(args(0), args(1),
+        intArg(args(2), "span_words"), {
+          val ppm = intArg(args(3), "rate_ppm")
+          val rate = ppm / 1000000.0
+          if (rate >= 1.0) 1L << 32 else (rate * (1L << 32)).toLong
+        })),
     (FunctionIdentifier("graft_shared_grams"),
       info("graft_shared_grams",
         "graft_shared_grams(a, b, n) - distinct character n-grams shared by two strings"),

@@ -112,4 +112,21 @@ class ExtensionsSpec extends SparkSpec {
         s"exact ${row.getDouble(0)} vs sq8 ${row.getDouble(1)}")
     }
   }
+
+  test("graft_span_corrupt matches the operator output from SQL") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables(spark, sf).documents
+    docs.createOrReplaceTempView("docs_span_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, sc.n_groups, sc.n_masked, sc.corrupted, sc.targets
+        FROM (SELECT doc_id,
+          graft_span_corrupt(doc_id, text, 3, 150000) AS sc
+          FROM docs_span_sql) ORDER BY doc_id""").collect()
+    val viaApi = TextAnalysis.spanCorrupt(docs, spanWords = 3, rate = 0.15)
+      .orderBy("doc_id").collect()
+    assert(viaSql.length == viaApi.length && viaSql.nonEmpty)
+    viaSql.zip(viaApi).foreach { case (a, b) =>
+      assert(a.toString == b.toString)
+    }
+  }
 }
