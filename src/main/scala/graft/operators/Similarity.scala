@@ -466,14 +466,21 @@ object Similarity {
     // boundary (every vector scans its whole cell), so cell size is
     // the direct per-vector cost — 500-vector cells measured 64M
     // candidate rows and a 66 s aggregate stage at the 64× blow-up,
-    // 4× the 128-cell form. The cell-count cap rises with it and the
-    // KMeans train sample scales at 4 points per centroid.
+    // 4× the 128-cell form. The cap stays MODERATE (2048): KMeans
+    // ASSIGNMENT is n·cells distance evals, so cells ∝ n uncapped is
+    // the round-3 quadratic-by-parameter trap from the other side
+    // (an 8192 cap measured 217 s at 256× — the assignment, not the
+    // scan). Init stays k-means|| — like semanticDedup, the graph's
+    // recall gate is carried by CELL QUALITY (a neighbor in the wrong
+    // cell is unreachable at any margin); random init measurably
+    // broke the recall-vs-exact spec. Train sample scales at 4 points
+    // per centroid.
     val cells = autoCells(base.count(), nCells,
-      targetCellSize = 128, maxCells = 8192)
+      targetCellSize = 128, maxCells = 2048)
     // nCells = 1 disables blocking (exact kNN; MLlib requires k ≥ 2)
     val assigned = (if (cells <= 1) base.withColumn("cell", lit(0))
-      else fitKMeans(base, cells,
-          math.max(trainSample, 4 * cells)).transform(base)
+      else fitKMeans(base, cells, math.max(trainSample, 4 * cells))
+        .transform(base)
         .withColumnRenamed("prediction", "cell"))
       .drop("features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -86,6 +86,34 @@ object PipelineMain {
           rows.sortBy(_.getInt(3)).map(_.getString(4)).mkString("|")
       }.mkString(" ")
     println(s"[pipeline] topics=$topics")
+
+    // round-5 tail of the prep flow, chained on the pipeline's own
+    // frames: tokenizer trained on the CLEANED corpus (the real
+    // order — training on raw text bakes boilerplate into merges),
+    // temperature weights for the mixture the sampler feeds, and
+    // denoising targets built from the train split
+    // the written table drops text (fingerprints replace it); the
+    // text-bearing cleaned frame is `deduped`, keyed to the output
+    val cleaned = deduped.join(out.select("doc_id", "split"), "doc_id")
+      .select("doc_id", "text", "split")
+    val merges = graft.operators.Bpe.trainReport(cleaned)
+      .orderBy("rank").collect()
+      .map(r => s"${r.getString(1)}+${r.getString(2)}").mkString(",")
+    val tokStats = graft.operators.Bpe.encodeStats(cleaned)
+      .agg(sum("n_words").as("w"), sum("n_chars").as("c"),
+        sum("n_tokens").as("t")).collect().head
+    println(s"[pipeline] bpe_merges=$merges words=${tokStats.getLong(0)} " +
+      s"chars=${tokStats.getLong(1)} bpe_tokens=${tokStats.getLong(2)}")
+    val mix = Sampling.temperatureWeights(out, "lang")
+      .orderBy("lang").collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(3)}ppm").mkString(",")
+    println(s"[pipeline] temperature_mix=$mix")
+    val corrupted = TextAnalysis.spanCorrupt(
+        cleaned.filter(col("split") === "train").select("doc_id", "text"))
+      .agg(count(lit(1)).as("docs"), sum("n_masked").as("spans"))
+      .collect().head
+    println(s"[pipeline] span_targets docs=${corrupted.getLong(0)} " +
+      s"masked_spans=${corrupted.getLong(1)}")
     spark.stop()
   }
 }
