@@ -121,6 +121,24 @@ object Bpe {
         col("r").as("right_sym"), col("c").as("pair_freq"))
     }.reduce(_.union(_))
 
+  /** The tokenizer vocabulary after the learned merges — the second
+    * shipped artifact (with [[trainReport]]'s merge list): every
+    * distinct final symbol with its corpus occurrence count
+    * (token-weighted) and a deterministic id assigned by
+    * (count desc, symbol asc). Vocabulary-sized throughout; the id
+    * window runs over the aggregated symbol table, never the corpus.
+    */
+  def vocabReport(docs: DataFrame, merges: Int = Merges,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, syms) = learn(docs, merges, textCol)
+    syms.groupBy("sym").agg(sum(col("freq")).as("sym_freq"))
+      .withColumn("token_id", row_number()
+        .over(Window.orderBy(col("sym_freq").desc, col("sym")))
+        .cast("int"))
+      .select("token_id", "sym", "sym_freq")
+  }
+
   /** Per-document token statistics under the learned merges:
     * (doc_id, n_words, n_chars, n_tokens). Encoding is per DISTINCT
     * word (symbols-per-word from the final symbol table) joined back

@@ -1126,6 +1126,20 @@ object LlmOps {
         .mkString(" UNION ALL ") + " ORDER BY rank"),
     (s, dir) => Bpe.trainReport(Tables(s, dir).documents).orderBy("rank"))
 
+  /** BPE vocabulary artifact (Bpe.vocabReport): distinct final
+    * symbols with token-weighted corpus counts and deterministic ids
+    * — the second half of the shipped tokenizer (merges + vocab).
+    */
+  private val bpeVocabQ = GraftQuery(
+    "d_bpe_vocab",
+    Some(bpeChainSql + s""",
+  v AS (SELECT sym, CAST(SUM(freq) AS BIGINT) AS sym_freq
+    FROM s${Bpe.Merges} GROUP BY sym)
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY sym_freq DESC, sym) AS INT)
+      AS token_id, sym, sym_freq
+  FROM v ORDER BY token_id"""),
+    (s, dir) => Bpe.vocabReport(Tables(s, dir).documents).orderBy("token_id"))
+
   /** BPE ENCODING under the learned merges (Bpe.encodeStats):
     * per-document word/char/BPE-token counts. Encoding happens on the
     * distinct-word table and joins back — the corpus is never
@@ -1301,7 +1315,7 @@ object LlmOps {
     piiQ, normalizeQ,
     splitQ, packQ, incrDedup, intraDedupQ, segmentDedup, boilerplateQ,
     substrDedupQ,
-    bm25Q, rarityQ, tfidfQ, bigramLmQ, bpeTrainQ, bpeEncodeQ,
+    bm25Q, rarityQ, tfidfQ, bigramLmQ, bpeTrainQ, bpeVocabQ, bpeEncodeQ,
     invertedIndexQ, cooccurQ, spanCorruptQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)
 }

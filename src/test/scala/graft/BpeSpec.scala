@@ -80,6 +80,21 @@ class BpeSpec extends SparkSpec {
     assert(got.forall(r => r._4 < r._3))
   }
 
+  test("vocab report: ids ordered by weighted count, symbols cover the corpus") {
+    val texts = Seq("low lower lowest low", "newer newest low slow")
+    val got = Bpe.vocabReport(docsDf(texts), merges = 6)
+      .orderBy("token_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val (_, words) = refBpe(wordFreqOf(texts), 6)
+    val wf = wordFreqOf(texts)
+    val want = words.toSeq
+      .flatMap { case (w, syms) => syms.map(_ -> wf(w)) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (s, c) => (-c, s) }
+      .zipWithIndex.map { case ((s, c), i) => (i + 1, s, c) }
+    assert(got.toSeq == want)
+  }
+
   test("merge choice tie-break is lexicographic at equal counts") {
     // "zz" and "yy" both appear exactly twice; (y,y) must win rank 1
     val texts = Seq("zz yy", "zz yy")
