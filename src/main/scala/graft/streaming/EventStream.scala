@@ -86,6 +86,81 @@ object EventStream {
       }
   }
 
+  final case class HeavyHitter(window_start: Timestamp, item: String,
+      est_count: Long, max_err: Long, rank: Int)
+  final case class HHItem(item: String, count: Long, err: Long)
+  final case class HHState(n: Long, items: Seq[HHItem])
+
+  /** Streaming frequent items per tumbling window — SpaceSaving
+    * (Metwally et al. 2005) with `capacity` counters per window, the
+    * constant-memory answer to "top domains/users this hour" over an
+    * unbounded high-cardinality stream. An exact windowed count
+    * (windowedCounts) keys state by ITEM — state grows with the
+    * number of distinct items per window, unbounded for
+    * high-cardinality keys; SpaceSaving keeps exactly `capacity`
+    * counters per window and still GUARANTEES every item with true
+    * count > N/capacity is in the summary, with
+    * est_count − max_err ≤ true ≤ est_count.
+    *
+    * State is keyed by window start and evicted by EventTimeTimeout
+    * when the watermark passes the window end (the sessionize clamp
+    * rule) — in-flight windows × capacity counters, regardless of
+    * stream length or item cardinality. Rows are folded in
+    * (ts, item) order per micro-batch so a given batch split is
+    * deterministic; like any streaming sketch, the summary (not the
+    * guarantee) depends on arrival order across batches.
+    */
+  def heavyHitters(events: DataFrame, itemCol: String, capacity: Int = 8,
+      windowMinutes: Int = 60, delay: String = "10 minutes")
+      : Dataset[HeavyHitter] = {
+    import events.sparkSession.implicits._
+    val windowMs = windowMinutes * 60000L
+    events
+      .withWatermark("ts", delay)
+      .select(col("ts"), col(itemCol).cast("string").as("item"))
+      .as[(Timestamp, String)]
+      .groupByKey { case (t, _) => t.getTime / windowMs * windowMs }
+      .flatMapGroupsWithState[HHState, HeavyHitter](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (winStart: Long, rows: Iterator[(Timestamp, String)],
+            state: GroupState[HHState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s.items.sortBy(i => (-i.count, i.item)).zipWithIndex.iterator
+              .map { case (i, r) =>
+                HeavyHitter(new Timestamp(winStart), i.item, i.count, i.err,
+                  r + 1)
+              }
+          } else {
+            val counters = scala.collection.mutable.LinkedHashMap(
+              state.getOption.map(_.items.map(i => i.item -> i)).getOrElse(Nil): _*)
+            var n = state.getOption.map(_.n).getOrElse(0L)
+            rows.toSeq.sortBy { case (t, i) => (t.getTime, i) }.foreach {
+              case (_, item) =>
+                n += 1
+                counters.get(item) match {
+                  case Some(c) =>
+                    counters(item) = c.copy(count = c.count + 1)
+                  case None if counters.size < capacity =>
+                    counters(item) = HHItem(item, 1L, 0L)
+                  case None =>
+                    // evict the deterministic min (count, item); the
+                    // newcomer inherits its count as the error bound
+                    val victim = counters.values.minBy(c => (c.count, c.item))
+                    counters.remove(victim.item)
+                    counters(item) =
+                      HHItem(item, victim.count + 1, victim.count)
+                }
+            }
+            state.update(HHState(n, counters.values.toSeq))
+            state.setTimeoutTimestamp(math.max(winStart + windowMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of d_exact_dedup for
     * continuous ingestion: an event is dropped when its dedup key was
     * already seen within the watermark horizon. State is keyed by the

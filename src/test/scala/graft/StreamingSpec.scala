@@ -335,4 +335,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set((20L, 10L), (21L, 11L)), batch.toSeq.sorted.mkString(","))
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
+
+  test("streaming heavy hitters: guarantee holds, state stays at capacity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    // one hour window, skewed stream across 40 distinct items:
+    // "hot" 50x, "warm" 12x, 40 cold singletons split over two batches
+    def at(m: Int) = ts(f"2024-01-01 10:${m % 60}%02d:00")
+    val batch1 = (1 to 30).map(i => (at(i % 50), "hot")) ++
+      (1 to 6).map(i => (at(i), "warm")) ++
+      (1 to 20).map(i => (at(i), s"cold$i"))
+    val batch2 = (1 to 20).map(i => (at(i % 50), "hot")) ++
+      (1 to 6).map(i => (at(i), "warm")) ++
+      (21 to 40).map(i => (at(i % 50), s"cold$i"))
+    val q = EventStream.heavyHitters(
+        mem.toDF().toDF("ts", "item"), "item", capacity = 6,
+        delay = "1 hour")
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    // close the window: advance the watermark well past 11:00
+    mem.addData((ts("2024-01-01 12:30:00"), "later")); q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    q.stop()
+    val out = spark.table("hh").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val n = batch1.length + batch2.length
+    // ≤ capacity counters survive per window
+    assert(out.size <= 6, out.toString)
+    assert(stateRows <= 2, s"state keyed per window, got $stateRows")
+    // SpaceSaving guarantee: any item with true count > N/capacity is
+    // present, and est bounds bracket the truth
+    val truth = (batch1 ++ batch2).groupBy(_._2).map { case (k, v) => k -> v.size }
+    truth.filter(_._2 > n / 6).keys.foreach { k =>
+      assert(out.contains(k), s"guaranteed item $k missing from $out")
+    }
+    out.foreach { case (item, (est, err)) =>
+      val t = truth.getOrElse(item, 0).toLong
+      assert(t <= est && est - err <= t, s"$item est=$est err=$err true=$t")
+    }
+    // the planted heavies rank first
+    val ranked = spark.table("hh").orderBy("rank").collect().map(_.getString(1))
+    assert(ranked.take(2).toSet == Set("hot", "warm"), ranked.mkString(","))
+  }
 }
