@@ -577,6 +577,66 @@ object LlmOps {
       .select("source", "doc_id")
       .orderBy("source", "doc_id"))
 
+  /** Dataset card — the one-row corpus datasheet a curation run
+    * publishes (docs/chars/words, exact-dup share, language/source
+    * diversity, head-language share, length quantiles). Pure
+    * aggregation composition: one pass for the global aggregates +
+    * one vocab-sized lang count, the head pick via
+    * TakeOrderedAndProject, everything integer or the
+    * q_percentile-proven interpolated quantile. All exact →
+    * oracle-backed.
+    */
+  private val datasetCardQ = GraftQuery(
+    "d_dataset_card",
+    Some("""WITH b AS (SELECT doc_id, lang, source,
+        CAST(length(text) AS BIGINT) AS nc,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        md5(text) AS h FROM documents),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nc) AS BIGINT) AS n_chars,
+        CAST(SUM(nw) AS BIGINT) AS n_words,
+        CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        round(quantile_cont(nw, 0.5), 4) AS p50_words,
+        round(quantile_cont(nw, 0.9), 4) AS p90_words FROM b),
+      t AS (SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS top_docs
+        FROM b GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
+      SELECT n_docs, n_chars, n_words, n_distinct_texts,
+        ((n_docs - n_distinct_texts) * CAST(1000000 AS BIGINT)) // n_docs
+          AS dup_ppm,
+        n_langs, n_sources, top_lang,
+        (top_docs * CAST(1000000 AS BIGINT)) // n_docs AS top_lang_ppm,
+        p50_words, p90_words,
+        (n_words * CAST(1000 AS BIGINT)) // n_docs AS mean_words_milli
+      FROM a, t"""),
+    (s, dir) => {
+      val base = Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+        col("source"), length(col("text")).cast("long").as("nc"),
+        graft.functions.TextFns.wordCount(col("text")).cast("long").as("nw"),
+        md5(col("text")).as("h"))
+      val a = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"), sum(col("nw")).as("n_words"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        expr("percentile(nw, array(0.5D, 0.9D))").as("ps"))
+      val top = base.groupBy("lang").agg(count(lit(1)).as("top_docs"))
+        .orderBy(col("top_docs").desc, col("lang")).limit(1)
+        .withColumnRenamed("lang", "top_lang")
+      a.crossJoin(broadcast(top)).select(col("n_docs"), col("n_chars"),
+        col("n_words"), col("n_distinct_texts"),
+        expr("((n_docs - n_distinct_texts) * CAST(1000000 AS BIGINT)) div n_docs")
+          .as("dup_ppm"),
+        col("n_langs"), col("n_sources"), col("top_lang"),
+        expr("(top_docs * CAST(1000000 AS BIGINT)) div n_docs")
+          .as("top_lang_ppm"),
+        round(col("ps").getItem(0), 4).as("p50_words"),
+        round(col("ps").getItem(1), 4).as("p90_words"),
+        expr("(n_words * CAST(1000 AS BIGINT)) div n_docs")
+          .as("mean_words_milli"))
+    })
+
   /** Temperature-scaled mixture weights (Sampling.temperatureWeights,
     * α = 1/2): integer-quantized √count masses so the normalizer is
     * an order-independent integer sum and every weight/quota is
@@ -1312,6 +1372,7 @@ object LlmOps {
     consistentSample, contamination, contaminationExact, bloomContam,
     mediaFeatures,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, temperatureMixQ,
+    datasetCardQ,
     piiQ, normalizeQ,
     splitQ, packQ, incrDedup, intraDedupQ, segmentDedup, boilerplateQ,
     substrDedupQ,
