@@ -455,12 +455,13 @@ object Similarity {
     * corpus-order side).
     */
   def knnGraph(emb: DataFrame, k: Int = 4, nCells: Int = 0,
-      trainSample: Int = 2000): DataFrame = {
+      trainSample: Int = 2000, subBits: Int = -1): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features",
         org.apache.spark.ml.functions.array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
     // Tighter cells than the ANN/semdedup default (128 vs 500): a
     // graph scan costs n·cellSize rows through the heap-aggregate
     // boundary (every vector scans its whole cell), so cell size is
@@ -475,14 +476,33 @@ object Similarity {
     // cell is unreachable at any margin); random init measurably
     // broke the recall-vs-exact spec. Train sample scales at 4 points
     // per centroid.
-    val cells = autoCells(base.count(), nCells,
-      targetCellSize = 128, maxCells = 2048)
+    val cells = autoCells(n, nCells, targetCellSize = 128, maxCells = 2048)
+    // Second blocking level once the cell cap binds: past cap×128
+    // vectors KMeans cell size grows with n, and the scan
+    // (n·cellSize candidate rows through the heap-aggregate boundary)
+    // turns quadratic/cap — measured as ONE 213 s stage at the 256×
+    // blow-up while fit+assignment were 14 s. Oversized cells split
+    // by a signed-random-projection signature
+    // (bits = ⌈log₂(cellSize/128)⌉): SRP buckets correlate with
+    // cosine, so near neighbors tend to share a bucket, and the
+    // signature is a narrow per-row expression. Auto bits stay 0
+    // until the cap binds (the recall spec forces subBits to exercise
+    // the split at test scale).
+    val useSubBits =
+      if (subBits >= 0) subBits
+      else if (cells <= 1) 0
+      else math.max(0, (math.log(n.toDouble / cells / 128.0) /
+        math.log(2.0)).ceil.toInt)
     // nCells = 1 disables blocking (exact kNN; MLlib requires k ≥ 2)
     val assigned = (if (cells <= 1) base.withColumn("cell", lit(0))
       else fitKMeans(base, cells, math.max(trainSample, 4 * cells))
         .transform(base)
         .withColumnRenamed("prediction", "cell"))
       .drop("features")
+      .withColumn("cell",
+        if (useSubBits <= 0) col("cell")
+        else col("cell") * lit(1L << useSubBits) +
+          graft.plans.native.hyperplaneSig(col("embedding"), useSubBits, 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count()
     base.unpersist()

@@ -233,5 +233,15 @@ class PipelineSpec extends SparkSpec {
     val recall = (wantMutual & blockedSet).size.toDouble /
       math.max(wantMutual.size, 1)
     assert(recall > 0.3, s"knn-graph recall $recall of ${wantMutual.size}")
+
+    // forced SRP sub-bucketing (the beyond-the-cell-cap scale path;
+    // auto bits are 0 at this size): edges stay mutual and ordered,
+    // and recall vs the exact mutual graph survives the extra split
+    val sub = Similarity.knnGraph(emb, k = 4, subBits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sub.forall { case (a, b) => a < b })
+    val subRecall = (wantMutual & sub.toSet).size.toDouble /
+      math.max(wantMutual.size, 1)
+    assert(subRecall > 0.2, s"sub-bucketed recall $subRecall")
   }
 }
