@@ -1000,6 +1000,46 @@ object LlmOps {
     (s, dir) => Retrieval.rarity(Tables(s, dir).documents)
       .orderBy("doc_id"))
 
+  /** Curriculum phase assignment — order-of-presentation prep for
+    * curriculum training: per-doc difficulty = integer mean token
+    * rarity (the d_unigram_rarity core), phases = quartile buckets.
+    * Scale shape: a global ntile would sort the whole corpus on ONE
+    * task; instead the three quartile BOUNDARIES come from one tiny
+    * percentile aggregate (the q_percentile equivalence) broadcast
+    * back, and the phase is a narrow three-comparison projection.
+    * Oracle-backed.
+    */
+  private val curriculumQ = GraftQuery(
+    "d_curriculum",
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      v AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+      j AS (SELECT doc_id, CAST(1000000000 AS BIGINT) // c AS w
+        FROM tok JOIN v USING (term)),
+      d AS (SELECT doc_id,
+          CAST(SUM(w) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS difficulty
+        FROM j GROUP BY doc_id),
+      b AS (SELECT quantile_cont(difficulty, 0.25) AS b1,
+          quantile_cont(difficulty, 0.5) AS b2,
+          quantile_cont(difficulty, 0.75) AS b3 FROM d)
+      SELECT doc_id, difficulty,
+        CAST(1 + CAST(difficulty > b1 AS INT) + CAST(difficulty > b2 AS INT)
+          + CAST(difficulty > b3 AS INT) AS INT) AS phase
+      FROM d, b ORDER BY doc_id"""),
+    (s, dir) => {
+      val d = Retrieval.rarity(Tables(s, dir).documents)
+        .select(col("doc_id"), expr("rarity_sum div n_tokens").as("difficulty"))
+      val b = d.agg(expr(
+        "percentile(difficulty, array(0.25D, 0.5D, 0.75D))").as("bs"))
+      d.crossJoin(broadcast(b))
+        .select(col("doc_id"), col("difficulty"),
+          (lit(1) + (col("difficulty") > col("bs").getItem(0)).cast("int")
+            + (col("difficulty") > col("bs").getItem(1)).cast("int")
+            + (col("difficulty") > col("bs").getItem(2)).cast("int"))
+            .as("phase"))
+        .orderBy("doc_id")
+    })
+
   /** Top-3 characteristic terms per doc by rational tf-idf
     * (Retrieval.tfidf) — all-integer scoring, term-string tiebreak,
     * so the DuckDB twin hash-matches exactly.
@@ -1376,7 +1416,8 @@ object LlmOps {
     piiQ, normalizeQ,
     splitQ, packQ, incrDedup, intraDedupQ, segmentDedup, boilerplateQ,
     substrDedupQ,
-    bm25Q, rarityQ, tfidfQ, bigramLmQ, bpeTrainQ, bpeVocabQ, bpeEncodeQ,
+    bm25Q, rarityQ, curriculumQ, tfidfQ, bigramLmQ,
+    bpeTrainQ, bpeVocabQ, bpeEncodeQ,
     invertedIndexQ, cooccurQ, spanCorruptQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)
 }
