@@ -27,10 +27,17 @@ object StreamingMain {
       .format("parquet")
       .option("maxFilesPerTrigger", "1")
       .load(stage.toString)
-    val stream =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    // ts arrives as nanos-long (legacy nano parquet) or TIMESTAMP_NTZ
+    // (micros, isAdjustedToUTC=false — the current generator's type);
+    // watermarks require TIMESTAMP (LTZ), so normalize. The session
+    // runs UTC, so the NTZ→LTZ cast is value-preserving.
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         fileStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else fileStream
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        fileStream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => fileStream
+    }
     // production shape: parquet file sink + checkpoint (exactly-once;
     // a restart resumes from the checkpoint instead of reprocessing)
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_sink")
