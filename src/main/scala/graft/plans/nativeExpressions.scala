@@ -86,6 +86,18 @@ object NativeImpl {
         new Array[org.apache.spark.unsafe.types.UTF8String](kept.size())): _*)
   }
 
+  /** See [[native.LongArrayMatchCount]]. */
+  def longArrayMatches(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -994,6 +1006,27 @@ object native {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Position-wise equality count of two long arrays — the minhash
+    * signature-agreement estimator (matches/k ≈ jaccard). One primitive
+    * loop with codegen; a zip_with/filter HOF chain allocates per row.
+    */
+  case class LongArrayMatchCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeImpl.longArrayMatches(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.NativeImpl.longArrayMatches($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): LongArrayMatchCount =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** T5-style span corruption of one document — (doc_id, text) →
     * struct(n_groups, n_masked, corrupted, targets). Per-row and
     * branch-free across rows, so the whole operator is a narrow
@@ -1070,6 +1103,9 @@ object native {
 
   def intraDedupText(text: Column, segWords: Int): Column =
     column(IntraDocDedup(expression(text), segWords))
+
+  def longArrayMatches(a: Column, b: Column): Column =
+    column(LongArrayMatchCount(expression(a), expression(b)))
 
   def spanCorrupt(docId: Column, text: Column, spanWords: Int,
       rate: Double): Column = {

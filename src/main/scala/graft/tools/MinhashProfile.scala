@@ -125,6 +125,31 @@ object MinhashProfile {
           .filter(col("jaccard") >= 0.8)
           .write.format("noop").mode("overwrite").save()
       }
+      // two-stage verify (SURVEY §12 candidate): candidate pairs are
+      // first cut on signature agreement (sigs already computed;
+      // matches/64 estimates jaccard — a j=0.14 correlation pair
+      // expects ~12/64, a true j≥0.8 pair ~51/64, so a ≥32 cut keeps
+      // every true pair with astronomical margin), exact jaccard runs
+      // only on survivors. Targets the 256× replica-correlation
+      // stress where ~1M junk candidates pay full string jaccard.
+      val sg = signed.select(col("doc_id"), col("sig"))
+      time("  verify: sig-prefilter two-stage") {
+        val pre = cands.hint("shuffle_hash")
+          .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+            .hint("merge"), "doc_b")
+          .filter(graft.plans.native.longArrayMatches(col("sig_a"), col("sig_b"))
+            * lit(2) >= lit(Dedup.MinhashK))
+          .select("doc_a", "doc_b")
+        pre
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+            .hint("shuffle_hash"), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+            .hint("merge"), "doc_b")
+          .withColumn("jaccard", graft.functions.TextFns.jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
       cands.unpersist(); signed.unpersist()
     }
 

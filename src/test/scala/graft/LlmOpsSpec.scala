@@ -445,6 +445,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(nBigrams == 9L, got.head.toString)
   }
 
+  test("longArrayMatches equals the zip_with/filter form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 50).map { i =>
+      val n = rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(rnd.nextInt(4).toLong),
+        Seq.fill(n)(rnd.nextInt(4).toLong))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.plans.native.longArrayMatches(col("a"), col("b")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      val want = a.zip(b).count { case (x, y) => x == y }
+      assert(got(id) == want, s"id $id")
+    }
+  }
+
   test("span corruption: sentinels number in order, rebuild round-trips") {
     import spark.implicits._
     import graft.operators.{Sampling, TextAnalysis}
