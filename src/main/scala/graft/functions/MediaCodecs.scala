@@ -183,7 +183,10 @@ object MediaCodecs {
       var got = 0
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated
+        // truncated stream, or a stall that will never make progress
+        // (e.g. a crafted zlib FDICT header → needsDictionary)
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None
         got += n
       }
       if (got < raw.length) return None
@@ -328,6 +331,9 @@ object MediaCodecs {
     var i = 12
     while (i + 8 <= bytes.length) {
       val size = readLe32(bytes, i + 4)
+      // same hostile-length guard as decodeWavSamples: a negative
+      // size would advance `i` backwards and loop forever
+      if (size < 0 || i + 8 + size > bytes.length) return None
       if (ascii(i, "fmt ")) {
         if (size < 16 || i + 8 + 16 > bytes.length) return None
         val channels = readLe16(bytes, i + 10)
@@ -360,8 +366,10 @@ object MediaCodecs {
     while (off + 8 <= bytes.length) {
       val id = new String(bytes, off, 4, "US-ASCII")
       val len = readLe32(bytes, off + 4)
+      // validate BEFORE advancing: a hostile RIFF length would move
+      // `off` backwards (negative after toInt) and loop forever
+      if (len < 0 || off + 8 + len > bytes.length) return None
       if (id == "data") {
-        if (off + 8 + len > bytes.length) return None
         val n = (len / 2).toInt
         val out = new Array[Short](n)
         var i = 0

@@ -68,7 +68,8 @@ object Bpe {
           explode(sequence(lit(1), length(col("word")))).as("pos"))
         .withColumn("sym", col("word").substr(col("pos"), lit(1))))
     val chosen = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to merges) {
+    var exhausted = false
+    for (_ <- 1 to merges if !exhausted) {
       val pairs = syms
         .select(col("freq"), col("sym").as("l"),
           lead(col("sym"), 1).over(wOrd).as("r"))
@@ -78,6 +79,13 @@ object Bpe {
       // vocabulary-sized pair table, never a full sort
       val m = barrier(pairs.orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1))
+      // Pair table exhausted before `merges` iterations (every word is
+      // a single symbol): stop at the last valid state. Joining the
+      // empty argmax through would EMPTY the symbol table for all
+      // remaining iterations. The check is a 1-row fetch of the frame
+      // the barrier just materialized.
+      if (m.isEmpty) exhausted = true
+      else {
       chosen += m
       // Greedy left-to-right application. Overlapping candidates only
       // arise in equal-symbol runs; a candidate fires iff its offset
@@ -107,6 +115,7 @@ object Bpe {
           when(col("act"), concat(col("sym"), col("nxt")))
             .otherwise(col("sym")).as("sym"))
       syms = barrier(next)
+      }
     }
     (chosen.result(), syms)
   }
@@ -115,11 +124,19 @@ object Bpe {
     * in application order — the artifact a tokenizer ships.
     */
   def trainReport(docs: DataFrame, merges: Int = Merges,
-      textCol: String = "text"): DataFrame =
-    learn(docs, merges, textCol)._1.zipWithIndex.map { case (m, i) =>
+      textCol: String = "text"): DataFrame = {
+    val picked = learn(docs, merges, textCol)._1
+    if (picked.isEmpty)
+      // no mergeable pair anywhere (all words single-symbol) — empty
+      // merge list with the artifact schema
+      docs.sparkSession.range(0).select(col("id").cast("int").as("rank"),
+        lit("").as("left_sym"), lit("").as("right_sym"),
+        lit(0L).as("pair_freq"))
+    else picked.zipWithIndex.map { case (m, i) =>
       m.select(lit(i + 1).as("rank"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("c").as("pair_freq"))
     }.reduce(_.union(_))
+  }
 
   /** The tokenizer vocabulary after the learned merges — the second
     * shipped artifact (with [[trainReport]]'s merge list): every

@@ -1037,7 +1037,14 @@ object native {
     * replays it with substr(md5(...),1,8).
     */
   case class SpanCorrupt(left: Expression, right: Expression,
-      spanWords: Int, cut: Long) extends BinaryExpression {
+      spanWords: Int, cut: Long) extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    // coerce/reject at analysis time: without declared input types a
+    // SQL call with an INT id hits asInstanceOf[Long] in interpreted
+    // eval (ClassCastException) while codegen silently widens
+    override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftShim.AbstractType] =
+      Seq(LongType, StringType)
+
     override def dataType: DataType = StructType(Seq(
       StructField("n_groups", LongType, nullable = false),
       StructField("n_masked", LongType, nullable = false),

@@ -35,6 +35,12 @@ object HHScale {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
     val reps = docs.select(max(col("rep"))).head().getLong(0).toInt + 1
+    // one replica = one minute; the guarantee check below compares
+    // ALL-replica truth against the FIRST 120-minute window's summary,
+    // which is only sound while every replica-minute lands in it
+    require(reps <= 120,
+      s"$reps replicas spill past the single 120-minute window the " +
+        "guarantee check reads — use a smaller blow-up factor")
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
     // (ts, item): minute = replica; every 10th doc is a unique tail key

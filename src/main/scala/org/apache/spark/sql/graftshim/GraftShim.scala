@@ -10,6 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * libraries use to register native expressions).
   */
 object GraftShim {
+  /** Spark 4 made AbstractDataType private[sql]; an
+    * ImplicitCastInputTypes implementor outside the sql package still
+    * needs the type to declare `inputTypes`. Public alias from inside
+    * the boundary.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -95,6 +95,30 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("merge loop stops at the last valid state when pairs run out") {
+    // one mergeable pair then nothing: training must stop after merge
+    // 1 instead of joining an empty argmax through (which emptied the
+    // symbol table and zeroed every downstream artifact)
+    val texts = Seq("ab ab")
+    val got = Bpe.trainReport(docsDf(texts), merges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "b", 2L)))
+    val vocab = Bpe.vocabReport(docsDf(texts), merges = 8).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(vocab == Seq(("ab", 2L)))
+    // no pairs at all (every word one char): empty merge list with the
+    // artifact schema, single-char vocabulary intact
+    val single = Seq("a b a")
+    val tr = Bpe.trainReport(docsDf(single), merges = 4)
+    assert(tr.columns.toSeq ==
+      Seq("rank", "left_sym", "right_sym", "pair_freq"))
+    assert(tr.count() == 0L)
+    val v2 = Bpe.vocabReport(docsDf(single), merges = 4).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(v2 == Set(("a", 2L), ("b", 1L)))
+  }
+
   test("merge choice tie-break is lexicographic at equal counts") {
     // "zz" and "yy" both appear exactly twice; (y,y) must win rank 1
     val texts = Seq("zz yy", "zz yy")

@@ -129,4 +129,14 @@ class ExtensionsSpec extends SparkSpec {
       assert(a.toString == b.toString)
     }
   }
+
+  test("graft_span_corrupt coerces an INT doc id (implicit cast)") {
+    // without declared input types, an INT id hit asInstanceOf[Long]
+    // in interpreted eval (ClassCastException) while codegen silently
+    // widened — behavior differed by execution mode
+    val r = spark.sql(
+      """SELECT graft_span_corrupt(CAST(7 AS INT), 'a b c d e f', 3,
+        500000).n_groups AS g""").collect()
+    assert(r.length == 1 && r.head.getLong(0) >= 0L)
+  }
 }

@@ -137,6 +137,44 @@ class MediaOpsSpec extends SparkSpec {
     }
   }
 
+  test("hostile RIFF chunk length terminates instead of looping") {
+    val wav = MediaCodecs.buildWav(8000, 1, 10, 7)
+    // splice a junk chunk declaring length -8 between fmt and data:
+    // the unvalidated walk advanced off by 8 + (-8) = 0 and spun
+    // forever; it must return None instead
+    val head = java.util.Arrays.copyOfRange(wav, 0, 36)
+    val tail = java.util.Arrays.copyOfRange(wav, 36, wav.length)
+    val junk = "junk".getBytes("US-ASCII") ++
+      Array[Byte](-8, -1, -1, -1) // 0xFFFFFFF8 LE
+    val bad = head ++ junk ++ tail
+    assert(MediaCodecs.decodeWavSamples(bad).isEmpty)
+    // a hostile chunk BEFORE fmt must not hang parseWav either
+    val junkFirst = java.util.Arrays.copyOfRange(wav, 0, 12) ++ junk ++
+      java.util.Arrays.copyOfRange(wav, 12, wav.length)
+    assert(MediaCodecs.parseWav(junkFirst).isEmpty)
+  }
+
+  test("zlib FDICT IDAT returns None instead of spinning") {
+    val png = MediaCodecs.buildPng(8, 8, 2, seed = 3, filtered = false)
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]) = {
+      val crc = new java.util.zip.CRC32
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+    val len = ((png(33) & 0xFF) << 24) | ((png(34) & 0xFF) << 16) |
+      ((png(35) & 0xFF) << 8) | (png(36) & 0xFF)
+    val head = java.util.Arrays.copyOfRange(png, 0, 33)
+    val tail = java.util.Arrays.copyOfRange(png, 41 + len + 4, png.length)
+    // 0x78 0x20 is a valid zlib header (check % 31 == 0) with FDICT
+    // set — Inflater stalls on needsDictionary, never needsInput
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4)
+    val bad = head ++ chunk("IDAT", fdict) ++ tail
+    assert(MediaCodecs.decodePngPixels(bad).isEmpty)
+  }
+
   test("extractFeatures pixel stats match a local decode of the same bytes") {
     val media = MediaOps.syntheticMedia(spark, 30).repartition(3)
     val feats = MediaOps.extractFeatures(media).collect()
