@@ -582,9 +582,14 @@ object LlmOps {
     * diversity, head-language share, length quantiles). Pure
     * aggregation composition: one pass for the global aggregates +
     * one vocab-sized lang count, the head pick via
-    * TakeOrderedAndProject, everything integer or the
-    * q_percentile-proven interpolated quantile. All exact →
-    * oracle-backed.
+    * TakeOrderedAndProject. The word-count quantiles go through
+    * [[Quantiles.interpolated]] — same interpolated `percentile`
+    * semantics, but computed from the nw value histogram (bounded by
+    * max document length) instead of Spark's exact `percentile`
+    * aggregate, whose single merge buffer is corpus-sized at scale
+    * (the round-5 verdict's structural finding). The oracle replays
+    * the identical histogram lookup + interpolation expression.
+    * All exact → oracle-backed.
     */
   private val datasetCardQ = GraftQuery(
     "d_dataset_card",
@@ -597,9 +602,27 @@ object LlmOps {
         CAST(SUM(nw) AS BIGINT) AS n_words,
         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-        round(quantile_cont(nw, 0.5), 4) AS p50_words,
-        round(quantile_cont(nw, 0.9), 4) AS p90_words FROM b),
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM b),
+      hc AS (SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM (SELECT nw AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM b GROUP BY nw)),
+      k AS (SELECT hc.*,
+          0.5 * CAST(a.n_docs - 1 AS DOUBLE) AS pos50,
+          CAST(floor(0.5 * CAST(a.n_docs - 1 AS DOUBLE)) AS BIGINT) AS lo50,
+          0.9 * CAST(a.n_docs - 1 AS DOUBLE) AS pos90,
+          CAST(floor(0.9 * CAST(a.n_docs - 1 AS DOUBLE)) AS BIGINT) AS lo90
+        FROM hc, a),
+      q AS (SELECT
+          MAX(CASE WHEN cum - cnt <= lo50 AND lo50 < cum THEN v END) AS vlo50,
+          MAX(CASE WHEN cum - cnt <= lo50 + 1 AND lo50 + 1 < cum THEN v END)
+            AS vhi50,
+          MAX(pos50) AS pos50, MAX(lo50) AS lo50,
+          MAX(CASE WHEN cum - cnt <= lo90 AND lo90 < cum THEN v END) AS vlo90,
+          MAX(CASE WHEN cum - cnt <= lo90 + 1 AND lo90 + 1 < cum THEN v END)
+            AS vhi90,
+          MAX(pos90) AS pos90, MAX(lo90) AS lo90
+        FROM k),
       t AS (SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS top_docs
         FROM b GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
       SELECT n_docs, n_chars, n_words, n_distinct_texts,
@@ -607,9 +630,18 @@ object LlmOps {
           AS dup_ppm,
         n_langs, n_sources, top_lang,
         (top_docs * CAST(1000000 AS BIGINT)) // n_docs AS top_lang_ppm,
-        p50_words, p90_words,
+        round(CASE WHEN pos50 = CAST(lo50 AS DOUBLE)
+          THEN CAST(vlo50 AS DOUBLE)
+          ELSE (CAST(lo50 AS DOUBLE) + 1 - pos50) * CAST(vlo50 AS DOUBLE)
+            + (pos50 - CAST(lo50 AS DOUBLE)) * CAST(vhi50 AS DOUBLE) END, 4)
+          AS p50_words,
+        round(CASE WHEN pos90 = CAST(lo90 AS DOUBLE)
+          THEN CAST(vlo90 AS DOUBLE)
+          ELSE (CAST(lo90 AS DOUBLE) + 1 - pos90) * CAST(vlo90 AS DOUBLE)
+            + (pos90 - CAST(lo90 AS DOUBLE)) * CAST(vhi90 AS DOUBLE) END, 4)
+          AS p90_words,
         (n_words * CAST(1000 AS BIGINT)) // n_docs AS mean_words_milli
-      FROM a, t"""),
+      FROM a, q, t"""),
     (s, dir) => {
       val base = Tables(s, dir).documents.select(col("doc_id"), col("lang"),
         col("source"), length(col("text")).cast("long").as("nc"),
@@ -619,20 +651,22 @@ object LlmOps {
         sum(col("nc")).as("n_chars"), sum(col("nw")).as("n_words"),
         countDistinct(col("h")).as("n_distinct_texts"),
         countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("source")).as("n_sources"),
-        expr("percentile(nw, array(0.5D, 0.9D))").as("ps"))
+        countDistinct(col("source")).as("n_sources"))
+      val q = Quantiles.interpolated(base.select("nw"), "nw",
+        Seq(0.5, 0.9), Seq("p50_raw", "p90_raw"))
       val top = base.groupBy("lang").agg(count(lit(1)).as("top_docs"))
         .orderBy(col("top_docs").desc, col("lang")).limit(1)
         .withColumnRenamed("lang", "top_lang")
-      a.crossJoin(broadcast(top)).select(col("n_docs"), col("n_chars"),
+      a.crossJoin(broadcast(top)).crossJoin(broadcast(q))
+        .select(col("n_docs"), col("n_chars"),
         col("n_words"), col("n_distinct_texts"),
         expr("((n_docs - n_distinct_texts) * CAST(1000000 AS BIGINT)) div n_docs")
           .as("dup_ppm"),
         col("n_langs"), col("n_sources"), col("top_lang"),
         expr("(top_docs * CAST(1000000 AS BIGINT)) div n_docs")
           .as("top_lang_ppm"),
-        round(col("ps").getItem(0), 4).as("p50_words"),
-        round(col("ps").getItem(1), 4).as("p90_words"),
+        round(col("p50_raw"), 4).as("p50_words"),
+        round(col("p90_raw"), 4).as("p90_words"),
         expr("(n_words * CAST(1000 AS BIGINT)) div n_docs")
           .as("mean_words_milli"))
     })
@@ -1004,10 +1038,17 @@ object LlmOps {
     * curriculum training: per-doc difficulty = integer mean token
     * rarity (the d_unigram_rarity core), phases = quartile buckets.
     * Scale shape: a global ntile would sort the whole corpus on ONE
-    * task; instead the three quartile BOUNDARIES come from one tiny
-    * percentile aggregate (the q_percentile equivalence) broadcast
-    * back, and the phase is a narrow three-comparison projection.
-    * Oracle-backed.
+    * task, and Spark's exact `percentile` merges a value→count map
+    * into one buffer that is corpus-sized when difficulties are
+    * mostly distinct (the round-5 verdict's structural finding).
+    * Instead the difficulty is coarsened to a 0.001 grid (div 1000 →
+    * ≤1e6+1 distinct cells regardless of corpus size) and the three
+    * quartile boundaries are all-integer type-1 quantiles of the grid
+    * histogram ([[Quantiles.typeOneBoundaries]]), broadcast back; the
+    * phase is a narrow three-comparison projection. Boundary wiggle
+    * within a grid cell is the documented tolerance; the oracle
+    * replays the identical grid + boundary rule, so the gate stays an
+    * exact hash match.
     */
   private val curriculumQ = GraftQuery(
     "d_curriculum",
@@ -1019,23 +1060,32 @@ object LlmOps {
       d AS (SELECT doc_id,
           CAST(SUM(w) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS difficulty
         FROM j GROUP BY doc_id),
-      b AS (SELECT quantile_cont(difficulty, 0.25) AS b1,
-          quantile_cont(difficulty, 0.5) AS b2,
-          quantile_cont(difficulty, 0.75) AS b3 FROM d)
+      g AS (SELECT doc_id, difficulty, difficulty // 1000 AS gd FROM d),
+      hc AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM (SELECT gd AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM g GROUP BY gd)),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+      b AS (SELECT
+          MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS b1,
+          MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN v END) AS b2,
+          MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS b3
+        FROM hc, n)
       SELECT doc_id, difficulty,
-        CAST(1 + CAST(difficulty > b1 AS INT) + CAST(difficulty > b2 AS INT)
-          + CAST(difficulty > b3 AS INT) AS INT) AS phase
-      FROM d, b ORDER BY doc_id"""),
+        CAST(1 + CAST(gd > b1 AS INT) + CAST(gd > b2 AS INT)
+          + CAST(gd > b3 AS INT) AS INT) AS phase
+      FROM g, b ORDER BY doc_id"""),
     (s, dir) => {
-      val d = Retrieval.rarity(Tables(s, dir).documents)
+      val g = Retrieval.rarity(Tables(s, dir).documents)
         .select(col("doc_id"), expr("rarity_sum div n_tokens").as("difficulty"))
-      val b = d.agg(expr(
-        "percentile(difficulty, array(0.25D, 0.5D, 0.75D))").as("bs"))
-      d.crossJoin(broadcast(b))
+        .withColumn("gd", expr("difficulty div 1000"))
+      val b = Quantiles.typeOneBoundaries(g, "gd",
+        Seq((1, 4), (1, 2), (3, 4)), Seq("b1", "b2", "b3"))
+      g.crossJoin(broadcast(b))
         .select(col("doc_id"), col("difficulty"),
-          (lit(1) + (col("difficulty") > col("bs").getItem(0)).cast("int")
-            + (col("difficulty") > col("bs").getItem(1)).cast("int")
-            + (col("difficulty") > col("bs").getItem(2)).cast("int"))
+          (lit(1) + (col("gd") > col("b1")).cast("int")
+            + (col("gd") > col("b2")).cast("int")
+            + (col("gd") > col("b3")).cast("int"))
             .as("phase"))
         .orderBy("doc_id")
     })
