@@ -35,7 +35,8 @@ object Bench {
     // timed run, flattering exactly the projection-heavy ops.
     def drive(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
+    val warm = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+    if (warm) {
       queries.foreach { case (_, fn) =>
         try drive(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
@@ -71,8 +72,12 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // `mode` states the measurement conditions so round-over-round
+    // deltas are attributable (cold-JIT ordering once hid ~25 s of
+    // noise in whichever queries ran first)
+    val mode = if (warm) "warmup+min2" else "cold+min2"
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","mode":"$mode","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // durable copy in the repo so a truncated stdout capture never
     // loses the artifact; the println stays the contract surface
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
