@@ -10,12 +10,12 @@ import java.util.zip.{CRC32, Deflater}
   * with real CRC32s and deflate-compressed scanlines (java.util.zip),
   * JPEG is a structurally valid baseline marker stream, WAV is a
   * complete RIFF/fmt/data layout. This is the decode step of the
-  * multimodal pipeline (SURVEY.md §2.3 #32). Round 5: decode is real
-  * at the PIXEL/SAMPLE level too — [[decodePngPixels]] inflates IDAT
-  * and reverses all five scanline filters (zlib IS the PNG codec and
-  * ships with the JVM), [[decodeWavSamples]] reads PCM straight from
-  * the data chunk. Only JPEG entropy decode still needs an external
-  * codec.
+  * multimodal pipeline (SURVEY.md §2.3 #32). Decode is real at the
+  * PIXEL/SAMPLE level for every format: [[decodePngPixels]] inflates
+  * IDAT and reverses all five scanline filters (round 5),
+  * [[decodeJpegPixels]] huffman-decodes the entropy stream and runs
+  * dequantization + inverse DCT (round 6), [[decodeWavSamples]]
+  * reads PCM straight from the data chunk (round 5).
   */
 object MediaCodecs {
 
@@ -223,12 +223,248 @@ object MediaCodecs {
   }
 
   // ------------------------------------------------------------ JPEG
+  //
+  // A real baseline-sequential JPEG codec, pure JVM (round 6, closing
+  // the last media gap -- VERDICT r5 #3): the builder runs actual
+  // level-shift -> 8x8 forward DCT -> quantization -> huffman entropy
+  // coding with the spec's interleaved-MCU scan and FF byte stuffing,
+  // and the decoder inverts every stage (huffman decode -> dequantize
+  // -> inverse DCT -> level shift). Huffman tables are the JPEG
+  // Annex K typical tables, carried in DHT segments and REBUILT from
+  // the file on decode -- nothing is assumed shared between the two
+  // sides except the standard.
 
-  /** A structurally valid baseline JPEG marker stream: SOI, JFIF APP0,
-    * a COM segment, DQT, SOF0 carrying the dimensions, SOS, entropy
-    * filler (FF-free), EOI. Every segment length is correct, so any
-    * conformant header walker (including [[parseJpeg]]) finds SOF0.
-    * `channels` is 1 (grayscale) or 3 (YCbCr).
+  /** Natural (row-major) index of the k-th coefficient in zigzag
+    * scan order (ITU-T T.81 Figure 5).
+    */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K quantization tables, natural order. */
+  private val QLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val QChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Annex K typical huffman tables: BITS (code count per length
+    * 1..16) and HUFFVAL (symbols in code order).
+    */
+  private val DcLumaBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+  private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val AcLumaBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+  private val AcLumaVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA)
+  private val AcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA)
+
+  /** Canonical huffman assignment (T.81 C.2): symbol -> (code, len),
+    * codes sequential within a length, doubled between lengths.
+    */
+  private def huffEncodeTable(bits: Array[Int], vals: Array[Int]): Array[Long] = {
+    // packed (code << 8 | len) per symbol; 0 = absent
+    val table = new Array[Long](256)
+    var code = 0; var k = 0; var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        table(vals(k)) = (code.toLong << 8) | len; code += 1; k += 1; i += 1
+      }
+      code <<= 1; len += 1
+    }
+    table
+  }
+
+  /** The deterministic test sample at (x, y, channel): a triangle
+    * wave -- continuous, low slope -- so quantization error in the
+    * round-trip stays small (a sawtooth's wrap discontinuities would
+    * put real energy in the high-frequency bins the Annex K tables
+    * quantize hardest).
+    */
+  def jpegSampleAt(x: Int, y: Int, c: Int, seed: Int): Int = {
+    val v = (x * 7 + y * 5 + c * 29 + seed * 11) & 0x1FF
+    if (v < 256) v else 511 - v
+  }
+
+  /** 8x8 forward DCT-II (T.81 A.3.3), double precision -- the builder
+    * runs per synthetic payload, not per corpus row, so the O(64^2)
+    * direct form is fine.
+    */
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += block(y * 8 + x) *
+              math.cos((2 * x + 1) * u * math.Pi / 16) *
+              math.cos((2 * y + 1) * v * math.Pi / 16)
+            x += 1
+          }
+          y += 1
+        }
+        val cu = if (u == 0) 1 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1 / math.sqrt(2.0) else 1.0
+        out(v * 8 + u) = 0.25 * cu * cv * s
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** 8x8 inverse DCT (T.81 A.3.3). */
+  private def idct(coef: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) 1 / math.sqrt(2.0) else 1.0
+            val cv = if (v == 0) 1 / math.sqrt(2.0) else 1.0
+            s += cu * cv * coef(v * 8 + u) *
+              math.cos((2 * x + 1) * u * math.Pi / 16) *
+              math.cos((2 * y + 1) * v * math.Pi / 16)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = 0.25 * s
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Quantized coefficient blocks (zigzag order) for the synthetic
+    * image, in scan order: MCUs raster-major, components interleaved
+    * within each MCU. Edge blocks replicate the last row/column
+    * (T.81's recommended completion). This is the encoder's truth the
+    * decoder spec pins BIT-EXACTLY -- huffman coding is lossless, so
+    * [[decodeJpegCoefficients]] must reproduce these without error.
+    */
+  private[graft] def jpegReferenceCoefficients(width: Int, height: Int,
+      channels: Int, seed: Int): Array[Array[Int]] =
+    jpegCoefficients(width, height, channels,
+      (x, y, c) => jpegSampleAt(x, y, c, seed))
+
+  private def jpegCoefficients(width: Int, height: Int, channels: Int,
+      sample: (Int, Int, Int) => Int): Array[Array[Int]] = {
+    val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
+    val outBlocks = Array.newBuilder[Array[Int]]
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c = 0
+        while (c < channels) {
+          val q = if (c == 0) QLuma else QChroma
+          val px = new Array[Double](64)
+          var i = 0
+          while (i < 64) {
+            val x = math.min(mx * 8 + i % 8, width - 1)
+            val y = math.min(my * 8 + i / 8, height - 1)
+            px(i) = sample(x, y, c) - 128.0
+            i += 1
+          }
+          val f = fdct(px)
+          val zz = new Array[Int](64)
+          var k = 0
+          while (k < 64) {
+            val nat = Zigzag(k)
+            zz(k) = Math.round(f(nat) / q(nat)).toInt
+            k += 1
+          }
+          outBlocks += zz
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    outBlocks.result()
+  }
+
+  /** A complete baseline-sequential JPEG with REAL entropy-coded
+    * image data: SOI, JFIF APP0, COM, DQT (luma + chroma for color),
+    * SOF0, DHT (Annex K tables), SOS, huffman-coded interleaved MCUs
+    * with FF byte stuffing, EOI. `channels` is 1 (grayscale) or 3
+    * (YCbCr at 1x1 sampling -- component samples are generated
+    * directly in the encoded color space; no RGB transform on either
+    * side).
     */
   def buildJpeg(width: Int, height: Int, channels: Int, seed: Int): Array[Byte] = {
     require(width > 0 && height > 0 && width < 65536 && height < 65536)
@@ -244,21 +480,323 @@ object MediaCodecs {
     seg(0xE0, "JFIF\u0000".getBytes("US-ASCII") ++
       Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
     seg(0xFE, s"graft synthetic $seed".getBytes("US-ASCII")) // COM
-    seg(0xDB, 0.toByte +: Array.tabulate(64)(i => ((i + 1) & 0x7F).toByte)) // DQT
+    def dqt(id: Int, q: Array[Int]): Array[Byte] =
+      id.toByte +: Array.tabulate(64)(k => q(Zigzag(k)).toByte)
+    if (channels == 1) seg(0xDB, dqt(0, QLuma))
+    else seg(0xDB, dqt(0, QLuma) ++ dqt(1, QChroma))
     val sof = Array[Byte](8, // precision
       (height >>> 8).toByte, (height & 0xFF).toByte,
       (width >>> 8).toByte, (width & 0xFF).toByte,
       channels.toByte) ++
-      (1 to channels).flatMap(c => Seq(c.toByte, 0x11.toByte, 0.toByte))
+      (1 to channels).flatMap(c => Seq(c.toByte, 0x11.toByte,
+        (if (c == 1) 0 else 1).toByte)) // component -> quant table id
     seg(0xC0, sof) // SOF0 (baseline)
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
+      ((cls << 4) | id).toByte +: (bits.map(_.toByte) ++ vals.map(_.toByte))
+    if (channels == 1)
+      seg(0xC4, dht(0, 0, DcLumaBits, DcVals) ++ dht(1, 0, AcLumaBits, AcLumaVals))
+    else
+      seg(0xC4, dht(0, 0, DcLumaBits, DcVals) ++ dht(1, 0, AcLumaBits, AcLumaVals) ++
+        dht(0, 1, DcChromaBits, DcVals) ++ dht(1, 1, AcChromaBits, AcChromaVals))
     seg(0xDA, Array[Byte](channels.toByte) ++
-      (1 to channels).flatMap(c => Seq(c.toByte, 0.toByte)) ++
-      Array[Byte](0, 63, 0)) // SOS
-    val rnd = new scala.util.Random(seed)
-    (0 until 64 + rnd.nextInt(192)).foreach(_ => out.write(rnd.nextInt(255))) // 0..254: no FF
+      (1 to channels).flatMap { c =>
+        val t = if (c == 1) 0 else 1
+        Seq(c.toByte, ((t << 4) | t).toByte) // DC/AC table ids
+      } ++ Array[Byte](0, 63, 0)) // SOS: full spectral range
+    // ---- entropy-coded scan: interleaved MCUs, FF-stuffed ----
+    val dcTabs = Array(huffEncodeTable(DcLumaBits, DcVals),
+      huffEncodeTable(DcChromaBits, DcVals))
+    val acTabs = Array(huffEncodeTable(AcLumaBits, AcLumaVals),
+      huffEncodeTable(AcChromaBits, AcChromaVals))
+    var acc = 0; var nAcc = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1); nAcc += 1
+        if (nAcc == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    def putSym(tab: Array[Long], sym: Int): Unit = {
+      val e = tab(sym)
+      require(e != 0L, s"symbol 0x" + sym.toHexString + " not in huffman table")
+      putBits((e >>> 8).toInt, (e & 0xFF).toInt)
+    }
+    // magnitude category SSSS (T.81 F.1.2.1)
+    def category(v: Int): Int = {
+      var s = 0; var a = math.abs(v)
+      while (a != 0) { a >>= 1; s += 1 }
+      s
+    }
+    val dcPred = new Array[Int](channels)
+    val blocks = jpegReferenceCoefficients(width, height, channels, seed)
+    var bi = 0
+    while (bi < blocks.length) {
+      val c = bi % channels
+      val t = if (c == 0) 0 else 1
+      val zz = blocks(bi)
+      val diff = zz(0) - dcPred(c); dcPred(c) = zz(0)
+      val s = category(diff)
+      putSym(dcTabs(t), s)
+      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      var k = 1; var run = 0
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run > 15) { putSym(acTabs(t), 0xF0); run -= 16 } // ZRL
+          val sa = category(zz(k))
+          putSym(acTabs(t), (run << 4) | sa)
+          putBits(if (zz(k) < 0) zz(k) + (1 << sa) - 1 else zz(k), sa)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putSym(acTabs(t), 0x00) // EOB
+      bi += 1
+    }
+    if (nAcc > 0) { // pad the final byte with 1s (T.81 F.1.2.3)
+      val pad = 8 - nAcc
+      putBits((1 << pad) - 1, pad)
+    }
     m(0xD9) // EOI
     out.toByteArray
   }
+
+  /** Decoded JPEG sample plane: row-major, `channels` bytes per
+    * pixel, values in the ENCODED color space (Y or YCbCr — the
+    * builder generates component samples directly, no RGB transform).
+    */
+  final case class JpegPixels(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  private final class JpegDecodeErr extends RuntimeException(null, null, false, false)
+
+  /** Huffman decode tables per T.81 F.2.2.3 (MINCODE/MAXCODE/VALPTR),
+    * rebuilt from the file's DHT BITS/HUFFVAL.
+    */
+  private final class JpegHuff(bits: Array[Int], vals: Array[Int]) {
+    private val maxcode = Array.fill(17)(-1)
+    private val mincode = new Array[Int](17)
+    private val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = k; mincode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1; l += 1
+      }
+    }
+    def decode(nextBit: () => Int): Int = {
+      var code = nextBit(); var l = 1
+      while (maxcode(l) < 0 || code > maxcode(l)) {
+        l += 1
+        if (l > 16) throw new JpegDecodeErr
+        code = (code << 1) | nextBit()
+      }
+      vals(valptr(l) + code - mincode(l))
+    }
+  }
+
+  /** Entropy-decode a baseline JPEG down to its quantized coefficient
+    * blocks (zigzag order, scan order) — the lossless layer, pinned
+    * bit-exactly against [[jpegReferenceCoefficients]] by the spec.
+    * Returns (width, height, channels, per-component quant tables in
+    * natural order, blocks). Supports the honest subset the builder
+    * emits — and only that, rather than wrong pixels: baseline SOF0,
+    * 8-bit precision, 1×1 sampling, no restart intervals.
+    */
+  private[graft] def decodeJpegCoefficients(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Array[Int]], Array[Array[Int]])] = {
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF
+        || (bytes(1) & 0xFF) != 0xD8) return None
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var w = 0; var h = 0; var nc = 0
+    var compQ: Array[Int] = null // component -> quant table id
+    var scanDc: Array[Int] = null; var scanAc: Array[Int] = null
+    var scanStart = -1
+    try {
+      var i = 2
+      while (scanStart < 0 && i + 3 < bytes.length) {
+        if ((bytes(i) & 0xFF) != 0xFF) return None
+        val marker = bytes(i + 1) & 0xFF
+        if (marker == 0xFF) { i += 1 }
+        else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
+        else if (marker == 0xD9) return None
+        else {
+          val len = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+          if (len < 2 || i + 2 + len > bytes.length) return None
+          val p0 = i + 4; val pEnd = i + 2 + len
+          marker match {
+            case 0xDB => // DQT: one or more (pq/tq, 64 zigzag bytes)
+              var p = p0
+              while (p < pEnd) {
+                val pq = (bytes(p) & 0xFF) >> 4; val tq = bytes(p) & 0x0F
+                if (pq != 0 || tq > 3 || p + 65 > pEnd) return None
+                val q = new Array[Int](64)
+                var k = 0
+                while (k < 64) { q(Zigzag(k)) = bytes(p + 1 + k) & 0xFF; k += 1 }
+                qtabs(tq) = q
+                p += 65
+              }
+            case 0xC4 => // DHT: one or more (tc/th, 16 counts, vals)
+              var p = p0
+              while (p < pEnd) {
+                val tc = (bytes(p) & 0xFF) >> 4; val th = bytes(p) & 0x0F
+                if (tc > 1 || th > 3 || p + 17 > pEnd) return None
+                val bits = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xFF)
+                val n = bits.sum
+                if (p + 17 + n > pEnd) return None
+                val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xFF)
+                val t = new JpegHuff(bits, vals)
+                if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+                p += 17 + n
+              }
+            case 0xC0 => // SOF0 baseline
+              if ((bytes(p0) & 0xFF) != 8) return None
+              h = ((bytes(p0 + 1) & 0xFF) << 8) | (bytes(p0 + 2) & 0xFF)
+              w = ((bytes(p0 + 3) & 0xFF) << 8) | (bytes(p0 + 4) & 0xFF)
+              nc = bytes(p0 + 5) & 0xFF
+              if (w == 0 || h == 0 || nc == 0 || nc > 4
+                  || p0 + 6 + 3 * nc > pEnd) return None
+              compQ = new Array[Int](nc)
+              var c = 0
+              while (c < nc) {
+                if ((bytes(p0 + 7 + 3 * c) & 0xFF) != 0x11) return None // 1×1 only
+                compQ(c) = bytes(p0 + 8 + 3 * c) & 0x0F
+                c += 1
+              }
+            case mk if mk >= 0xC1 && mk <= 0xCF && mk != 0xC4
+                && mk != 0xC8 && mk != 0xCC =>
+              return None // non-baseline frame: no pixel decode
+            case 0xDD => return None // restart intervals unsupported
+            case 0xDA => // SOS
+              if (compQ == null) return None
+              val ns = bytes(p0) & 0xFF
+              if (ns != nc || p0 + 1 + 2 * ns + 3 > pEnd) return None
+              scanDc = new Array[Int](nc); scanAc = new Array[Int](nc)
+              var c = 0
+              while (c < ns) {
+                val tt = bytes(p0 + 2 + 2 * c) & 0xFF
+                scanDc(c) = tt >> 4; scanAc(c) = tt & 0x0F
+                c += 1
+              }
+              scanStart = pEnd
+            case _ => // APPn / COM / others: skip
+          }
+          i += 2 + len
+        }
+      }
+      if (scanStart < 0) return None
+      // ---- entropy decode ----
+      var pos = scanStart
+      var acc = 0; var nBits = 0
+      def nextBit(): Int = {
+        if (nBits == 0) {
+          if (pos >= bytes.length) throw new JpegDecodeErr
+          var b = bytes(pos) & 0xFF; pos += 1
+          if (b == 0xFF) {
+            val b2 = if (pos < bytes.length) bytes(pos) & 0xFF else -1
+            if (b2 == 0x00) pos += 1 // stuffed data byte
+            else throw new JpegDecodeErr // marker mid-scan (no DRI here)
+          }
+          acc = b; nBits = 8
+        }
+        nBits -= 1
+        (acc >>> nBits) & 1
+      }
+      def receiveExtend(s: Int): Int = {
+        if (s == 0) return 0
+        var v = 0; var k = 0
+        while (k < s) { v = (v << 1) | nextBit(); k += 1 }
+        if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      }
+      val mcus = ((w + 7) / 8) * ((h + 7) / 8)
+      val blocks = new Array[Array[Int]](mcus * nc)
+      val dcPred = new Array[Int](nc)
+      var bi = 0
+      while (bi < blocks.length) {
+        val c = bi % nc
+        val dcT = dcTabs(scanDc(c)); val acT = acTabs(scanAc(c))
+        if (dcT == null || acT == null) return None
+        val zz = new Array[Int](64)
+        val s = dcT.decode(nextBit)
+        if (s > 11) throw new JpegDecodeErr
+        dcPred(c) += receiveExtend(s)
+        zz(0) = dcPred(c)
+        var k = 1
+        var open = true
+        while (open && k < 64) {
+          val rs = acT.decode(nextBit)
+          val r = rs >> 4; val sa = rs & 0x0F
+          if (sa == 0) {
+            if (r == 15) k += 16 // ZRL
+            else open = false // EOB
+          } else {
+            k += r
+            if (k > 63) throw new JpegDecodeErr
+            zz(k) = receiveExtend(sa)
+            k += 1
+          }
+        }
+        blocks(bi) = zz
+        bi += 1
+      }
+      val cq = Array.tabulate(nc) { c =>
+        val q = qtabs(compQ(c)); if (q == null) throw new JpegDecodeErr; q
+      }
+      Some((w, h, nc, cq, blocks))
+    } catch {
+      case _: JpegDecodeErr => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** FULL JPEG pixel decode, pure JVM: huffman entropy decode →
+    * dequantize → 8×8 inverse DCT → level shift, per T.81's baseline
+    * sequential process. Closes the last media-format pixel gap
+    * (PNG and WAV decode landed in round 5).
+    */
+  def decodeJpegPixels(bytes: Array[Byte]): Option[JpegPixels] =
+    decodeJpegCoefficients(bytes).map { case (w, h, nc, cq, blocks) =>
+      val px = new Array[Byte](w * h * nc)
+      val mcusX = (w + 7) / 8
+      var bi = 0
+      while (bi < blocks.length) {
+        val c = bi % nc
+        val mcu = bi / nc
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        val zz = blocks(bi); val q = cq(c)
+        val coef = new Array[Double](64)
+        var k = 0
+        while (k < 64) {
+          val nat = Zigzag(k)
+          coef(nat) = zz(k).toDouble * q(nat)
+          k += 1
+        }
+        val sp = idct(coef)
+        var i = 0
+        while (i < 64) {
+          val x = mx * 8 + i % 8; val y = my * 8 + i / 8
+          if (x < w && y < h) {
+            val v = Math.round(sp(i) + 128.0).toInt
+            px((y * w + x) * nc + c) =
+              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          i += 1
+        }
+        bi += 1
+      }
+      JpegPixels(w, h, nc, px)
+    }
 
   /** JPEG SOF parse: walk the marker segments from SOI to the first
     * SOFn (C0-C3, C5-C7, C9-CB, CD-CF — progressive SOF2 included)

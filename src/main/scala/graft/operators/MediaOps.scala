@@ -7,13 +7,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal columns (SURVEY.md §2.3 #32): image/audio/video as
   * binary columns + typed metadata, with partition-aware batched
-  * decode. The DECODE IS REAL at the container level: payloads are
-  * valid PNG / JPEG / WAV files (built byte-by-byte in
-  * [[graft.functions.MediaCodecs]]) and width/height/bit depth/
-  * channels/sample rate are parsed back from the raw bytes — no
-  * external codec library. Only pixel/sample decompression remains
-  * out of scope (no media libs in this environment); the 8-dim
-  * feature is a real byte-distribution statistic of the payload.
+  * decode. The DECODE IS REAL down to the pixel/sample level for all
+  * three formats: payloads are valid PNG / JPEG / WAV files (built
+  * byte-by-byte in [[graft.functions.MediaCodecs]]), header metadata
+  * is parsed back from the raw bytes, PNG pixels come from zlib
+  * inflate + scanline unfiltering, JPEG pixels from huffman entropy
+  * decode + dequantization + inverse DCT, and WAV samples straight
+  * from the PCM data chunk — no external codec library anywhere.
   *
   * Scale: decode runs via mapPartitions so a heavier codec would be
   * initialized once per partition (not per row) and rows stream
@@ -39,10 +39,10 @@ object MediaOps {
     StructField("bit_depth", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
-    // pixel/sample-level decode results (round 5): PNG pixels via
-    // zlib inflate + full unfiltering, WAV PCM read straight from the
-    // data chunk — null for formats whose entropy decode would need
-    // an external codec (JPEG)
+    // pixel/sample-level decode results: PNG pixels via zlib inflate
+    // + full unfiltering (round 5), JPEG via huffman + dequant + IDCT
+    // (round 6), WAV PCM read straight from the data chunk — null
+    // only when the payload is not decodable
     StructField("px_count", LongType, nullable = true),
     StructField("px_sum", LongType, nullable = true),
     StructField("px_min", IntegerType, nullable = true),
@@ -98,7 +98,17 @@ object MediaOps {
             }
             (ss.length.toLong, s, if (ss.isEmpty) 0 else mn, if (ss.isEmpty) 0 else mx)
           }
-          case _ => None // JPEG entropy decode needs a real codec
+          case Some("jpeg") => MediaCodecs.decodeJpegPixels(payload).map { p =>
+            var s = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < p.pixels.length) {
+              val v = p.pixels(i) & 0xFF
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            (p.pixels.length.toLong, s, if (p.pixels.length == 0) 0 else mn, mx)
+          }
+          case _ => None
         }
         Row(r.getLong(0), r.getString(1), payload.length,
           meta.map(_.fmt).orNull, f(_.width), f(_.height),

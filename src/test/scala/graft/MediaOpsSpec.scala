@@ -16,8 +16,10 @@ class MediaOpsSpec extends SparkSpec {
         && png.bitDepth.contains(8)
         && png.channels.contains(Map(0 -> 1, 2 -> 3, 6 -> 4)(colorType)), s"png $w x $h")
 
+      // dims capped now that buildJpeg really DCT-encodes every block
+      // (the 16-bit extremes are covered by the targeted case below)
       val nc = if (rnd.nextBoolean()) 1 else 3
-      val jw = 1 + rnd.nextInt(65535); val jh = 1 + rnd.nextInt(65535)
+      val jw = 1 + rnd.nextInt(120); val jh = 1 + rnd.nextInt(120)
       val jpg = MediaCodecs.parseJpeg(MediaCodecs.buildJpeg(jw, jh, nc, k)).get
       assert(jpg.fmt == "jpeg" && jpg.width.contains(jw) && jpg.height.contains(jh)
         && jpg.bitDepth.contains(8) && jpg.channels.contains(nc), s"jpeg $jw x $jh")
@@ -119,6 +121,84 @@ class MediaOpsSpec extends SparkSpec {
     assert(MediaCodecs.decodePngPixels(trunc).isEmpty)
   }
 
+  test("jpeg entropy decode is BIT-EXACT at the coefficient level") {
+    // huffman coding is lossless: the decoder's quantized coefficient
+    // blocks must equal the encoder's truth exactly — this pins the
+    // whole entropy layer (bit reader, FF unstuffing, canonical table
+    // reconstruction from DHT, DC prediction, run-length/EOB/ZRL)
+    val rnd = new scala.util.Random(31)
+    for (k <- 1 to 12; nc <- Seq(1, 3)) {
+      val w = 1 + rnd.nextInt(60); val h = 1 + rnd.nextInt(60)
+      val seed = rnd.nextInt(1 << 20)
+      val bytes = MediaCodecs.buildJpeg(w, h, nc, seed)
+      val (dw, dh, dnc, _, blocks) = MediaCodecs.decodeJpegCoefficients(bytes)
+        .getOrElse(fail(s"no decode w=$w h=$h nc=$nc seed=$seed"))
+      assert(dw == w && dh == h && dnc == nc)
+      val want = MediaCodecs.jpegReferenceCoefficients(w, h, nc, seed)
+      assert(blocks.length == want.length, s"block count w=$w h=$h nc=$nc")
+      blocks.indices.foreach { b =>
+        assert(java.util.Arrays.equals(blocks(b), want(b)),
+          s"block $b w=$w h=$h nc=$nc seed=$seed")
+      }
+    }
+  }
+
+  test("jpeg pixel decode reconstructs the source within quantization error") {
+    // DCT quantization is the ONLY lossy stage; on the low-slope
+    // triangle-wave source the Annex K tables keep the error small.
+    // The bounds are deterministic (fixed seeds) and generous vs the
+    // observed error — they catch wrong-stage bugs (zigzag mixups,
+    // wrong table, off-by-one in prediction), not rounding drift.
+    for (seed <- Seq(1, 7, 42); nc <- Seq(1, 3); (w, h) <- Seq((64, 48), (33, 17))) {
+      val px = MediaCodecs.decodeJpegPixels(MediaCodecs.buildJpeg(w, h, nc, seed))
+        .getOrElse(fail(s"no pixel decode w=$w h=$h nc=$nc"))
+      assert(px.width == w && px.height == h && px.channels == nc)
+      assert(px.pixels.length == w * h * nc)
+      var sumErr = 0L; var maxErr = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < nc) {
+            val got = px.pixels((y * w + x) * nc + c) & 0xFF
+            val want = MediaCodecs.jpegSampleAt(x, y, c, seed)
+            val e = math.abs(got - want)
+            sumErr += e; if (e > maxErr) maxErr = e
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sumErr.toDouble / (w * h * nc)
+      assert(mean <= 6.0, s"mean abs error $mean w=$w h=$h nc=$nc seed=$seed")
+      assert(maxErr <= 40, s"max abs error $maxErr w=$w h=$h nc=$nc seed=$seed")
+    }
+  }
+
+  test("jpeg decode handles the 16-bit dimension extremes and rejects junk") {
+    // one giant-but-thin image exercises the full 16-bit SOF fields
+    val wide = MediaCodecs.buildJpeg(65535, 1, 1, 3)
+    val meta = MediaCodecs.parseJpeg(wide).get
+    assert(meta.width.contains(65535) && meta.height.contains(1))
+    val px = MediaCodecs.decodeJpegPixels(wide).get
+    assert(px.width == 65535 && px.height == 1)
+    // truncated scan → None, not garbage or a hang
+    val jpg = MediaCodecs.buildJpeg(40, 40, 3, 5)
+    assert(MediaCodecs.decodeJpegPixels(
+      java.util.Arrays.copyOf(jpg, jpg.length * 2 / 3)).isEmpty)
+    // progressive SOF2 → honest None from the pixel decoder (the
+    // header parser still reads metadata)
+    val prog = jpg.clone()
+    // find the FFC0 marker and rewrite to FFC2
+    val sofAt = prog.indices.dropRight(1)
+      .find(i => (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(MediaCodecs.parseJpeg(prog).exists(_.fmt == "jpeg"))
+    assert(MediaCodecs.decodeJpegPixels(prog).isEmpty)
+  }
+
   test("wav sample decode recovers the exact PCM the builder wrote") {
     val rnd = new scala.util.Random(23)
     (1 to 20).foreach { _ =>
@@ -195,8 +275,11 @@ class MediaOpsSpec extends SparkSpec {
           val ss = MediaCodecs.decodeWavSamples(payload).get
           assert(optLong("px_count").contains(ss.length.toLong))
           assert(optLong("px_sum").contains(ss.map(_.toLong).sum))
-        case _ => // jpeg: entropy decode out of scope, stats null
-          assert(optLong("px_count").isEmpty)
+        case _ => // jpeg: huffman + dequant + IDCT, round 6
+          val px = MediaCodecs.decodeJpegPixels(payload).get
+          val want = px.pixels.map(_ & 0xFF)
+          assert(optLong("px_count").contains(want.length.toLong))
+          assert(optLong("px_sum").contains(want.map(_.toLong).sum))
       }
     }
   }
