@@ -218,38 +218,33 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", threshold: Double = 0.8,
       excludeIds: Option[DataFrame] = None, maxBucket: Int = 0): DataFrame = {
-    // persist: the signature feeds 16 bands × 2 join sides — without a
-    // materialization barrier Catalyst recomputes it per branch.
+    // persist: the signature feeds banding (2 candidate passes) and 2
+    // verify join sides — without a materialization barrier Catalyst
+    // recomputes it per branch. The count() EAGERLY materializes the
+    // cache: lazily-persisted frames race when AQE kicks off the
+    // consumer branches concurrently — each branch finds the cache
+    // unbuilt and computes the full signature pass itself (measured
+    // at the 256× stress: four identical 13.9 s signature stages in
+    // one query execution, tools/StageProfile r6).
     val signed = minhashSignature(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    signed.count()
     // band on ids only — the shingle arrays must NOT ride the band
     // shuffle (16× duplication of the heaviest column); they are
     // re-joined once, only for verification of the candidate pairs.
     val kept = excludeIds.foldLeft(bandedIds(signed))((b, ex) =>
       b.join(ex.select(col(ex.columns.head).as("doc_id")),
         Seq("doc_id"), "left_anti"))
-    // candidate generation by bucket AGGREGATION, not a self-join:
-    // one shuffle of the n·bands band rows collects each bucket's
-    // members, non-singleton buckets (a sliver — banding is selective
-    // by design) expand to their within-bucket pairs map-side. The
-    // former self-join shuffled the band rows TWICE and probed a
-    // 10M-row hash table against itself (measured ~5 s of the 128×
-    // wall); the cap also becomes a plain size filter — cut whole,
-    // same cut-not-split semantics, no window pass.
-    val grouped = kept.groupBy("band", "bucket")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
-    val capped =
-      if (maxBucket <= 0) grouped
-      else grouped.filter(size(col("ids")) <= maxBucket)
-    val cands = capped
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "da")))
-      .select(col("da"), explode(slice(col("ids"), col("i") + lit(2),
-        greatest(size(col("ids")) - col("i") - lit(1), lit(0)))).as("db"))
-      // collect_list order is partitioning-dependent — normalize
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // group by bucket ALONE: the band id is hashed into the bucket
+    // value (bandedIds hashes lit(j) first), so dropping the band
+    // column from the keys is pair-equivalent up to 2^-64 cross-band
+    // hash collisions — which only ADD candidates the exact-jaccard
+    // verify rejects. One 8-byte key keeps the whole candidate pass
+    // on codegen'd long-key hash maps (measured at the 256× stress:
+    // 27.5 → 19.7 s for the count+semi form, and it beats both
+    // collect-all forms there — tools/MinhashProfile candgen).
+    val cands = bucketCandidatePairs(kept.select("bucket", "doc_id"),
+      Seq("bucket"), "doc_id", maxBucket)
     val sh = signed.select(col("doc_id"), col("shingles"))
     // (measured, not guessed: verifying over xxhash64'd shingle arrays
     // — 8-byte longs instead of strings in the join shuffle — timed
@@ -279,6 +274,57 @@ object Dedup {
       .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Within-bucket candidate pairs from (key..., id) rows, with the
+    * singleton buckets cut out BEFORE any per-bucket id collection.
+    *
+    * Round-4's one-pass form (groupBy(keys).agg(collect_list(id)),
+    * filter size >= 2) routed EVERY bucket through collect_list —
+    * an ObjectHashAggregate whose hash map caps at
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * in-memory groups and then falls back to SORT-BASED aggregation:
+    * with ~n·bands mostly-singleton groups the stage degenerates into
+    * a full sort of the band rows plus one array allocation per
+    * bucket, just to discard the singletons (the 256× profile put
+    * 45.5 s of the 58.4 s d_minhash_lsh wall here; VERDICT r5 #2).
+    *
+    * This form pays one extra exchange of the NARROW rows to avoid
+    * all of that: (1) a codegen'd long-count HashAggregate finds the
+    * non-singleton buckets (no object buffers, no sort fallback);
+    * (2) the rows semi-join that bucket set — the bucket set is
+    * bounded by the collision volume, a sliver of the corpus, so it
+    * is the shuffle-hash BUILD side per the r5 build-side rule;
+    * (3) only the surviving sliver reaches collect_list, and the
+    * semi join's (keys)-hash partitioning already satisfies the
+    * groupBy, so stage 3 adds NO exchange. Measured at the 256×
+    * blow-up (tools/MinhashProfile): candidate generation 45.5 →
+    * [see SURVEY §14], pair set bit-identical (the singleton buckets
+    * produce no pairs; the cap filter moves from size(ids) to the
+    * count — the same predicate on the same number).
+    *
+    * `maxBucket > 0` cuts over-cap buckets WHOLE (cut-not-split —
+    * a split keeps cross-split pairs; see the minhash/simhash cap
+    * rationale above).
+    */
+  private[graft] def bucketCandidatePairs(rows: DataFrame,
+      keys: Seq[String], idCol: String, maxBucket: Int): DataFrame = {
+    val lo = lit(2L)
+    val counts = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= lo &&
+        (if (maxBucket <= 0) lit(true) else col("__n") <= maxBucket))
+      .select(keys.map(col): _*)
+    val hot = rows.join(counts.hint("shuffle_hash"), keys, "left_semi")
+    hot.groupBy(keys.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "da")))
+      .select(col("da"), explode(slice(col("ids"), col("i") + lit(2),
+        greatest(size(col("ids")) - col("i") - lit(1), lit(0)))).as("db"))
+      // collect_list order is partitioning-dependent — normalize
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** (doc_id, band, bucket) rows from a signed frame — one row per
@@ -426,21 +472,18 @@ object Dedup {
     require(minLen >= w + k - 1,
       s"winnowing(k=$k, w=$w) only guarantees spans >= ${w + k - 1} chars")
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // deliberately NOT persisted: the fingerprint explode feeds both
+    // candidate passes, but it is ~len/w rows PER DOC (96 M rows at
+    // the 256× stress) — caching that costs more than running the
+    // winnowing rolling hash twice (measured: 96.2 s with an eager
+    // MEMORY_AND_DISK cache vs 53.6 s recomputing, StageProfile r6).
+    // The opposite call from minhashLsh's signed cache, which is one
+    // row per doc and feeds the verify joins too.
     val fps = base.select(col("doc_id"),
       explode(graft.plans.native.winnowing(col("text"), k, w)).as("fp"))
-    val grouped = fps.groupBy("fp")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
-    val capped =
-      if (maxBucket <= 0) grouped
-      else grouped.filter(size(col("ids")) <= maxBucket)
-    val cands = capped
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "da")))
-      .select(col("da"), explode(slice(col("ids"), col("i") + lit(2),
-        greatest(size(col("ids")) - col("i") - lit(1), lit(0)))).as("db"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // singleton fingerprint buckets (the vast majority) are counted
+    // out before any id collection — see bucketCandidatePairs
+    val cands = bucketCandidatePairs(fps, Seq("fp"), "doc_id", maxBucket)
     // shuffle_hash on the text re-joins: the tiny candidate shuffle
     // against the corpus-sized text side is exactly the AQE
     // corpus-broadcast shape (SURVEY §11) — hint it like minhashLsh

@@ -148,47 +148,81 @@ object DedupPipeline {
     * daily 0.1% batch costs 0.1% of a full re-dedup, not 100.1%.
     * Returns the surviving batch rows.
     */
+  /** Unspillable-build budget for one ShuffledHashJoin task: a build
+    * side whose WHOLE estimated in-memory relation stays under this
+    * is safe to hash-build even if AQE's 64 MB advisory coalescing
+    * lands it all in one task; anything bigger gets sort-merge, which
+    * spills instead of dying. heap/32 ≈ 256 MB at the 8 GB test heap,
+    * and scales with executor memory on a real cluster.
+    */
+  private def buildBudgetBytes: Long = Runtime.getRuntime.maxMemory / 32
+
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.8): DataFrame = {
-    // exact: batch text already present in the corpus. The corpus
-    // md5 SET is corpus-sized and an anti join always BUILDS its
-    // right side — neither a broadcast (the round-4 256× failure:
-    // compressed stats slip under the 64 MB threshold) nor a shuffled
-    // hash build (the round-5 256× failure: AQE coalesces the
-    // factor-scaled partitions and the per-partition hash relation —
-    // unspillable — blows the heap) survives every corpus size.
-    // Sort-merge anti does: both sides sort and spill.
+    // persist FIRST: the signed frame feeds the size gate, banding
+    // AND the verification join — without a barrier Catalyst
+    // recomputes the signatures per branch (same reuse rule as
+    // minhashLsh).
+    val corpusSigned = Dedup.minhashSignature(corpus, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // THE PRE-COUNT GATE (runtime-adaptive build side, VERDICT r5
+    // #6): the corpus md5 SET is corpus-sized and an anti join
+    // always BUILDS its right side — a broadcast dies at 256× (the
+    // round-4 failure: compressed stats slip under the 64 MB
+    // threshold) and a static shuffled hash build dies too (the
+    // round-5 failure: AQE coalesces the factor-scaled partitions
+    // and the per-partition hash relation — unspillable — blows the
+    // heap). But a static merge hint taxes the DAILY path ~1.7× at
+    // 64× for a cliff only giant corpora hit. So decide from the
+    // corpus's ACTUAL row count (one count() against the frame we
+    // persist anyway — it doubles as the cache materialization):
+    // hash-build while the whole estimated relation fits one task's
+    // budget, sort-merge beyond. ~120 B covers an UnsafeRow md5 hex
+    // string plus LongToUnsafeRowMap entry overhead (measured shape,
+    // not guessed: 1.28 M rows ≈ 150 MB relation at the 256× drive).
+    val corpusRows = corpusSigned.count()
+    def gate(df: DataFrame, estRelationBytes: Long): DataFrame =
+      if (estRelationBytes < buildBudgetBytes) df.hint("shuffle_hash")
+      else df.hint("merge")
     val corpusH = corpus.select(md5(col(textCol)).as("__h")).distinct()
     val fresh = batch
       .withColumn("__h", md5(col(textCol)))
-      .join(corpusH.hint("merge"), Seq("__h"), "left_anti")
+      .join(gate(corpusH, corpusRows * 120L), Seq("__h"), "left_anti")
       .drop("__h")
+    val batchSigned = Dedup.minhashSignature(fresh, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // near vs corpus: batch bands × corpus bands — candidates always
     // pair a batch doc with a corpus doc, verified on exact jaccard.
     // (Identical bucketing to the batch path, so a pair found by a
-    // full re-run is found here.)
-    // persist: each signed frame feeds banding AND the verification
-    // join — without a barrier Catalyst recomputes the signatures per
-    // branch (same reuse rule as minhashLsh).
-    val corpusSigned = Dedup.minhashSignature(corpus, textCol, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val batchSigned = Dedup.minhashSignature(fresh, textCol, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = Dedup.bandedIds(batchSigned)
-      .select(col("band"), col("bucket"), col("doc_id").as("b_id"))
-      .join(Dedup.bandedIds(corpusSigned)
-          .select(col("band"), col("bucket"), col("doc_id").as("c_id")),
-        Seq("band", "bucket"))
+    // full re-run is found here.) The BATCH band side is the build:
+    // bounded by the increment, not the corpus — but "increment" is
+    // relative (a backfill batch can be corpus-sized), so it passes
+    // the same gate (~60 B per (id, band, bucket) row × 16 bands)
+    // instead of trusting Catalyst's estimate — an unhinted version
+    // of this join let AQE pick BROADCAST for the 2 M-row batch band
+    // frame at 256× and died in the driver.
+    // join on bucket ALONE (band is hashed into the bucket value —
+    // same single-long-key argument as minhashLsh: a 2^-64 cross-band
+    // collision only adds a candidate the jaccard verify rejects),
+    // keeping the join on LongHashedRelation
+    val batchRows = batchSigned.count()
+    val cands = Dedup.bandedIds(corpusSigned)
+      .select(col("bucket"), col("doc_id").as("c_id"))
+      .join(gate(Dedup.bandedIds(batchSigned)
+          .select(col("bucket"), col("doc_id").as("b_id")),
+          batchRows * 16L * 50L),
+        Seq("bucket"))
       .select("b_id", "c_id")
       .dropDuplicates("b_id", "c_id")
-    // verify joins follow minhashLsh's build-side rule: the
-    // batch-sized shingle frame is a bounded hash build; the CORPUS
-    // shingle frame is not (unspillable SHJ build = the 256× OOM) —
+    // verify joins follow minhashLsh's build-side rule, with the
+    // batch shingle side through the same size gate (shingle rows
+    // are text-heavy — ~800 B each); the CORPUS shingle frame is
+    // never a hash build (unspillable SHJ build = the 256× OOM) —
     // sort-merge for that side, which spills instead of dying
     val dupOfCorpus = cands
-      .join(batchSigned.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
-        .hint("shuffle_hash"), "b_id")
+      .join(gate(batchSigned.select(col("doc_id").as("b_id"),
+        col("shingles").as("sh_b")), batchRows * 800L), "b_id")
       .join(corpusSigned.select(col("doc_id").as("c_id"), col("shingles").as("sh_c"))
         .hint("merge"), "c_id")
       .filter(graft.functions.TextFns.jaccard(col("sh_b"), col("sh_c")) >= threshold)

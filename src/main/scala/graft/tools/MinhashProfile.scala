@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
 object MinhashProfile {
   def main(args: Array[String]): Unit = {
     val Array(blowDir, sfDir) = args.take(2)
+    // optional third arg "candgen": skip straight to the candidate-
+    // generation A/B (the full sweep costs ~10 min at 256×)
+    val candgenOnly = args.length > 2 && args(2) == "candgen"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-minhash-profile")
     import graft.operators.Dedup
@@ -31,12 +34,12 @@ object MinhashProfile {
 
     // ---- cost side (64× blow-up) --------------------------------
     val big = graft.Tables(spark, blowDir).documents
-    time("signature pass only (64 perms)") {
+    if (!candgenOnly) time("signature pass only (64 perms)") {
       Dedup.minhashSignature(big, "text", "doc_id")
         .select("doc_id", "sig")
         .write.format("noop").mode("overwrite").save()
     }
-    time("banding only (sig + 16 bands)") {
+    if (!candgenOnly) time("banding only (sig + 16 bands)") {
       Dedup.bandedIds(Dedup.minhashSignature(big, "text", "doc_id"))
         .write.format("noop").mode("overwrite").save()
     }
@@ -54,7 +57,7 @@ object MinhashProfile {
           }
         }
       })
-    (1 to 2).foreach { i =>
+    if (!candgenOnly) (1 to 2).foreach { i =>
       spark.catalog.clearCache()
       stages.synchronized(stages.clear())
       time(s"full d_minhash_lsh (run $i, cold cache)") {
@@ -70,7 +73,7 @@ object MinhashProfile {
     spark.catalog.clearCache()
 
     // ---- verify-stage variants (the wall is after banding) -------
-    {
+    if (!candgenOnly) {
       val signed = Dedup.minhashSignature(big, "text", "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("  signed materialize")(signed.count())
@@ -125,35 +128,72 @@ object MinhashProfile {
           .filter(col("jaccard") >= 0.8)
           .write.format("noop").mode("overwrite").save()
       }
-      // two-stage verify (SURVEY §12 candidate): candidate pairs are
-      // first cut on signature agreement (sigs already computed;
-      // matches/64 estimates jaccard — a j=0.14 correlation pair
-      // expects ~12/64, a true j≥0.8 pair ~51/64, so a ≥32 cut keeps
-      // every true pair with astronomical margin), exact jaccard runs
-      // only on survivors. Targets the 256× replica-correlation
-      // stress where ~1M junk candidates pay full string jaccard.
-      val sg = signed.select(col("doc_id"), col("sig"))
-      time("  verify: sig-prefilter two-stage") {
-        val pre = cands.hint("shuffle_hash")
-          .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-          .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-            .hint("merge"), "doc_b")
-          .filter(graft.plans.native.longArrayMatches(col("sig_a"), col("sig_b"))
-            * lit(2) >= lit(Dedup.MinhashK))
-          .select("doc_a", "doc_b")
-        pre
-          .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-            .hint("shuffle_hash"), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-            .hint("merge"), "doc_b")
-          .withColumn("jaccard", graft.functions.TextFns.jaccard(col("sh_a"), col("sh_b")))
-          .filter(col("jaccard") >= 0.8)
-          .write.format("noop").mode("overwrite").save()
-      }
+      // (the round-5 "sig-prefilter two-stage" variant was measured
+      // here, REJECTED — 30.5 s vs 25.0 s at 256×, SURVEY §12c — and
+      // then removed: its shuffle_hash build over the million-pair
+      // candidate set OOM'd under 256× cache pressure in round 6,
+      // crashing the profile before the candgen section ran.)
       cands.unpersist(); signed.unpersist()
     }
 
+    // ---- candidate-generation variants (the 256× wall is HERE:
+    // 45.5 s of the r5 58.4 s full-query wall was the bucket
+    // aggregation; VERDICT r5 #2) --------------------------------
+    {
+      val signed = Dedup.minhashSignature(big, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      signed.count()
+      val banded = Dedup.bandedIds(signed)
+      time("candgen: collect-all (r4 form)") {
+        // the old one-pass form: EVERY bucket through collect_list —
+        // ObjectHashAggregate falls back to sort-based aggregation
+        // past its in-memory group cap, so this is a full sort of
+        // the n·bands rows plus one array per (mostly singleton)
+        // bucket
+        banded.groupBy("band", "bucket")
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(col("ids"), posexplode(col("ids")).as(Seq("i", "da")))
+          .select(col("da"), explode(slice(col("ids"), col("i") + lit(2),
+            greatest(size(col("ids")) - col("i") - lit(1), lit(0)))).as("db"))
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("candgen: count+semi prefilter (r6)") {
+        Dedup.bucketCandidatePairs(banded, Seq("band", "bucket"),
+            "doc_id", 0)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // single-key variants: band is already hashed INTO the bucket
+      // value (bandedIds hashes lit(j) first), so grouping by bucket
+      // alone is pair-equivalent up to 2^-64 cross-band collisions —
+      // which only ADD candidates that exact-jaccard verification
+      // rejects. One 8-byte key keeps the aggregation in codegen'd
+      // long-key hash maps and the semi join on LongHashedRelation.
+      time("candgen: collect-all, bucket key only") {
+        banded.select("bucket", "doc_id").groupBy("bucket")
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(col("ids"), posexplode(col("ids")).as(Seq("i", "da")))
+          .select(col("da"), explode(slice(col("ids"), col("i") + lit(2),
+            greatest(size(col("ids")) - col("i") - lit(1), lit(0)))).as("db"))
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("candgen: count+semi, bucket key only") {
+        Dedup.bucketCandidatePairs(banded.select("bucket", "doc_id"),
+            Seq("bucket"), "doc_id", 0)
+          .write.format("noop").mode("overwrite").save()
+      }
+      signed.unpersist()
+    }
+
     // ---- recall side (sf0.01, vs TRUE pair set) ------------------
+    if (candgenOnly) { spark.stop(); return }
     val docs = graft.Tables(spark, sfDir).documents
     val signed = Dedup.minhashSignature(docs, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -16,6 +16,11 @@ object StageProfile {
     val queries = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-stage-profile")
+    // match ScaleCheck's data-scaled partitioning when profiling its
+    // blow-up dirs (factor/4 — e.g. 64 at 256×): per-partition volume
+    // is load-bearing for the spill-safety comparisons
+    sys.env.get("SPARK_GRAFT_PARTITIONS")
+      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
 
     val stages = new scala.collection.mutable.ArrayBuffer[(Int, String, Double, Int)]()
     spark.sparkContext.addSparkListener(
