@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Drive the headline dedup ops under `local-cluster` — real RPC
+  * shuffle, separate executor JVMs, real executor LOSS — the one
+  * scale dimension `local[N]` cannot exercise (VERDICT r5 #5).
+  *
+  * Three checks per run:
+  *   1. d_dedup_corpus / d_minhash_lsh / d_incr_dedup complete under
+  *      local-cluster[2,4,…] with a RELIABLE checkpoint dir set
+  *      (DedupPipeline.barrier switches from localCheckpoint to
+  *      checkpoint() when one is configured).
+  *   2. An executor JVM is KILLED mid-CC-loop (a planted task calls
+  *      System.exit on whichever executor runs it — genuine process
+  *      death, not a scheduler API call); the standalone worker
+  *      relaunches, lost tasks re-run, and the job must complete.
+  *   3. The kill-run component labels hash-match the clean run —
+  *      executor loss must not change a single label.
+  *
+  * Usage: ClusterCheck <blowUpDir>   (needs SPARK_HOME for the
+  * standalone worker launcher; executor JVMs get this driver's
+  * classpath + the JDK17 add-opens).
+  */
+object ClusterCheck {
+
+  private val AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ClusterCheck <blowUpDir>")
+    val dir = args(0)
+    val spark = graft.GraftSession.tune(SparkSession.builder()
+        .master("local-cluster[2,4,3072]")
+        .appName("graft-cluster-check")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", AddOpens)
+        .config("spark.ui.enabled", "false")
+        // one executor dying must not fail the app
+        .config("spark.task.maxFailures", "8")
+        .config("spark.stage.maxConsecutiveAttempts", "8"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    println(s"[cluster] master=${spark.sparkContext.master} checkpointDir=$ckpt")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[cluster] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      Console.flush()
+      r
+    }
+
+    /** Order-independent checksum of a frame: count + XOR of row
+      * hashes — collect-free, comparable across runs (xor, not sum:
+      * a long sum overflows under ANSI mode).
+      */
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // ---- 1: plain completion under real RPC shuffle ------------
+    val t = graft.Tables(spark, dir)
+    val cleanLabels = time("d_dedup_corpus (clean run)") {
+      checksum(graft.operators.DedupPipeline.componentsOf(t.documents))
+    }
+    println(s"[cluster] clean labels checksum: $cleanLabels")
+    time("d_minhash_lsh") {
+      graft.SparkEntry.queries("d_minhash_lsh")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("d_incr_dedup") {
+      graft.SparkEntry.queries("d_incr_dedup")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // ---- 2+3: kill an executor mid-CC-loop, labels must match --
+    val killer = new Thread(() => {
+      try {
+        Thread.sleep(8000) // let the CC loop get going
+        println("[cluster] killing one executor JVM NOW")
+        Console.flush()
+        // a one-task job that exits whichever executor runs it —
+        // REAL process death. Only attempt 0 exits: Spark re-runs
+        // the lost task on the surviving executor, and an
+        // unconditional exit would cascade through every executor
+        // (measured: both died, then the app)
+        try {
+          spark.sparkContext.parallelize(Seq(1), 1).foreach { _ =>
+            val tc = org.apache.spark.TaskContext.get()
+            if (tc == null || tc.attemptNumber() == 0) System.exit(137)
+          }
+        } catch { case _: Throwable => () } // the job itself may die
+      } catch { case _: InterruptedException => () }
+    }, "executor-killer")
+    killer.setDaemon(true)
+    killer.start()
+    val killLabels = time("d_dedup_corpus (executor killed mid-run)") {
+      checksum(graft.operators.DedupPipeline.componentsOf(t.documents))
+    }
+    killer.interrupt()
+    println(s"[cluster] kill-run labels checksum: $killLabels")
+    val ok = cleanLabels == killLabels
+    println(s"[cluster] labels identical across executor loss: $ok")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
