@@ -484,14 +484,19 @@ object Dedup {
     // singleton fingerprint buckets (the vast majority) are counted
     // out before any id collection — see bucketCandidatePairs
     val cands = bucketCandidatePairs(fps, Seq("fp"), "doc_id", maxBucket)
-    // shuffle_hash on the text re-joins: the tiny candidate shuffle
-    // against the corpus-sized text side is exactly the AQE
-    // corpus-broadcast shape (SURVEY §11) — hint it like minhashLsh
-    cands
-      .join(base.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-        .hint("shuffle_hash"), "doc_a")
+    // verify joins mirror minhashLsh's build-side rule exactly:
+    // join 1 builds the CANDIDATE pair ids (bounded, a few bytes
+    // each) and streams the corpus text; join 2's smaller side now
+    // carries text_a, so neither side is a safe hash build at every
+    // scale — sort-merge spills instead of dying. (The r4 form
+    // hinted the corpus TEXT side as the hash build on both joins:
+    // the same unspillable corpus-sized-build cliff the round-5 256×
+    // failure exposed in minhash, just not yet hit here.)
+    cands.hint("shuffle_hash")
+      .join(base.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-        .hint("shuffle_hash"), "doc_b")
+        .hint("merge"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.plans.native.sharedGramCount(col("text_a"), col("text_b"),
           minLen).as("n_shared"))

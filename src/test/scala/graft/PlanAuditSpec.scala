@@ -151,6 +151,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("minhash candidates: count prefilter semi join, then spill-safe verify") {
+    val p = planOf("d_minhash_lsh")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the r6 candidate pass: non-singleton buckets found by a
+    // codegen'd count aggregate, band rows SEMI-join that set (hash
+    // build on the bounded bucket-key side), id collection only on
+    // the survivors
+    assert(finalPlan.contains("LeftSemi"), p)
+    assert(finalPlan.contains("ShuffledHashJoin"), p)
+    // verify join 2 (corpus shingle side) must stay sort-merge — an
+    // unspillable corpus-sized hash build is the 256× OOM cliff
+    assert(finalPlan.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("exact contamination joins n-grams hash-based with map-side partials") {
     val p = planOf("d_contamination_exact")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
