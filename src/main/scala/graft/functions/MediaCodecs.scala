@@ -175,8 +175,17 @@ object MediaCodecs {
         off += 12 + len.toInt
       }
     }
+    inflateUnfilter(idat.toByteArray, w, h, bpp).map(PngPixels(w, h, bpp, _))
+  }
+
+  /** Inflate one zlib scanline stream and reverse the five PNG
+    * filters — the shared decode core behind [[decodePngPixels]] and
+    * the per-frame APNG decode ([[decodeApngFrames]]).
+    */
+  private def inflateUnfilter(z: Array[Byte], w: Int, h: Int,
+      bpp: Int): Option[Array[Byte]] = {
     val inflater = new java.util.zip.Inflater()
-    inflater.setInput(idat.toByteArray)
+    inflater.setInput(z)
     val rowBytes = w * bpp
     val raw = new Array[Byte](h * (1 + rowBytes))
     try {
@@ -219,7 +228,192 @@ object MediaCodecs {
       }
       y += 1
     }
-    Some(PngPixels(w, h, bpp, px))
+    Some(px)
+  }
+
+  // ----------------------------------------------------- APNG (video)
+
+  /** The deterministic test pixel for frame `f` of an APNG — each
+    * frame is a full-size plane keyed by a frame-shifted seed.
+    */
+  def apngPixelByte(i: Int, y: Int, frame: Int, seed: Int): Byte =
+    pngPixelByte(i, y, seed + frame * 1000003)
+
+  /** A spec-valid APNG (the public "animated PNG" extension — the
+    * video-like container of the media pipeline): PNG signature,
+    * IHDR, acTL (frame count), then per frame an fcTL control chunk
+    * and the frame's own deflate stream — frame 0 as IDAT, later
+    * frames as fdAT with the running sequence number. Every frame is
+    * full-frame (no sub-rects, dispose/blend 0), filter-0 scanlines.
+    * Any PNG reader shows frame 0; an APNG reader plays all frames.
+    */
+  def buildApng(width: Int, height: Int, colorType: Int, nFrames: Int,
+      seed: Int): Array[Byte] = {
+    require(nFrames >= 1)
+    val bpp = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case other => throw new IllegalArgumentException(s"colorType $other")
+    }
+    val rowBytes = width * bpp
+    val frames = (0 until nFrames).map { f =>
+      val plane = new Array[Byte](height * rowBytes)
+      var y = 0
+      while (y < height) {
+        var i = 0
+        while (i < rowBytes) {
+          plane(y * rowBytes + i) = apngPixelByte(i, y, f, seed)
+          i += 1
+        }
+        y += 1
+      }
+      plane
+    }
+    encodeApng(width, height, bpp, frames)
+  }
+
+  /** Encode arbitrary full-frame pixel planes as an APNG — the
+    * re-encode half of a real video-frame transform (resize).
+    */
+  def encodeApng(width: Int, height: Int, channels: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty)
+    val colorType = channels match {
+      case 1 => 0
+      case 3 => 2
+      case 4 => 6
+      case other => throw new IllegalArgumentException(s"channels $other")
+    }
+    val rowBytes = width * channels
+    def deflated(plane: Array[Byte]): Array[Byte] = {
+      require(plane.length == height * rowBytes)
+      val raw = new Array[Byte](height * (1 + rowBytes))
+      var y = 0
+      while (y < height) {
+        raw(y * (1 + rowBytes)) = 0
+        System.arraycopy(plane, y * rowBytes, raw, y * (1 + rowBytes) + 1, rowBytes)
+        y += 1
+      }
+      val d = new Deflater(Deflater.BEST_SPEED)
+      d.setInput(raw); d.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    val ihdr = be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig)
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("acTL", be32(frames.length.toLong) ++ be32(0L))) // loop forever
+    var seq = 0L
+    var f = 0
+    while (f < frames.length) {
+      val fctl = be32(seq) ++ be32(width.toLong) ++ be32(height.toLong) ++
+        be32(0L) ++ be32(0L) ++ // full-frame at (0, 0)
+        Array[Byte](0, 1, 0, 25, // delay 1/25 s
+          0, 0) // dispose none, blend source
+      seq += 1
+      out.write(chunk("fcTL", fctl))
+      if (f == 0) out.write(chunk("IDAT", deflated(frames(0))))
+      else {
+        out.write(chunk("fdAT", be32(seq) ++ deflated(frames(f))))
+        seq += 1
+      }
+      f += 1
+    }
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Frame count if the bytes are an APNG (a PNG with an acTL chunk
+    * before IDAT); None for still PNGs and non-PNGs.
+    */
+  def apngFrameCount(bytes: Array[Byte]): Option[Int] = {
+    if (parsePng(bytes).isEmpty) return None
+    var off = 8
+    while (off + 8 <= bytes.length) {
+      val len = readBe32(bytes, off)
+      if (len < 0 || off + 12 + len > bytes.length) return None
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      if (typ == "acTL") {
+        val n = readBe32(bytes, off + 8)
+        return if (n >= 1 && n <= Int.MaxValue) Some(n.toInt) else None
+      }
+      if (typ == "IDAT" || typ == "IEND") return None // acTL must precede
+      off += 12 + len.toInt
+    }
+    None
+  }
+
+  /** The per-frame zlib streams of an APNG, frame order — frame 0
+    * from IDAT, later frames from their fdAT chunks (sequence bytes
+    * stripped, multi-chunk frames concatenated). This is the DEMUX
+    * step: each returned stream + the file's IHDR is a complete
+    * standalone image, which is how [[frameAsPng]] re-wraps them.
+    */
+  def apngFrameStreams(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    val n = apngFrameCount(bytes).getOrElse(return None)
+    val frames = Vector.fill(n)(new ByteArrayOutputStream())
+    var fi = -1 // frames seen so far - 1
+    var off = 8
+    var ok = true
+    while (ok && off + 8 <= bytes.length) {
+      val len = readBe32(bytes, off)
+      if (len < 0 || off + 12 + len > bytes.length) return None
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      typ match {
+        case "fcTL" => fi += 1
+        case "IDAT" =>
+          if (fi != 0) return None // builder emits fcTL before IDAT
+          frames(0).write(bytes, off + 8, len.toInt)
+        case "fdAT" =>
+          if (fi < 1 || fi >= n || len < 4) return None
+          frames(fi).write(bytes, off + 12, len.toInt - 4) // skip seq
+        case "IEND" => ok = false
+        case _ =>
+      }
+      off += 12 + len.toInt
+    }
+    if (fi != n - 1) return None
+    Some(frames.map(_.toByteArray))
+  }
+
+  /** Decoded APNG frames: each a full pixel plane. */
+  final case class ApngFrames(width: Int, height: Int, channels: Int,
+      frames: Vector[Array[Byte]])
+
+  /** FULL APNG frame decode: demux the per-frame streams, then
+    * inflate + unfilter each with the shared PNG core.
+    */
+  def decodeApngFrames(bytes: Array[Byte]): Option[ApngFrames] = {
+    val meta = parsePng(bytes).getOrElse(return None)
+    if (!meta.bitDepth.contains(8)) return None
+    val bpp = (bytes(25) & 0xFF) match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case _ => return None
+    }
+    val w = meta.width.get; val h = meta.height.get
+    val streams = apngFrameStreams(bytes).getOrElse(return None)
+    val planes = streams.map(z =>
+      inflateUnfilter(z, w, h, bpp).getOrElse(return None))
+    Some(ApngFrames(w, h, bpp, planes))
+  }
+
+  /** Re-wrap one demuxed APNG frame stream as a standalone still PNG
+    * (the frame streams are self-contained zlib scanline streams, so
+    * sig + the source IHDR + IDAT + IEND is a complete valid file).
+    */
+  def frameAsPng(apng: Array[Byte], stream: Array[Byte]): Array[Byte] = {
+    // copy the source IHDR payload (offsets 16..29: 13 bytes)
+    val ihdr = java.util.Arrays.copyOfRange(apng, 16, 29)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", stream) ++
+      chunk("IEND", Array.emptyByteArray)
   }
 
   /** Encode an arbitrary 8-bit pixel plane as a spec-valid PNG

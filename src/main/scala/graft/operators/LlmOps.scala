@@ -167,6 +167,48 @@ object LlmOps {
         col("vec_id") % 50 === 0, k = 5)
       .orderBy("probe_id", "rank"))
 
+  /** Semi-supervised label propagation (#78, round 6): every
+    * non-seed vector takes the majority label of its k nearest seeds
+    * (ties → smaller label). The exact twin is oracle-backed — the
+    * prediction is a pure function of the embedding geometry and the
+    * deterministic tie rules, so DuckDB replays rank → vote → argmax
+    * bit-for-bit. The IVF path (seeds-only KMeans index + SQ8 codes +
+    * bounded-heap scan) is rows-only, agreement-gated against the
+    * exact twin in SimilaritySpec.
+    */
+  private val labelPropExact = GraftQuery(
+    "d_label_prop_exact",
+    Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      s AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+      p AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+      pairs AS (SELECT p.vec_id AS probe_id, s.vec_id AS seed_id,
+          s.label AS seed_label,
+          list_inner_product(p.v, s.v) / (p.nrm * s.nrm) AS cos
+        FROM p JOIN s ON p.vec_id <> s.vec_id),
+      ranked AS (SELECT probe_id, seed_id, seed_label,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY round(cos, 6) DESC, seed_id) AS rank
+        FROM pairs),
+      votes AS (SELECT probe_id, seed_label, COUNT(*) AS n_votes
+        FROM ranked WHERE rank <= 5 GROUP BY probe_id, seed_label),
+      best AS (SELECT probe_id, seed_label, n_votes,
+          ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY n_votes DESC, seed_label) AS vr FROM votes)
+      SELECT probe_id AS vec_id, seed_label AS pred_label, n_votes
+      FROM best WHERE vr = 1 ORDER BY vec_id"""),
+    (s, dir) => Similarity.labelPropagateExact(Tables(s, dir).embeddings,
+        col("vec_id") % 5 === 0, k = 5)
+      .orderBy("vec_id"))
+
+  private val labelProp = GraftQuery(
+    "d_label_prop",
+    None, // seeds-only KMeans cells + SQ8 codes: engine-specific; agreement spec-gated
+    (s, dir) => Similarity.labelPropagate(Tables(s, dir).embeddings,
+        col("vec_id") % 5 === 0, k = 5)
+      .orderBy("vec_id"))
+
   private val langIdQ = GraftQuery(
     "d_langid",
     Some {
@@ -1437,6 +1479,24 @@ object LlmOps {
         col("sample_rate"))
       .orderBy("media_id"))
 
+  /** Video-frame sampling surface (#79, round 6): real APNG demux —
+    * every video-like payload explodes to `nFrames` evenly spaced
+    * animation frames re-wrapped as standalone stills; non-animated
+    * payloads keep the deterministic chunk stand-in. Rows-only
+    * (binary payloads); the demux itself is pinned frame-for-frame
+    * against the builder formula in MediaOpsSpec.
+    */
+  private val mediaFrames = GraftQuery(
+    "d_media_frames",
+    None,
+    (s, _) => MediaOps.sampleFrames(
+        MediaOps.syntheticMedia(s, 200).repartition(8), nFrames = 4)
+      .select(col("media_id"), col("mime"), col("frame_idx"),
+        length(col("frame")).as("n_bytes"),
+        (substring(col("frame"), 2, 3) === lit("PNG".getBytes("US-ASCII")))
+          .as("is_png"))
+      .orderBy("media_id", "frame_idx"))
+
   /** Cluster-level curation report (Similarity.clusterTopics): the
     * corpus partitioned in embedding space, each cluster sized and
     * described by its top lift terms. Rows-only (KMeans cells are
@@ -1456,11 +1516,12 @@ object LlmOps {
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact, knnGraphQ,
+    labelPropExact, labelProp,
     langIdQ, qualityQ, gopherQ, tokenCountQ, fingerprintQ, editDistance,
     dedupCorpus,
     dupFamilies,
     consistentSample, contamination, contaminationExact, bloomContam,
-    mediaFeatures,
+    mediaFeatures, mediaFrames,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, temperatureMixQ,
     datasetCardQ,
     piiQ, normalizeQ,

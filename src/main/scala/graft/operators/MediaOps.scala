@@ -139,6 +139,14 @@ object MediaOps {
           val payload = r.getAs[Array[Byte]]("payload")
           val resized: Option[Array[Byte]] =
             MediaCodecs.parse(payload).map(_.fmt) match {
+              case Some("png") if MediaCodecs.apngFrameCount(payload).isDefined =>
+                // video: EVERY animation frame resamples; the output
+                // is an APNG with the same frame count at target dims
+                MediaCodecs.decodeApngFrames(payload).map { a =>
+                  MediaCodecs.encodeApng(targetW, targetH, a.channels,
+                    a.frames.map(MediaCodecs.resamplePlane(_, a.width,
+                      a.height, a.channels, targetW, targetH)))
+                }
               case Some("png") => MediaCodecs.decodePngPixels(payload).map { p =>
                 MediaCodecs.encodePng(targetW, targetH, p.channels,
                   MediaCodecs.resamplePlane(p.pixels, p.width, p.height,
@@ -177,27 +185,38 @@ object MediaOps {
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("frame", BinaryType, nullable = false)))
 
-  /** Frame sampling for video-like payloads: split the payload into
-    * `nFrames` evenly spaced chunks (stub for keyframe extraction),
-    * one output row per frame. The explosion happens INSIDE
-    * mapPartitions — one decoder pass per source row emits all its
-    * frames, the shape a real video pipeline has (vs. per-(row,frame)
-    * re-decode that an explode + UDF would do).
+  /** Frame sampling (round 6: REAL for the video container): APNG
+    * payloads are demuxed — `nFrames` evenly spaced animation frames
+    * are extracted and each re-wrapped as a standalone still PNG
+    * (the per-frame zlib streams are self-contained, so extraction
+    * is a chunk-level remux, no pixel decode on the sampling path).
+    * Non-animated payloads keep the deterministic byte-chunk
+    * stand-in so the operator stays total. The explosion happens
+    * INSIDE mapPartitions — one demux pass per source row emits all
+    * its frames, the shape a real video pipeline has (vs. a
+    * per-(row, frame) re-demux that an explode + UDF would do).
     */
   def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
     media.select("media_id", "mime", "payload")
       .mapPartitions { rows =>
-        // (real demuxer/decoder initialized HERE, once per partition)
         rows.flatMap { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          // ??? <- real keyframe decode goes here
-          val chunk = math.max(1, payload.length / nFrames)
-          (0 until nFrames).iterator.map { idx =>
-            val from = math.min(idx * chunk, math.max(payload.length - 1, 0))
-            Row(r.getLong(0), r.getString(1), idx,
-              java.util.Arrays.copyOfRange(payload, from,
-                math.min(from + chunk, payload.length)))
+          MediaCodecs.apngFrameStreams(payload) match {
+            case Some(streams) =>
+              (0 until nFrames).iterator.map { idx =>
+                val fi = idx * streams.length / nFrames
+                Row(r.getLong(0), r.getString(1), idx,
+                  MediaCodecs.frameAsPng(payload, streams(fi)))
+              }
+            case None =>
+              val chunk = math.max(1, payload.length / nFrames)
+              (0 until nFrames).iterator.map { idx =>
+                val from = math.min(idx * chunk, math.max(payload.length - 1, 0))
+                Row(r.getLong(0), r.getString(1), idx,
+                  java.util.Arrays.copyOfRange(payload, from,
+                    math.min(from + chunk, payload.length)))
+              }
           }
         }
       }(enc)
@@ -214,9 +233,9 @@ object MediaOps {
     (0 until n).map { i =>
       val w = 64 + i % 32
       val h = 48 + i % 24
-      (i % 3) match {
+      (i % 4) match {
         case 0 =>
-          val colorType = Array(0, 2, 6)((i / 3) % 3)
+          val colorType = Array(0, 2, 6)((i / 4) % 3)
           // every other PNG cycles all five scanline filters, so the
           // registered query's pixel stats exercise real unfiltering
           (i.toLong, "image/png", Some(w), Some(h),
@@ -225,10 +244,14 @@ object MediaOps {
         case 1 =>
           (i.toLong, "image/jpeg", Some(w), Some(h),
             MediaCodecs.buildJpeg(w, h, if (i % 2 == 0) 1 else 3, seed = i))
-        case _ =>
+        case 2 =>
           (i.toLong, "audio/wav", None, None,
             MediaCodecs.buildWav(8000 + 100 * (i % 5), 1 + i % 2,
               nSamples = 64 + i % 128, seed = i))
+        case _ => // video-like: animated PNG, 3-6 full frames
+          (i.toLong, "video/apng", Some(w), Some(h),
+            MediaCodecs.buildApng(w, h, Array(0, 2, 6)((i / 4) % 3),
+              nFrames = 3 + i % 4, seed = i))
       }
     }.toDF("media_id", "mime", "width", "height", "payload")
   }

@@ -177,15 +177,38 @@ object Similarity {
     assigned.count()
     base.unpersist()
 
+    val probes = assigned.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
+        col("nrm").as("nrm_p"))
+    val out = ivfScan(assigned, probes, model, k, nProbe)
+      // materialize the probes×k result eagerly so the corpus-sized
+      // assignment cache can be RELEASED before returning — repeated
+      // ANN calls in a long-lived driver would otherwise each pin a
+      // cached corpus (the bm25 unpersist rationale). The pinned
+      // result is probes×k rows — probe-sized, not corpus-sized.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    assigned.unpersist()
+    out
+  }
+
+  /** The IVF-SQ candidate scan + exact re-rank behind [[ivfTopK]] and
+    * [[labelPropagate]]: `assigned` is the searchable corpus
+    * ((vec_id, embedding, nrm, cell) + any carry columns, already
+    * cell-assigned and persisted by the caller), `probes` is
+    * (probe_id, emb_p, nrm_p) — NOT required to be a subset of the
+    * corpus. Returns (probe_id, rank, neighbor_id, cos_r), lazily.
+    */
+  private def ivfScan(assigned: DataFrame, probes: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel, k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = assigned.sparkSession
     // probe → its nProbe nearest cells, by exact distance to the
     // (broadcast) centroid table
     val centroids = spark.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray.map(_.toFloat)) }.toSeq)
       .toDF("cell", "centroid")
-    val probes = assigned.filter(probeFilter)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
-        col("nrm").as("nrm_p"))
     val probeCells = probes.crossJoin(broadcast(centroids))
       .withColumn("dist2",
         graft.functions.VectorFns.dot(col("emb_p"), col("emb_p"))
@@ -247,20 +270,98 @@ object Similarity {
           / (col("nrm_p") * col("nrm")))
     val w = Window.partitionBy("probe_id")
       .orderBy(gridKey(col("cos")).desc, col("vec_id"))
-    val out = cands.withColumn("rank", row_number().over(w))
+    cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 4).as("cos_r"))
-      // materialize the probes×k result eagerly so the corpus-sized
-      // assignment cache can be RELEASED before returning — repeated
-      // ANN calls in a long-lived driver would otherwise each pin a
-      // cached corpus (the bm25 unpersist rationale). The pinned
-      // result is probes×k rows — probe-sized, not corpus-sized.
+  }
+
+  // ------------------------------------------- label propagation
+
+  /** Semi-supervised label propagation (the training-data op behind
+    * seed-based auto-labeling: expand a small hand-labeled /
+    * high-confidence seed set over an unlabeled corpus): every
+    * non-seed vector takes the MAJORITY label of its k nearest seeds
+    * (ties → smaller label). Exact form — brute-force probe×seed
+    * ranking, oracle-backed. O(probes·seeds): the correctness twin,
+    * not the scale path; see [[labelPropagate]].
+    */
+  def labelPropagateExact(emb: DataFrame, seedFilter: Column,
+      k: Int = 5): DataFrame = {
+    val base = emb.select(col("vec_id"), col("label"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    val seeds = base.filter(seedFilter)
+      .select(col("vec_id").as("seed_id"), col("label").as("seed_label"),
+        col("embedding").as("emb_s"), col("nrm").as("nrm_s"))
+    val probes = base.filter(!seedFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
+        col("nrm").as("nrm_p"))
+    // seeds broadcast: the seed set is the small side by the op's
+    // premise (hand-labeled ≪ corpus); probes stream
+    val ranked = probes.join(broadcast(seeds), col("probe_id") =!= col("seed_id"))
+      .withColumn("cos",
+        VectorFns.dot(col("emb_p"), col("emb_s")) / (col("nrm_p") * col("nrm_s")))
+      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(round(col("cos"), 6).desc, col("seed_id"))))
+      .filter(col("rank") <= k)
+    majorityVote(ranked.select(col("probe_id"), col("seed_label")))
+  }
+
+  /** The IVF-SQ scale path for label propagation: KMeans cells are
+    * fit on the SEED set (the searchable corpus here — neighbors must
+    * be seeds, so only seeds are indexed), probes scan nProbe cells
+    * of int8 seed codes through the bounded-heap top-k, survivors
+    * re-rank exactly, and the k nearest seeds vote. Rows-only
+    * (KMeans + SQ8 are engine-specific); spec-gated on agreement with
+    * [[labelPropagateExact]].
+    */
+  def labelPropagate(emb: DataFrame, seedFilter: Column, k: Int = 5,
+      nCells: Int = 0, nProbe: Int = 4, trainSample: Int = 2000): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col("vec_id"), col("label"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    val seedBase = base.filter(seedFilter)
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sizing count doubles as the cache materialization (ivfTopK rule)
+    val cells = autoCells(seedBase.count(), nCells)
+    val model = fitKMeans(seedBase, cells, trainSample, initMode = "random")
+    val assignedSeeds = model.transform(seedBase)
+      .withColumnRenamed("prediction", "cell")
+      .drop("features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assignedSeeds.count()
+    seedBase.unpersist()
+    val probes = base.filter(!seedFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
+        col("nrm").as("nrm_p"))
+    val nn = ivfScan(assignedSeeds, probes, model, k, nProbe)
+    // k nearest seeds vote; seed labels re-join on neighbor id
+    // (seed-count rows — the broadcastable side of this join)
+    val out = majorityVote(nn
+        .join(broadcast(assignedSeeds.select(col("vec_id").as("neighbor_id"),
+          col("label").as("seed_label"))), "neighbor_id")
+        .select(col("probe_id"), col("seed_label")))
+      // probe-sized result pinned so the seed cache can release now
+      // (the ivfTopK unpersist rationale)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    assigned.unpersist()
+    assignedSeeds.unpersist()
     out
   }
+
+  /** (probe_id, seed_label) votes → (vec_id, pred_label, n_votes):
+    * the label with the most votes, ties to the SMALLER label so the
+    * result is a pure function of the vote multiset.
+    */
+  private def majorityVote(votes: DataFrame): DataFrame =
+    votes.groupBy("probe_id", "seed_label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("__vr", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("n_votes").desc, col("seed_label"))))
+      .filter(col("__vr") === 1)
+      .select(col("probe_id").as("vec_id"), col("seed_label").as("pred_label"),
+        col("n_votes"))
 
   /** Hyperplane signature whose planes are offset per table (plane
     * index j + tbl·bits), so tables are independent.

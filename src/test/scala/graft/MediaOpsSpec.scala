@@ -275,11 +275,16 @@ class MediaOpsSpec extends SparkSpec {
           val ss = MediaCodecs.decodeWavSamples(payload).get
           assert(optLong("px_count").contains(ss.length.toLong))
           assert(optLong("px_sum").contains(ss.map(_.toLong).sum))
-        case _ => // jpeg: huffman + dequant + IDCT, round 6
+        case "image/jpeg" => // huffman + dequant + IDCT, round 6
           val px = MediaCodecs.decodeJpegPixels(payload).get
           val want = px.pixels.map(_ & 0xFF)
           assert(optLong("px_count").contains(want.length.toLong))
           assert(optLong("px_sum").contains(want.map(_.toLong).sum))
+        case _ => // video/apng: stats come from frame 0 (the IDAT)
+          val px = MediaCodecs.decodePngPixels(payload).get
+          val f0 = MediaCodecs.decodeApngFrames(payload).get.frames(0)
+          assert(java.util.Arrays.equals(px.pixels, f0))
+          assert(optLong("px_count").contains(px.pixels.length.toLong))
       }
     }
   }
@@ -315,7 +320,68 @@ class MediaOpsSpec extends SparkSpec {
             .map(i => math.abs((op.pixels(i) & 0xFF) - (want(i) & 0xFF))).sum
             .toDouble / op.pixels.length
           assert(meanErr <= 8.0, s"jpeg resize mean err $meanErr")
+        case "video/apng" =>
+          // APNG re-encode is lossless: every resampled frame must
+          // equal a local resample of the decoded source frame
+          val oa = MediaCodecs.decodeApngFrames(payload).get
+          assert(oa.width == 32 && oa.height == 24)
+          val sa = MediaCodecs.decodeApngFrames(orig).get
+          assert(oa.frames.length == sa.frames.length, "frame count kept")
+          oa.frames.indices.foreach { f =>
+            val want = MediaCodecs.resamplePlane(sa.frames(f), sa.width,
+              sa.height, sa.channels, 32, 24)
+            assert(java.util.Arrays.equals(oa.frames(f), want), s"frame $f")
+          }
         case _ => // audio keeps the payload-level stand-in
+      }
+    }
+  }
+
+  test("apng round-trips every frame and demuxes to standalone stills") {
+    for (ct <- Seq(0, 2, 6); n <- Seq(1, 4)) {
+      val w = 20; val h = 11; val seed = 77 + ct + n
+      val apng = MediaCodecs.buildApng(w, h, ct, n, seed)
+      // a still-PNG reader sees frame 0
+      assert(MediaCodecs.parsePng(apng).exists(_.width.contains(w)))
+      assert(MediaCodecs.apngFrameCount(apng).contains(n))
+      val bpp = Seq(1, -1, 3, -1, -1, -1, 4)(ct)
+      val frames = MediaCodecs.decodeApngFrames(apng).get
+      assert(frames.width == w && frames.height == h
+        && frames.channels == bpp && frames.frames.length == n)
+      for (f <- 0 until n; y <- 0 until h; i <- 0 until w * bpp)
+        assert(frames.frames(f)(y * w * bpp + i) ==
+          MediaCodecs.apngPixelByte(i, y, f, seed), s"f=$f y=$y i=$i")
+      // each demuxed stream re-wraps as a valid standalone PNG whose
+      // pixels ARE that frame
+      val streams = MediaCodecs.apngFrameStreams(apng).get
+      streams.zipWithIndex.foreach { case (st, f) =>
+        val still = MediaCodecs.frameAsPng(apng, st)
+        val px = MediaCodecs.decodePngPixels(still).get
+        assert(java.util.Arrays.equals(px.pixels, frames.frames(f)), s"still $f")
+      }
+      // a still PNG is NOT an animation
+      assert(MediaCodecs.apngFrameCount(
+        MediaCodecs.buildPng(w, h, ct, seed)).isEmpty)
+    }
+  }
+
+  test("frame sampling really demuxes apng animation frames") {
+    val media = MediaOps.syntheticMedia(spark, 8) // ids 3, 7 are apng
+    val frames = MediaOps.sampleFrames(media, 4).collect()
+    assert(frames.length == 32)
+    val byId = frames.groupBy(_.getLong(0))
+    val src = MediaOps.syntheticMedia(spark, 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    Seq(3L, 7L).foreach { id =>
+      val want = MediaCodecs.decodeApngFrames(src(id)).get
+      val got = byId(id).sortBy(_.getInt(2))
+      assert(got.length == 4)
+      got.foreach { r =>
+        val idx = r.getInt(2)
+        val fi = idx * want.frames.length / 4
+        val px = MediaCodecs.decodePngPixels(r.getAs[Array[Byte]]("frame")).get
+        assert(java.util.Arrays.equals(px.pixels, want.frames(fi)),
+          s"media $id sample $idx (frame $fi)")
       }
     }
   }

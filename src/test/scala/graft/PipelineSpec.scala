@@ -193,6 +193,33 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.3, s"ivf recall $recall")
   }
 
+  test("label propagation: ivf path agrees with the exact vote") {
+    val emb = Tables(spark, sf).embeddings
+    val seed = col("vec_id") % 5 === 0
+    val exact = Similarity.labelPropagateExact(emb, seed, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // every non-seed vector gets exactly one prediction with 1..k votes
+    val nProbes = emb.filter(col("vec_id") % 5 =!= 0).count()
+    assert(exact.size == nProbes.toInt)
+    exact.values.foreach { case (_, v) => assert(v >= 1 && v <= 5) }
+    // exhaustive IVF (nProbe = nCells, heap margin ≥ seed count at
+    // this sf): candidate set is ALL seeds, so the vote — and thus
+    // every prediction — must EQUAL the exact path's
+    val full = Similarity.labelPropagate(emb, seed, k = 5,
+        nCells = 2, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(full == exact)
+    // blocked IVF (fewer probed cells than cells): still total over
+    // the probes, and agreement stays high
+    val blocked = Similarity.labelPropagate(emb, seed, k = 5,
+        nCells = 4, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(blocked.keySet == exact.keySet)
+    val agree = blocked.count { case (id, l) => exact(id)._1 == l }
+      .toDouble / exact.size
+    assert(agree > 0.5, s"ivf/exact label agreement $agree")
+  }
+
   test("knn graph: exact at one cell, mutual-only and recall-gated when blocked") {
     val emb = Tables(spark, sf).embeddings
     // brute-force mutual kNN reference
