@@ -201,7 +201,7 @@ object Similarity {
     */
   private def ivfScan(assigned: DataFrame, probes: DataFrame,
       model: org.apache.spark.ml.clustering.KMeansModel, k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, broadcastProbes: Boolean = true): DataFrame = {
     val spark = assigned.sparkSession
     // probe → its nProbe nearest cells, by exact distance to the
     // (broadcast) centroid table
@@ -251,7 +251,17 @@ object Similarity {
     // candidate scan on a single task (measured 13.5 s of a 16 s e2e
     // at the 64× blow-up). With the hint, the scan runs across the
     // cached code partitions and the heap partials stay map-side.
-    val survivors = codes.join(broadcast(probeCells), Seq("cell"))
+    // broadcast DIRECTION follows which side is small by the op's
+    // premise: ANN probes a thin probe set against a big corpus
+    // (broadcast probes — the AQE single-task trap note above);
+    // label propagation inverts that (probes = the whole unlabeled
+    // corpus, index = the small seed set), so there the seed CODES
+    // broadcast and the probe side streams — a corpus-sized probe
+    // broadcast would pin probes x nProbe x ~100 B on the driver and
+    // every executor, unbounded at scale
+    val survivors = (if (broadcastProbes)
+        codes.join(broadcast(probeCells), Seq("cell"))
+      else probeCells.join(broadcast(codes), Seq("cell")))
       .filter(col("probe_id") =!= col("vec_id"))
       .withColumn("qcos",
         col("qs_p") * col("qs")
@@ -324,7 +334,17 @@ object Similarity {
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sizing count doubles as the cache materialization (ivfTopK rule)
-    val cells = autoCells(seedBase.count(), nCells)
+    // 128-vector cells, not ivfTopK's 500 (the knnGraph sizing): the
+    // probe side here is the whole UNLABELED corpus (~4× the seeds at
+    // a 20% seed rate), so candidate volume — probes·nProbe·cellSize
+    // rows through the scan — dominates end-to-end, and the scan is
+    // probe-parallel only with the flipped broadcast (ivfScan
+    // broadcastProbes = false). Measured at the 64× blow-up (102k
+    // probes × 25.6k seeds), cumulative: 500-vector cells +
+    // probe-broadcast 74.0 s e2e → 128-vector cells 53.4 s →
+    // seed-codes broadcast 34.3 s.
+    val cells = autoCells(seedBase.count(), nCells,
+      targetCellSize = 128, maxCells = 2048)
     val model = fitKMeans(seedBase, cells, trainSample, initMode = "random")
     val assignedSeeds = model.transform(seedBase)
       .withColumnRenamed("prediction", "cell")
@@ -335,7 +355,8 @@ object Similarity {
     val probes = base.filter(!seedFilter)
       .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
         col("nrm").as("nrm_p"))
-    val nn = ivfScan(assignedSeeds, probes, model, k, nProbe)
+    val nn = ivfScan(assignedSeeds, probes, model, k, nProbe,
+      broadcastProbes = false)
     // k nearest seeds vote; seed labels re-join on neighbor id
     // (seed-count rows — the broadcastable side of this join)
     val out = majorityVote(nn
