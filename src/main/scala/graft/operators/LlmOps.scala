@@ -1118,9 +1118,19 @@ object LlmOps {
           + CAST(gd > b3 AS INT) AS INT) AS phase
       FROM g, b ORDER BY doc_id"""),
     (s, dir) => {
+      // persist + eager count: the difficulty frame feeds THREE
+      // consumers (the grid histogram, the corpus count inside
+      // typeOneBoundaries, and the final phase projection) — without
+      // the materialized cache each re-runs the rarity pipeline's
+      // token explode + vocab join (measured at the 256× blow-up:
+      // 52.3 → 39.8 s, and the 22 s single-task histogram-merge
+      // stage left the profile; one narrow row per doc, the
+      // cache-one-row-per-doc rule)
       val g = Retrieval.rarity(Tables(s, dir).documents)
         .select(col("doc_id"), expr("rarity_sum div n_tokens").as("difficulty"))
         .withColumn("gd", expr("difficulty div 1000"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g.count()
       val b = Quantiles.typeOneBoundaries(g, "gd",
         Seq((1, 4), (1, 2), (3, 4)), Seq("b1", "b2", "b3"))
       g.crossJoin(broadcast(b))
