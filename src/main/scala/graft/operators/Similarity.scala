@@ -84,6 +84,15 @@ object Similarity {
     if (nCells > 0) nCells
     else math.min(maxCells.toLong, math.max(16L, n / targetCellSize)).toInt
 
+  /** The ivfTopK sizing + seeded fit, exposed for the persisted-index
+    * build ([[graft.sources.IvfIndex]]) so index-then-probe
+    * reproduces the self-contained op exactly.
+    */
+  private[graft] def cellsFor(n: Long, nCells: Int): Int = autoCells(n, nCells)
+  private[graft] def fitKMeansOn(base: DataFrame, cells: Int, trainSample: Int)
+      : org.apache.spark.ml.clustering.KMeansModel =
+    fitKMeans(base, cells, trainSample, initMode = "random")
+
   /** 1e-6-grid ranking key: floor(c·1e6 + 0.5) orders like
     * round(c, 6) away from bucket boundaries. The two are NOT
     * bit-identical at half-grid neighborhoods — c·1e6 is binary-double
