@@ -232,9 +232,17 @@ object Dedup {
     // band on ids only — the shingle arrays must NOT ride the band
     // shuffle (16× duplication of the heaviest column); they are
     // re-joined once, only for verification of the candidate pairs.
-    val kept = excludeIds.foldLeft(bandedIds(signed))((b, ex) =>
+    // persist the banded ids too: the count-prefilter candidate pass
+    // reads them TWICE (count + semi join), and uncached each pass
+    // re-runs the 16-way band explode + xxhash over the signature
+    // cache. (doc_id, bucket) longs are ~16 B/row — n·bands of them
+    // is small next to the shingle cache.
+    val kept = excludeIds.foldLeft(
+        bandedIds(signed).select("bucket", "doc_id"))((b, ex) =>
       b.join(ex.select(col(ex.columns.head).as("doc_id")),
         Seq("doc_id"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kept.count()
     // group by bucket ALONE: the band id is hashed into the bucket
     // value (bandedIds hashes lit(j) first), so dropping the band
     // column from the keys is pair-equivalent up to 2^-64 cross-band
@@ -243,8 +251,7 @@ object Dedup {
     // on codegen'd long-key hash maps (measured at the 256× stress:
     // 27.5 → 19.7 s for the count+semi form, and it beats both
     // collect-all forms there — tools/MinhashProfile candgen).
-    val cands = bucketCandidatePairs(kept.select("bucket", "doc_id"),
-      Seq("bucket"), "doc_id", maxBucket)
+    val cands = bucketCandidatePairs(kept, Seq("bucket"), "doc_id", maxBucket)
     val sh = signed.select(col("doc_id"), col("shingles"))
     // (measured, not guessed: verifying over xxhash64'd shingle arrays
     // — 8-byte longs instead of strings in the join shuffle — timed
