@@ -14,6 +14,21 @@ import graft.functions.{TextFns, VectorFns}
   */
 object Dedup {
 
+  /** Runtime-adaptive build-side hint (the r6 pre-count gate, shared
+    * by minhashLsh / substrDedup / DedupPipeline.incrementalDedup):
+    * hash-build while the side's whole estimated in-memory relation
+    * fits one unspillable-build task budget — heap/32, ~256 MB at the
+    * 8 GB test heap, scaling with executor memory — and sort-merge
+    * beyond, which spills instead of dying (the round-5 256× OOM
+    * class). Callers pass rows × a measured per-row relation
+    * estimate; the row count comes from a frame the op materializes
+    * anyway, so the gate costs no extra scan.
+    */
+  private[graft] def sizeGate(df: DataFrame, estRelationBytes: Long): DataFrame =
+    if (estRelationBytes < Runtime.getRuntime.maxMemory / 32)
+      df.hint("shuffle_hash")
+    else df.hint("merge")
+
   // ------------------------------------------------------------- exact
 
   /** Exact duplicate groups by content hash (md5 of raw text). */
@@ -228,7 +243,7 @@ object Dedup {
     // one query execution, tools/StageProfile r6).
     val signed = minhashSignature(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    signed.count()
+    val corpusRows = signed.count()
     // band on ids only — the shingle arrays must NOT ride the band
     // shuffle (16× duplication of the heaviest column); they are
     // re-joined once, only for verification of the candidate pairs.
@@ -269,15 +284,16 @@ object Dedup {
     //    corpus shingle frame streams. No broadcast (the 64× 1-task
     //    AQE trap), no unbounded build.
     //  - join 2's smaller side now carries sh_a (candidate-bounded
-    //    but heavy), so neither side is a safe hash build at every
-    //    scale → sort-merge, which spills gracefully instead of
-    //    OOMing. Sorting the corpus side is the price of surviving
-    //    any corpus:memory ratio.
+    //    but heavy), so neither side is a safe hash build at EVERY
+    //    scale → the size gate: hash while the corpus shingle
+    //    relation (~800 B/row measured at 256×) fits a task budget,
+    //    sort-merge beyond — small corpora keep the fast path, big
+    //    ones spill gracefully instead of OOMing.
     cands.hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
         "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-        .hint("merge"), "doc_b")
+      .join(sizeGate(sh.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sh_b")), corpusRows * 800L), "doc_b")
       .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -493,17 +509,19 @@ object Dedup {
     val cands = bucketCandidatePairs(fps, Seq("fp"), "doc_id", maxBucket)
     // verify joins mirror minhashLsh's build-side rule exactly:
     // join 1 builds the CANDIDATE pair ids (bounded, a few bytes
-    // each) and streams the corpus text; join 2's smaller side now
-    // carries text_a, so neither side is a safe hash build at every
-    // scale — sort-merge spills instead of dying. (The r4 form
-    // hinted the corpus TEXT side as the hash build on both joins:
-    // the same unspillable corpus-sized-build cliff the round-5 256×
-    // failure exposed in minhash, just not yet hit here.)
+    // each) and streams the corpus text; join 2 goes through the
+    // size gate on the corpus text relation (~800 B/row) — hash at
+    // small corpora, sort-merge beyond, where an unspillable
+    // corpus-sized build is the round-5 256× OOM class. (The r4 form
+    // hinted the corpus TEXT side as the hash build on BOTH joins
+    // unconditionally.) The doc count is a parquet-metadata-cheap
+    // aggregate over the id column only.
+    val corpusRows = base.select(col("doc_id")).count()
     cands.hint("shuffle_hash")
       .join(base.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
         "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-        .hint("merge"), "doc_b")
+      .join(sizeGate(base.select(col("doc_id").as("doc_b"),
+        col("text").as("text_b")), corpusRows * 800L), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.plans.native.sharedGramCount(col("text_a"), col("text_b"),
           minLen).as("n_shared"))

@@ -160,11 +160,17 @@ class PlanAuditSpec extends SparkSpec {
     // the survivors
     assert(finalPlan.contains("LeftSemi"), p)
     assert(finalPlan.contains("ShuffledHashJoin"), p)
-    // verify join 2 (corpus shingle side) must stay sort-merge — an
-    // unspillable corpus-sized hash build is the 256× OOM cliff
-    assert(finalPlan.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), p)
+    // verify join 2 runs through the SIZE GATE: hash at this spec
+    // scale (the whole corpus fits a task budget), sort-merge once
+    // the estimated relation exceeds it — an unspillable
+    // corpus-sized hash build is the 256× OOM cliff
+    val docs = Tables(spark, sf).documents
+    def hints(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.logical.toString
+    assert(hints(operators.Dedup.sizeGate(docs, 1L)).contains("shuffle_hash"))
+    assert(hints(operators.Dedup.sizeGate(docs, Long.MaxValue / 2)).contains("merge"))
   }
 
   test("exact contamination joins n-grams hash-based with map-side partials") {
