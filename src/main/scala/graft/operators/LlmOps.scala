@@ -375,6 +375,56 @@ object LlmOps {
       .select("doc_id", "component", "lang", "source")
       .orderBy("doc_id"))
 
+  /** Leakage-safe holdout split (#80, round 6): train/val/test drawn
+    * at the duplicate-FAMILY level — every doc in a connected dup
+    * component gets the same split, so a near-duplicate of a test
+    * document can never land in train (the contamination path a
+    * doc-level split like d_split leaves open; Lee et al. 2022
+    * measure the effect on eval loss). Composition of two
+    * oracle-proven pieces: d_dedup_corpus's CC labeling (recursive
+    * CTE fixpoint) keyed through d_split's md5-hex draw on the
+    * component representative — so the whole query stays an exact
+    * hash match. Scale shape: componentsOf's checkpointed
+    * min-label propagation plus one narrow projection; the draw adds
+    * NO shuffle.
+    */
+  private val leakageSplitQ = GraftQuery(
+    "d_leakage_split",
+    Some(s"""WITH RECURSIVE ws AS (SELECT doc_id, md5(text) AS h,
+        string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, h,
+        list_distinct(list_transform(
+          generate_series(1, CAST(greatest(len(w) - 2, 1) AS INT)),
+          i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS s
+        FROM ws),
+      rep AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM sh),
+      exact_edges AS (SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id),
+      reps AS (SELECT doc_id, s FROM rep WHERE doc_id = rep_id),
+      near_edges AS (SELECT x.doc_id AS a, y.doc_id AS b
+        FROM reps x JOIN reps y ON x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.s, y.s))) >= 0.8),
+      edges AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges),
+      und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      r(src, dst) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT r.src, u.b FROM r JOIN und u ON r.dst = u.a),
+      reach AS (SELECT src, MIN(dst) AS component FROM r GROUP BY src)
+      SELECT d.doc_id, rc.component,
+        CASE WHEN substr(md5(CAST(rc.component AS VARCHAR)), 1, 8)
+               < '${Sampling.hexCut(0.10)}' THEN 'val'
+             WHEN substr(md5(CAST(rc.component AS VARCHAR)), 1, 8)
+               < '${Sampling.hexCut(0.20)}' THEN 'test'
+             ELSE 'train' END AS split
+      FROM documents d JOIN reach rc ON d.doc_id = rc.src
+      ORDER BY d.doc_id"""),
+    (s, dir) => Sampling.holdoutSplit(
+        DedupPipeline.componentsOf(Tables(s, dir).documents),
+        "component", valFraction = 0.10, testFraction = 0.10)
+      .select("doc_id", "component", "split")
+      .orderBy("doc_id"))
+
   /** Duplicate-family size distribution — the dedup report an
     * operator actually reads before committing a corpus rewrite (how
     * much is duplicated, in how large families). Same edge set + CC
@@ -1529,7 +1579,7 @@ object LlmOps {
     labelPropExact, labelProp,
     langIdQ, qualityQ, gopherQ, tokenCountQ, fingerprintQ, editDistance,
     dedupCorpus,
-    dupFamilies,
+    dupFamilies, leakageSplitQ,
     consistentSample, contamination, contaminationExact, bloomContam,
     mediaFeatures, mediaFrames,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, temperatureMixQ,

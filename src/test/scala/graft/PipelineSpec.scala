@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, DedupPipeline, Similarity, SkewJoin}
+import graft.operators.{Dedup, DedupPipeline, Sampling, Similarity, SkewJoin}
 
 class PipelineSpec extends SparkSpec {
 
@@ -191,6 +191,27 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall > 0.3, s"ivf recall $recall")
+  }
+
+  test("leakage split keeps every duplicate family on one side") {
+    val docs = Tables(spark, sf).documents
+    val split = Sampling.holdoutSplit(
+        DedupPipeline.componentsOf(docs), "component", 0.10, 0.10)
+      .select(col("doc_id"), col("split"))
+    // near-dup pairs (the contamination path) must never straddle
+    val straddlers = Dedup.minhashLsh(docs)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddlers == 0, s"$straddlers near-dup pairs straddle splits")
+    // exact-dup groups too: one split per md5 class
+    val mixed = docs.join(split, "doc_id")
+      .groupBy(md5(col("text"))).agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count()
+    assert(mixed == 0, s"$mixed exact-dup groups straddle splits")
+    // and it is a real three-way split at this scale
+    val sides = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(sides == Set("train", "val", "test"), sides.toString)
   }
 
   test("label propagation: ivf path agrees with the exact vote") {
