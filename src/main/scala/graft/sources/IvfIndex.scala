@@ -70,6 +70,40 @@ object IvfIndex {
     emb.sparkSession.catalog.refreshByPath(s"$dir/centroids.parquet")
   }
 
+  /** Append a batch to an existing index WITHOUT refitting — the
+    * daily-ingest maintenance path (the ANN analog of
+    * incrementalDedup): new vectors are assigned to the EXISTING
+    * centroids (one broadcast nearest-centroid pass, batch-linear)
+    * and their coded rows land as new files inside the cell
+    * directories. Probes see them immediately. Append is associative
+    * (spec-asserted: one big append ≡ two small ones), and the
+    * centroids drift only when the caller chooses to [[build]] again
+    * — the classic refit-cadence trade every IVF deployment makes.
+    */
+  def append(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        graft.functions.VectorFns.dot(col("embedding"), col("embedding"))
+          - lit(2.0) * graft.functions.VectorFns.dot(col("embedding"), col("centroid"))
+          + graft.functions.VectorFns.dot(col("centroid"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2"), col("cell"))))
+      .filter(col("crank") === 1)
+    assigned
+      .select(col("cell"), col("vec_id"),
+        graft.plans.native.sq8Code(col("embedding")).as("code"),
+        graft.plans.native.sq8Scale(col("embedding")).as("qs"),
+        col("nrm"), col("embedding"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/codes.parquet")
+    spark.catalog.refreshByPath(s"$dir/codes.parquet")
+  }
+
   /** Top-k neighbors for a probe frame ((vec_id, embedding) or any
     * frame with those columns) against a built index.
     */

@@ -41,6 +41,40 @@ class IvfIndexSpec extends SparkSpec {
     assert(cellDirs.length == 8, cellDirs.mkString(","))
   }
 
+  test("append maintains the index without refit and is associative") {
+    val emb = Tables(spark, sf).embeddings
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val restA = emb.filter(col("vec_id") % 4 === 1)
+    val restB = emb.filter(col("vec_id") % 4 === 3)
+    val probes = emb.limit(5)
+    // one big append vs the same rows in two batches: probing must
+    // agree row for row (append touches no centroid, so assignment
+    // is a pure per-row function of the frozen build)
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(base, d1, nCells = 4)
+    IvfIndex.append(restA.union(restB), d1)
+    val one = IvfIndex.topK(spark, d1, probes, k = 4, nProbe = 4)
+      .collect().map(_.toString).sorted
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(base, d2, nCells = 4)
+    IvfIndex.append(restA, d2)
+    IvfIndex.append(restB, d2)
+    val two = IvfIndex.topK(spark, d2, probes, k = 4, nProbe = 4)
+      .collect().map(_.toString).sorted
+    assert(one.sameElements(two))
+    // appended vectors are immediately FINDABLE: an exhaustive-probe
+    // scan (nProbe = nCells) from an appended vector must return
+    // SOME appended vector among its neighbors at this density
+    val appendedIds = restA.union(restB).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val probeAppended = IvfIndex.topK(spark, d1,
+        restA.limit(3), k = 4, nProbe = 4)
+      .collect().map(_.getLong(2))
+    assert(probeAppended.nonEmpty)
+    assert(probeAppended.exists(appendedIds.contains),
+      s"no appended neighbor among ${probeAppended.mkString(",")}")
+  }
+
   test("rebuilding the index is idempotent; probes see the new build") {
     val emb = Tables(spark, sf).embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
