@@ -25,9 +25,28 @@ object Dedup {
     * anyway, so the gate costs no extra scan.
     */
   private[graft] def sizeGate(df: DataFrame, estRelationBytes: Long): DataFrame =
-    if (estRelationBytes < Runtime.getRuntime.maxMemory / 32)
-      df.hint("shuffle_hash")
+    if (estRelationBytes < buildBudgetBytes(df)) df.hint("shuffle_hash")
     else df.hint("merge")
+
+  /** One task's unspillable-build budget: heap/128 of the EXECUTOR
+    * memory — the build happens there, and on a real cluster (or
+    * local-cluster) executor heaps differ from the driver's (falls
+    * back to this JVM's heap in local[N], one process). 128, not 32:
+    * execution memory is the UNIFIED pool's leftovers under cache
+    * pressure divided across concurrent tasks, and hash-relation
+    * pages are acquired in 64 MB chunks — a heap/32 budget admitted a
+    * ~40 MB-estimated build whose page demand then failed against
+    * 31 MB free on ClusterCheck's 3 GB executors (task retried 8×,
+    * job dead). heap/128 keeps every measured local fast path
+    * (64 MB budget at the 8 GB heap ≥ the 64× md5/band builds) while
+    * small executors degrade to sort-merge, which spills.
+    */
+  private def buildBudgetBytes(df: DataFrame): Long = {
+    val execBytes = df.sparkSession.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    execBytes / 128
+  }
 
   // ------------------------------------------------------------- exact
 

@@ -148,15 +148,6 @@ object DedupPipeline {
     * daily 0.1% batch costs 0.1% of a full re-dedup, not 100.1%.
     * Returns the surviving batch rows.
     */
-  /** Unspillable-build budget for one ShuffledHashJoin task: a build
-    * side whose WHOLE estimated in-memory relation stays under this
-    * is safe to hash-build even if AQE's 64 MB advisory coalescing
-    * lands it all in one task; anything bigger gets sort-merge, which
-    * spills instead of dying. heap/32 ≈ 256 MB at the 8 GB test heap,
-    * and scales with executor memory on a real cluster.
-    */
-  private def buildBudgetBytes: Long = Runtime.getRuntime.maxMemory / 32
-
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.8): DataFrame = {
@@ -183,8 +174,7 @@ object DedupPipeline {
     // not guessed: 1.28 M rows ≈ 150 MB relation at the 256× drive).
     val corpusRows = corpusSigned.count()
     def gate(df: DataFrame, estRelationBytes: Long): DataFrame =
-      if (estRelationBytes < buildBudgetBytes) df.hint("shuffle_hash")
-      else df.hint("merge")
+      Dedup.sizeGate(df, estRelationBytes)
     val corpusH = corpus.select(md5(col(textCol)).as("__h")).distinct()
     val fresh = batch
       .withColumn("__h", md5(col(textCol)))

@@ -45,9 +45,18 @@ object ClusterCheck {
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.extraJavaOptions", AddOpens)
         .config("spark.ui.enabled", "false")
-        // one executor dying must not fail the app
-        .config("spark.task.maxFailures", "8")
-        .config("spark.stage.maxConsecutiveAttempts", "8"))
+        // one executor dying must not fail the app. maxFailures alone
+        // is not enough: retries of a task lost to a DYING executor
+        // can land back on it within milliseconds (the pool rejects
+        // them while "Shutting down") and exhaust the budget before
+        // the executor deregisters — failure-based EXCLUSION steers
+        // retries away after the first rejection
+        .config("spark.task.maxFailures", "16")
+        .config("spark.stage.maxConsecutiveAttempts", "8")
+        .config("spark.excludeOnFailure.enabled", "true")
+        .config("spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor", "1")
+        .config("spark.excludeOnFailure.stage.maxFailedTasksPerExecutor", "2")
+        .config("spark.excludeOnFailure.application.maxFailedTasksPerExecutor", "2"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
