@@ -95,6 +95,17 @@ object ClusterCheck {
       graft.SparkEntry.queries("d_incr_dedup")(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    // the broadcast-heavy embedding ops: centroids + seed codes must
+    // ship over real RPC to separate executor JVMs here, not the
+    // in-process shortcut local[N] takes
+    time("d_ann_topk") {
+      graft.SparkEntry.queries("d_ann_topk")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("d_label_prop") {
+      graft.SparkEntry.queries("d_label_prop")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // ---- 2+3: kill an executor mid-CC-loop, labels must match --
     val killer = new Thread(() => {
