@@ -687,12 +687,33 @@ object MediaCodecs {
     */
   private[graft] def jpegReferenceCoefficients(width: Int, height: Int,
       channels: Int, seed: Int): Array[Array[Int]] =
-    jpegCoefficients(width, height, channels,
+    jpegCoefficients(width, height, channels, samplingFor(channels, false),
       (x, y, c) => jpegSampleAt(x, y, c, seed))
 
+  private[graft] def jpegReferenceCoefficients420(width: Int, height: Int,
+      seed: Int): Array[Array[Int]] =
+    jpegCoefficients(width, height, 3, samplingFor(3, true),
+      (x, y, c) => jpegSampleAt(x, y, c, seed))
+
+  /** Per-component (h, v) sampling factors: 4:2:0 (luma 2×2, chroma
+    * 1×1) when subsampled color, 1×1 everywhere otherwise.
+    */
+  private def samplingFor(channels: Int, subsample: Boolean): Array[(Int, Int)] =
+    if (channels == 3 && subsample) Array((2, 2), (1, 1), (1, 1))
+    else Array.fill(channels)((1, 1))
+
+  /** Quantized coefficient blocks in SCAN order for any (h, v)
+    * sampling: per MCU, component c contributes its h×v blocks
+    * (left-to-right, top-to-bottom) over the component's OWN plane —
+    * a 1/fx × 1/fy box-mean downsample of the source when the
+    * component samples coarser than the max (T.81 A.1.1's ceil
+    * plane dims; edges clamp).
+    */
   private def jpegCoefficients(width: Int, height: Int, channels: Int,
-      sample: (Int, Int, Int) => Int): Array[Array[Int]] = {
-    val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
+      samp: Array[(Int, Int)], sample: (Int, Int, Int) => Int): Array[Array[Int]] = {
+    val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
     val outBlocks = Array.newBuilder[Array[Int]]
     var my = 0
     while (my < mcusY) {
@@ -700,24 +721,53 @@ object MediaCodecs {
       while (mx < mcusX) {
         var c = 0
         while (c < channels) {
+          val (hc, vc) = samp(c)
+          val fx = hMax / hc; val fy = vMax / vc
+          val cw = (width + fx - 1) / fx; val ch = (height + fy - 1) / fy
+          def cSample(cx0: Int, cy0: Int): Int = {
+            val cx = math.min(cx0, cw - 1); val cy = math.min(cy0, ch - 1)
+            if (fx == 1 && fy == 1)
+              sample(math.min(cx, width - 1), math.min(cy, height - 1), c)
+            else {
+              var sum = 0; var n = 0
+              var dy = 0
+              while (dy < fy) {
+                var dx = 0
+                while (dx < fx) {
+                  sum += sample(math.min(cx * fx + dx, width - 1),
+                    math.min(cy * fy + dy, height - 1), c)
+                  n += 1; dx += 1
+                }
+                dy += 1
+              }
+              (sum + n / 2) / n
+            }
+          }
           val q = if (c == 0) QLuma else QChroma
-          val px = new Array[Double](64)
-          var i = 0
-          while (i < 64) {
-            val x = math.min(mx * 8 + i % 8, width - 1)
-            val y = math.min(my * 8 + i / 8, height - 1)
-            px(i) = sample(x, y, c) - 128.0
-            i += 1
+          var by = 0
+          while (by < vc) {
+            var bx = 0
+            while (bx < hc) {
+              val ox = (mx * hc + bx) * 8; val oy = (my * vc + by) * 8
+              val px = new Array[Double](64)
+              var i = 0
+              while (i < 64) {
+                px(i) = cSample(ox + i % 8, oy + i / 8) - 128.0
+                i += 1
+              }
+              val f = fdct(px)
+              val zz = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                val nat = Zigzag(k)
+                zz(k) = Math.round(f(nat) / q(nat)).toInt
+                k += 1
+              }
+              outBlocks += zz
+              bx += 1
+            }
+            by += 1
           }
-          val f = fdct(px)
-          val zz = new Array[Int](64)
-          var k = 0
-          while (k < 64) {
-            val nat = Zigzag(k)
-            zz(k) = Math.round(f(nat) / q(nat)).toInt
-            k += 1
-          }
-          outBlocks += zz
           c += 1
         }
         mx += 1
@@ -739,15 +789,26 @@ object MediaCodecs {
     encodeJpeg(width, height, channels,
       (x, y, c) => jpegSampleAt(x, y, c, seed), s"graft synthetic $seed")
 
+  /** A 4:2:0 chroma-subsampled color JPEG of the synthetic image —
+    * the sampling layout most real-world JPEGs ship (luma 2×2 per
+    * MCU, chroma box-mean downsampled 2× each way).
+    */
+  def buildJpeg420(width: Int, height: Int, seed: Int): Array[Byte] =
+    encodeJpeg(width, height, 3,
+      (x, y, c) => jpegSampleAt(x, y, c, seed), s"graft synthetic $seed",
+      subsample = true)
+
   /** Encode an arbitrary sample plane (via the accessor) as a
     * baseline JPEG -- the generalized form behind [[buildJpeg]], and
     * what a real pixel transform ([[graft.operators.MediaOps.resize]])
-    * re-encodes through.
+    * re-encodes through. `subsample` selects 4:2:0 (color only).
     */
   def encodeJpeg(width: Int, height: Int, channels: Int,
-      sample: (Int, Int, Int) => Int, comment: String): Array[Byte] = {
+      sample: (Int, Int, Int) => Int, comment: String,
+      subsample: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width < 65536 && height < 65536)
     require(channels == 1 || channels == 3)
+    val samp = samplingFor(channels, subsample)
     val out = new ByteArrayOutputStream()
     def m(marker: Int): Unit = { out.write(0xFF); out.write(marker) }
     def seg(marker: Int, data: Array[Byte]): Unit = {
@@ -767,8 +828,11 @@ object MediaCodecs {
       (height >>> 8).toByte, (height & 0xFF).toByte,
       (width >>> 8).toByte, (width & 0xFF).toByte,
       channels.toByte) ++
-      (1 to channels).flatMap(c => Seq(c.toByte, 0x11.toByte,
-        (if (c == 1) 0 else 1).toByte)) // component -> quant table id
+      (1 to channels).flatMap { c =>
+        val (hc, vc) = samp(c - 1)
+        Seq(c.toByte, ((hc << 4) | vc).toByte,
+          (if (c == 1) 0 else 1).toByte) // component -> quant table id
+      }
     seg(0xC0, sof) // SOF0 (baseline)
     def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
       ((cls << 4) | id).toByte +: (bits.map(_.toByte) ++ vals.map(_.toByte))
@@ -812,10 +876,14 @@ object MediaCodecs {
       s
     }
     val dcPred = new Array[Int](channels)
-    val blocks = jpegCoefficients(width, height, channels, sample)
+    val blocks = jpegCoefficients(width, height, channels, samp, sample)
+    // within-MCU component of each block position (comp c repeats
+    // h_c x v_c times)
+    val mcuComp = samp.zipWithIndex
+      .flatMap { case ((hc, vc), c) => Seq.fill(hc * vc)(c) }
     var bi = 0
     while (bi < blocks.length) {
-      val c = bi % channels
+      val c = mcuComp(bi % mcuComp.length)
       val t = if (c == 0) 0 else 1
       val zz = blocks(bi)
       val diff = zz(0) - dcPred(c); dcPred(c) = zz(0)
@@ -886,19 +954,21 @@ object MediaCodecs {
   /** Entropy-decode a baseline JPEG down to its quantized coefficient
     * blocks (zigzag order, scan order) — the lossless layer, pinned
     * bit-exactly against [[jpegReferenceCoefficients]] by the spec.
-    * Returns (width, height, channels, per-component quant tables in
-    * natural order, blocks). Supports the honest subset the builder
-    * emits — and only that, rather than wrong pixels: baseline SOF0,
-    * 8-bit precision, 1×1 sampling, no restart intervals.
+    * Returns (width, height, channels, per-component sampling,
+    * per-component quant tables in natural order, blocks). Supports
+    * the honest subset — and only that, rather than wrong pixels:
+    * baseline SOF0, 8-bit precision, sampling factors 1 or 2 per
+    * axis (4:4:4, 4:2:0, 4:2:2), no restart intervals.
     */
   private[graft] def decodeJpegCoefficients(bytes: Array[Byte])
-      : Option[(Int, Int, Int, Array[Array[Int]], Array[Array[Int]])] = {
+      : Option[(Int, Int, Int, Array[(Int, Int)], Array[Array[Int]], Array[Array[Int]])] = {
     if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF
         || (bytes(1) & 0xFF) != 0xD8) return None
     val qtabs = new Array[Array[Int]](4)
     val dcTabs = new Array[JpegHuff](4)
     val acTabs = new Array[JpegHuff](4)
     var w = 0; var h = 0; var nc = 0
+    var samp: Array[(Int, Int)] = null // component -> (h, v) sampling
     var compQ: Array[Int] = null // component -> quant table id
     var scanDc: Array[Int] = null; var scanAc: Array[Int] = null
     var scanStart = -1
@@ -947,9 +1017,15 @@ object MediaCodecs {
               if (w == 0 || h == 0 || nc == 0 || nc > 4
                   || p0 + 6 + 3 * nc > pEnd) return None
               compQ = new Array[Int](nc)
+              samp = new Array[(Int, Int)](nc)
               var c = 0
               while (c < nc) {
-                if ((bytes(p0 + 7 + 3 * c) & 0xFF) != 0x11) return None // 1×1 only
+                val hv = bytes(p0 + 7 + 3 * c) & 0xFF
+                val hc = hv >> 4; val vc = hv & 0x0F
+                // the honest subset: each factor 1 or 2 (covers 4:4:4
+                // and 4:2:0/4:2:2 layouts); anything else → None
+                if (hc < 1 || hc > 2 || vc < 1 || vc > 2) return None
+                samp(c) = (hc, vc)
                 compQ(c) = bytes(p0 + 8 + 3 * c) & 0x0F
                 c += 1
               }
@@ -998,12 +1074,17 @@ object MediaCodecs {
         while (k < s) { v = (v << 1) | nextBit(); k += 1 }
         if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
       }
-      val mcus = ((w + 7) / 8) * ((h + 7) / 8)
-      val blocks = new Array[Array[Int]](mcus * nc)
+      if (samp == null) return None
+      val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+      val mcus = ((w + 8 * hMax - 1) / (8 * hMax)) *
+        ((h + 8 * vMax - 1) / (8 * vMax))
+      val mcuComp = samp.zipWithIndex
+        .flatMap { case ((hc, vc), c) => Seq.fill(hc * vc)(c) }
+      val blocks = new Array[Array[Int]](mcus * mcuComp.length)
       val dcPred = new Array[Int](nc)
       var bi = 0
       while (bi < blocks.length) {
-        val c = bi % nc
+        val c = mcuComp(bi % mcuComp.length)
         val dcT = dcTabs(scanDc(c)); val acT = acTabs(scanAc(c))
         if (dcT == null || acT == null) return None
         val zz = new Array[Int](64)
@@ -1032,7 +1113,7 @@ object MediaCodecs {
       val cq = Array.tabulate(nc) { c =>
         val q = qtabs(compQ(c)); if (q == null) throw new JpegDecodeErr; q
       }
-      Some((w, h, nc, cq, blocks))
+      Some((w, h, nc, samp, cq, blocks))
     } catch {
       case _: JpegDecodeErr => None
       case _: ArrayIndexOutOfBoundsException => None
@@ -1045,13 +1126,31 @@ object MediaCodecs {
     * (PNG and WAV decode landed in round 5).
     */
   def decodeJpegPixels(bytes: Array[Byte]): Option[JpegPixels] =
-    decodeJpegCoefficients(bytes).map { case (w, h, nc, cq, blocks) =>
-      val px = new Array[Byte](w * h * nc)
-      val mcusX = (w + 7) / 8
+    decodeJpegCoefficients(bytes).map { case (w, h, nc, samp, cq, blocks) =>
+      val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcuComp = samp.zipWithIndex
+        .flatMap { case ((hc, vc), c) => Seq.fill(hc * vc)(c) }
+      // block offset of component c within an MCU, and the within-
+      // component block index of each MCU-block position
+      val compBase = samp.scanLeft(0) { case (a, (hc, vc)) => a + hc * vc }
+      // decode each block into its COMPONENT plane (ceil-divided
+      // dims), then upsample by replication into the pixel plane
+      val planes = Array.tabulate(nc) { c =>
+        val (hc, vc) = samp(c)
+        val fx = hMax / hc; val fy = vMax / vc
+        val cw = mcusX * hc * 8 // block-grid width (≥ plane width)
+        val chh = ((h + fy - 1) / fy + 8 * vc - 1) / (8 * vc) * (8 * vc)
+        new Array[Byte](cw * chh)
+      }
       var bi = 0
       while (bi < blocks.length) {
-        val c = bi % nc
-        val mcu = bi / nc
+        val pos = bi % mcuComp.length
+        val mcu = bi / mcuComp.length
+        val c = mcuComp(pos)
+        val (hc, vc) = samp(c)
+        val bIdx = pos - compBase(c) // 0 .. hc*vc-1, raster
+        val bx = bIdx % hc; val by = bIdx / hc
         val mx = mcu % mcusX; val my = mcu / mcusX
         val zz = blocks(bi); val q = cq(c)
         val coef = new Array[Double](64)
@@ -1062,17 +1161,41 @@ object MediaCodecs {
           k += 1
         }
         val sp = idct(coef)
+        val plane = planes(c)
+        val pw = mcusX * hc * 8
+        val ox = (mx * hc + bx) * 8; val oy = (my * vc + by) * 8
         var i = 0
         while (i < 64) {
-          val x = mx * 8 + i % 8; val y = my * 8 + i / 8
-          if (x < w && y < h) {
+          val x = ox + i % 8; val y = oy + i / 8
+          if (x < pw && (y * pw + x) < plane.length) {
             val v = Math.round(sp(i) + 128.0).toInt
-            px((y * w + x) * nc + c) =
+            plane(y * pw + x) =
               (if (v < 0) 0 else if (v > 255) 255 else v).toByte
           }
           i += 1
         }
         bi += 1
+      }
+      // assemble interleaved pixels: component value at (x, y) comes
+      // from its plane at (x/fx, y/fy) — replication upsample
+      val px = new Array[Byte](w * h * nc)
+      var c = 0
+      while (c < nc) {
+        val (hc, vc) = samp(c)
+        val fx = hMax / hc; val fy = vMax / vc
+        val pw = mcusX * hc * 8
+        val plane = planes(c)
+        var y = 0
+        while (y < h) {
+          val py = y / fy
+          var x = 0
+          while (x < w) {
+            px((y * w + x) * nc + c) = plane(py * pw + x / fx)
+            x += 1
+          }
+          y += 1
+        }
+        c += 1
       }
       JpegPixels(w, h, nc, px)
     }

@@ -242,8 +242,14 @@ object MediaOps {
             MediaCodecs.buildPng(w, h, colorType, seed = i,
               filtered = i % 2 == 0))
         case 1 =>
+          // cycle gray 4:4:4 / color 4:4:4 / color 4:2:0 — the
+          // subsampled layout most real-world JPEGs ship
           (i.toLong, "image/jpeg", Some(w), Some(h),
-            MediaCodecs.buildJpeg(w, h, if (i % 2 == 0) 1 else 3, seed = i))
+            (i / 4) % 3 match {
+              case 0 => MediaCodecs.buildJpeg(w, h, 1, seed = i)
+              case 1 => MediaCodecs.buildJpeg(w, h, 3, seed = i)
+              case _ => MediaCodecs.buildJpeg420(w, h, seed = i)
+            })
         case 2 =>
           (i.toLong, "audio/wav", None, None,
             MediaCodecs.buildWav(8000 + 100 * (i % 5), 1 + i % 2,

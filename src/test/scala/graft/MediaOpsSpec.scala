@@ -131,7 +131,7 @@ class MediaOpsSpec extends SparkSpec {
       val w = 1 + rnd.nextInt(60); val h = 1 + rnd.nextInt(60)
       val seed = rnd.nextInt(1 << 20)
       val bytes = MediaCodecs.buildJpeg(w, h, nc, seed)
-      val (dw, dh, dnc, _, blocks) = MediaCodecs.decodeJpegCoefficients(bytes)
+      val (dw, dh, dnc, _, _, blocks) = MediaCodecs.decodeJpegCoefficients(bytes)
         .getOrElse(fail(s"no decode w=$w h=$h nc=$nc seed=$seed"))
       assert(dw == w && dh == h && dnc == nc)
       val want = MediaCodecs.jpegReferenceCoefficients(w, h, nc, seed)
@@ -140,6 +140,55 @@ class MediaOpsSpec extends SparkSpec {
         assert(java.util.Arrays.equals(blocks(b), want(b)),
           s"block $b w=$w h=$h nc=$nc seed=$seed")
       }
+    }
+  }
+
+  test("jpeg 4:2:0 subsampling round-trips: exact coefficients, bounded pixels") {
+    for (seed <- Seq(3, 19); (w, h) <- Seq((64, 48), (33, 17), (16, 16), (7, 5))) {
+      val bytes = MediaCodecs.buildJpeg420(w, h, seed)
+      assert(MediaCodecs.parseJpeg(bytes).exists(m =>
+        m.width.contains(w) && m.height.contains(h) && m.channels.contains(3)))
+      // entropy layer bit-exact, now over the 4-luma + 2-chroma MCU
+      // layout (block order, per-component DC prediction, chroma
+      // box-mean downsample all covered by the equality)
+      val (dw, dh, dnc, samp, _, blocks) =
+        MediaCodecs.decodeJpegCoefficients(bytes)
+          .getOrElse(fail(s"no 420 decode w=$w h=$h"))
+      assert(dw == w && dh == h && dnc == 3)
+      assert(samp.toSeq == Seq((2, 2), (1, 1), (1, 1)))
+      val want = MediaCodecs.jpegReferenceCoefficients420(w, h, seed)
+      assert(blocks.length == want.length, s"blocks w=$w h=$h")
+      blocks.indices.foreach { b =>
+        assert(java.util.Arrays.equals(blocks(b), want(b)), s"block $b w=$w h=$h")
+      }
+      // pixels: luma against the source, chroma against the local
+      // 2×2-box-mean-then-replicate model — both within DCT
+      // quantization error
+      val px = MediaCodecs.decodeJpegPixels(bytes).get
+      assert(px.width == w && px.height == h && px.channels == 3)
+      def chromaRef(x: Int, y: Int, c: Int): Int = {
+        val cx = x / 2; val cy = y / 2
+        var s = 0
+        for (dy <- 0 until 2; dx <- 0 until 2)
+          s += MediaCodecs.jpegSampleAt(math.min(cx * 2 + dx, w - 1),
+            math.min(cy * 2 + dy, h - 1), c, seed)
+        (s + 2) / 4
+      }
+      var sumY = 0L; var maxY = 0; var sumC = 0L; var maxC = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val ey = math.abs((px.pixels((y * w + x) * 3) & 0xFF)
+          - MediaCodecs.jpegSampleAt(x, y, 0, seed))
+        sumY += ey; maxY = math.max(maxY, ey)
+        for (c <- 1 to 2) {
+          val ec = math.abs((px.pixels((y * w + x) * 3 + c) & 0xFF)
+            - chromaRef(x, y, c))
+          sumC += ec; maxC = math.max(maxC, ec)
+        }
+      }
+      assert(sumY.toDouble / (w * h) <= 6.0 && maxY <= 40,
+        s"luma err mean=${sumY.toDouble / (w * h)} max=$maxY w=$w h=$h")
+      assert(sumC.toDouble / (2 * w * h) <= 8.0 && maxC <= 48,
+        s"chroma err mean=${sumC.toDouble / (2 * w * h)} max=$maxC w=$w h=$h")
     }
   }
 
