@@ -17,7 +17,7 @@ object Dedup {
   /** Runtime-adaptive build-side hint (the r6 pre-count gate, shared
     * by minhashLsh / substrDedup / DedupPipeline.incrementalDedup):
     * hash-build while the side's whole estimated in-memory relation
-    * fits one unspillable-build task budget — heap/32, ~256 MB at the
+    * fits one unspillable-build task budget — heap/128, ~64 MB at the
     * 8 GB test heap, scaling with executor memory — and sort-merge
     * beyond, which spills instead of dying (the round-5 256× OOM
     * class). Callers pass rows × a measured per-row relation
@@ -42,11 +42,30 @@ object Dedup {
     * small executors degrade to sort-merge, which spills.
     */
   private def buildBudgetBytes(df: DataFrame): Long = {
-    val execBytes = df.sparkSession.conf.getOption("spark.executor.memory")
-      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-      .getOrElse(Runtime.getRuntime.maxMemory)
+    val sc = df.sparkSession.sparkContext
+    val conf = sc.getConf
+    val execBytes =
+      if (sc.isLocal) Runtime.getRuntime.maxMemory // executors ARE this JVM
+      else LocalClusterMem.findFirstMatchIn(sc.master)
+        // local-cluster[n,c,mem] carries per-executor MB in the master
+        // string and never touches the conf
+        .map(_.group(1).toLong * 1024L * 1024L)
+        // real cluster manager: the conf (Spark's 1g executor default
+        // when unset) — NEVER the driver heap, which on a
+        // big-driver/small-executor cluster overestimates the budget
+        // and re-opens the unspillable-build OOM the gate exists for
+        .getOrElse(conf.getSizeAsBytes("spark.executor.memory", "1g"))
     execBytes / 128
   }
+
+  private val LocalClusterMem =
+    """local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]""".r
+
+  /** Measured in-memory bytes of one (id, band, bucket) banding row —
+    * the per-row estimate every band-frame size gate uses (kept as one
+    * shared constant so the estimate and its doc can't drift).
+    */
+  private[graft] val BandRowBytes = 60L
 
   // ------------------------------------------------------------- exact
 

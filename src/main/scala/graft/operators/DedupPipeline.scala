@@ -188,7 +188,8 @@ object DedupPipeline {
     // full re-run is found here.) The BATCH band side is the build:
     // bounded by the increment, not the corpus — but "increment" is
     // relative (a backfill batch can be corpus-sized), so it passes
-    // the same gate (~60 B per (id, band, bucket) row × 16 bands)
+    // the same gate (Dedup.BandRowBytes per (id, band, bucket) row ×
+    // 16 bands)
     // instead of trusting Catalyst's estimate — an unhinted version
     // of this join let AQE pick BROADCAST for the 2 M-row batch band
     // frame at 256× and died in the driver.
@@ -201,7 +202,7 @@ object DedupPipeline {
       .select(col("bucket"), col("doc_id").as("c_id"))
       .join(gate(Dedup.bandedIds(batchSigned)
           .select(col("bucket"), col("doc_id").as("b_id")),
-          batchRows * 16L * 50L),
+          batchRows * 16L * Dedup.BandRowBytes),
         Seq("bucket"))
       .select("b_id", "c_id")
       .dropDuplicates("b_id", "c_id")
