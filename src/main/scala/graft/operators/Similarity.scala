@@ -151,6 +151,103 @@ object Similarity {
     finally train.unpersist()
   }
 
+  /** Coarse level activates past this many cells: below, the probe
+    * ranks every centroid exhaustively (bit-identical to the former
+    * crossJoin + window selection); above, a second tiny quantizer
+    * over the CENTROIDS bounds ranking work. sf-scale corpora sit far
+    * below the threshold, so the oracle/spec regime is always the
+    * exhaustive path.
+    */
+  private val CoarseCells = 256
+
+  /** Driver-side Lloyd's over the cell centroids — the two-level
+    * ("coarse") quantizer every large IVF index runs: ≤maxCells
+    * points × dim floats is a driver-trivial problem (2048 × 64 =
+    * 512 KB), and doing it here keeps the result deterministic (no
+    * MLlib job scheduling, stride-seeded init over the already-seeded
+    * centroid order). Returns (row-major flat super centroids,
+    * cell → super assignment).
+    */
+  private[graft] def coarsen(cents: Array[Array[Float]], superCount: Int,
+      iters: Int = 8): (Array[Float], Array[Int]) = {
+    val n = cents.length
+    val dim = if (n == 0) 0 else cents(0).length
+    val k = math.max(1, math.min(superCount, n))
+    val sup = Array.tabulate(k)(j => cents((j.toLong * n / k).toInt).map(_.toDouble))
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var c = 0
+      while (c < n) {
+        var best = 0; var bd = Double.MaxValue
+        var s = 0
+        while (s < k) {
+          var acc = 0.0; var i = 0
+          while (i < dim) {
+            val d = cents(c)(i).toDouble - sup(s)(i); acc += d * d; i += 1
+          }
+          if (acc < bd) { bd = acc; best = s } // tie → lower super id
+          s += 1
+        }
+        assign(c) = best; c += 1
+      }
+      val sums = Array.ofDim[Double](k, dim); val cnt = new Array[Int](k)
+      var c2 = 0
+      while (c2 < n) {
+        val s = assign(c2); cnt(s) += 1
+        var i = 0
+        while (i < dim) { sums(s)(i) += cents(c2)(i); i += 1 }
+        c2 += 1
+      }
+      var s2 = 0
+      while (s2 < k) {
+        if (cnt(s2) > 0) { // empty supers keep their center
+          var i = 0
+          while (i < dim) { sup(s2)(i) = sums(s2)(i) / cnt(s2); i += 1 }
+        }
+        s2 += 1
+      }
+      it += 1
+    }
+    val flat = new Array[Float](k * dim)
+    var s3 = 0
+    while (s3 < k) {
+      var i = 0
+      while (i < dim) { flat(s3 * dim + i) = sup(s3)(i).toFloat; i += 1 }
+      s3 += 1
+    }
+    (flat, assign)
+  }
+
+  /** The probe→cell ranking shared by [[ivfScan]], [[labelPropagate]]
+    * and [[graft.sources.IvfIndex]]: a ZERO-shuffle narrow projection
+    * (native codegen'd [[graft.plans.native.IvfCellSelect]]) returning
+    * each probe's nProbe nearest cells. The former form — crossJoin
+    * the broadcast centroid table, rank with a row_number window —
+    * shuffled probes × cells rows EACH CARRYING THE PROBE'S FLOAT
+    * VECTOR through a probe-keyed sort (measured as d_label_prop's
+    * 256× wall: 410k probes × 2048 cells ≈ 840M wide rows, 205.6 s).
+    * Past [[CoarseCells]] cells the two-level quantizer cuts the
+    * per-probe constant to ~(√(2·cells) supers + covered cells) evals;
+    * `coarse = false` forces the exhaustive ranking (IvfIndex.append's
+    * nearest-centroid ASSIGNMENT must stay exact, and the agreement
+    * specs pin the exhaustive path ≡ the former window).
+    */
+  private[graft] def cellSelect(vec: Column, cents: Array[Array[Float]],
+      nProbe: Int, coarse: Boolean = true): Column = {
+    val cells = cents.length
+    val dim = if (cells == 0) 0 else cents(0).length
+    val flat = new Array[Float](cells * dim)
+    var c = 0
+    while (c < cells) { System.arraycopy(cents(c), 0, flat, c * dim, dim); c += 1 }
+    val (supers, cellSuper) =
+      if (coarse && cells > CoarseCells)
+        coarsen(cents, math.max(16, math.ceil(math.sqrt(cells * 2.0)).toInt))
+      else (Array.empty[Float], Array.empty[Int])
+    graft.plans.native.ivfCellSelect(vec, flat, supers, cellSuper, dim,
+      nSuper = math.max(4, nProbe), nProbe = nProbe)
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into k Voronoi
     * cells via KMeans centroids trained on a sample; each probe scans
     * only its nProbe nearest cells. The classic trade: train once,
@@ -211,25 +308,15 @@ object Similarity {
   private def ivfScan(assigned: DataFrame, probes: DataFrame,
       model: org.apache.spark.ml.clustering.KMeansModel, k: Int,
       nProbe: Int, broadcastProbes: Boolean = true): DataFrame = {
-    val spark = assigned.sparkSession
-    // probe → its nProbe nearest cells, by exact distance to the
-    // (broadcast) centroid table
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat)) }.toSeq)
-      .toDF("cell", "centroid")
-    val probeCells = probes.crossJoin(broadcast(centroids))
-      .withColumn("dist2",
-        graft.functions.VectorFns.dot(col("emb_p"), col("emb_p"))
-          - lit(2.0) * graft.functions.VectorFns.dot(col("emb_p"), col("centroid"))
-          + graft.functions.VectorFns.dot(col("centroid"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("dist2"), col("cell"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("probe_id"),
-        graft.plans.native.sq8Code(col("emb_p")).as("code_p"),
-        graft.plans.native.sq8Scale(col("emb_p")).as("qs_p"),
-        col("nrm_p"), col("cell"))
+    // probe → its nProbe nearest cells: one native per-row selection
+    // ([[cellSelect]] — zero shuffle; the sq8 code/scale compute once
+    // per probe row before the explode replicates them nProbe×)
+    val centArr = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val probeCells = probes.select(col("probe_id"),
+      graft.plans.native.sq8Code(col("emb_p")).as("code_p"),
+      graft.plans.native.sq8Scale(col("emb_p")).as("qs_p"),
+      col("nrm_p"),
+      explode(cellSelect(col("emb_p"), centArr, nProbe)).as("cell"))
 
     // IVF-SQ candidate scan (the FAISS IVF-SQ shape — the design a
     // 100 TB ANN index actually runs): the per-cell scan reads int8

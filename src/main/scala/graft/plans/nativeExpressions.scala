@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -353,6 +353,87 @@ object NativeImpl {
     val it = mins.iterator(); var x = 0
     while (it.hasNext) { out(x) = it.next(); x += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Per-centroid self dot products of a row-major flat centroid
+    * table — precomputed once per plan by [[native.IvfCellSelect]].
+    */
+  def selfDots(flat: Array[Float], dim: Int): Array[Double] = {
+    if (dim == 0) return Array.emptyDoubleArray
+    val n = flat.length / dim
+    val out = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      var acc = 0.0; var i = 0; val off = c * dim
+      while (i < dim) {
+        acc += flat(off + i).toDouble * flat(off + i).toDouble; i += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    out
+  }
+
+  /** See [[native.IvfCellSelect]]. Returns the probe's `nProbe`
+    * nearest cell ids ordered by (dist2 asc, cell asc) — the exact
+    * ordering of the former crossJoin + row_number form. When
+    * `supers` is non-empty, only cells under the probe's `nSuper`
+    * nearest super-centroids are ranked (the two-level coarse
+    * quantizer); empty `supers` = exhaustive scan over all cells.
+    */
+  def ivfCellSelect(probe: ArrayData, cents: Array[Float],
+      cc: Array[Double], supers: Array[Float], ss: Array[Double],
+      cellSuper: Array[Int], dim: Int, nSuper: Int,
+      nProbe: Int): ArrayData = {
+    val d = math.min(dim, probe.numElements())
+    // pp once per probe; per-candidate dist2 = (pp - 2·dot) + cc in
+    // the Column form's association order so doubles agree bit-for-bit
+    var pp = 0.0
+    var i = 0
+    while (i < d) { val x = probe.getFloat(i).toDouble; pp += x * x; i += 1 }
+    val nCells = cc.length
+    val nSup = ss.length
+    // bounded sorted-insert selection: (dist asc, id asc), m small
+    def topInto(bd: Array[Double], bi: Array[Int], sz: Int,
+        dist: Double, id: Int): Int = {
+      val m = bd.length
+      var s = sz
+      if (s == m && !(dist < bd(s - 1) || (dist == bd(s - 1) && id < bi(s - 1))))
+        return s
+      var j = if (s < m) s else m - 1
+      while (j > 0 && (dist < bd(j - 1) || (dist == bd(j - 1) && id < bi(j - 1)))) {
+        bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1
+      }
+      bd(j) = dist; bi(j) = id
+      if (s < m) s + 1 else s
+    }
+    def dist2(flat: Array[Float], self: Array[Double], c: Int): Double = {
+      var acc = 0.0; var k = 0; val off = c * dim
+      while (k < d) { acc += probe.getFloat(k).toDouble * flat(off + k).toDouble; k += 1 }
+      (pp - 2.0 * acc) + self(c)
+    }
+    var keep: Array[Boolean] = null
+    if (nSup > 0) {
+      val sd = new Array[Double](math.min(nSuper, nSup))
+      val si = new Array[Int](sd.length)
+      var sz = 0
+      var s = 0
+      while (s < nSup) { sz = topInto(sd, si, sz, dist2(supers, ss, s), s); s += 1 }
+      keep = new Array[Boolean](nSup)
+      var t = 0
+      while (t < sz) { keep(si(t)) = true; t += 1 }
+    }
+    val bd = new Array[Double](math.min(nProbe, nCells))
+    val bi = new Array[Int](bd.length)
+    var sz = 0
+    var c = 0
+    while (c < nCells) {
+      if (keep == null || keep(cellSuper(c)))
+        sz = topInto(bd, bi, sz, dist2(cents, cc, c), c)
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (sz == bi.length) bi else java.util.Arrays.copyOf(bi, sz))
   }
 }
 
@@ -988,6 +1069,54 @@ object native {
     * the verbatim ≥n-char overlap with plain string equality, which
     * a DuckDB gram-explode twin can replay exactly.
     */
+  /** Probe-to-cell ranking for the IVF ops, per row: the `nProbe`
+    * nearest cell ids by exact centroid distance, ordered
+    * (dist2 asc, cell asc). Replaces the crossJoin(centroids) +
+    * row_number window — which materialized probes × cells rows, each
+    * carrying the probe's float vector, through a probe-keyed shuffle
+    * sort (measured as d_label_prop's 256× wall: ~840M wide rows,
+    * 205.6 s) — with a ZERO-shuffle narrow projection.
+    *
+    * `supers`/`cellSuper` non-empty enables the two-level coarse
+    * quantizer: rank the ~√cells super-centroids first, then only the
+    * cells under the `nSuper` nearest supers — probes × (supers +
+    * covered cells) distance evals instead of probes × cells. Cell
+    * recall is bounded by the coarse level (a best cell under an
+    * unranked super is unreachable), which the ANN/label-prop
+    * agreement gates measure; exhaustive (`supers` empty) selection is
+    * EXACTLY the former window's ranking.
+    *
+    * Centroid tables are constructor params (cells ≤ maxCells ≈
+    * thousands × dim floats — plan-sized, not data-sized), shipped to
+    * executors with the serialized plan like MLlib model broadcasts.
+    */
+  case class IvfCellSelect(child: Expression, cents: Array[Float],
+      supers: Array[Float], cellSuper: Array[Int], dim: Int,
+      nSuper: Int, nProbe: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    @transient private lazy val cc = NativeImpl.selfDots(cents, dim)
+    @transient private lazy val ss = NativeImpl.selfDots(supers, dim)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.ivfCellSelect(input.asInstanceOf[ArrayData], cents, cc,
+        supers, ss, cellSuper, dim, nSuper, nProbe)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val centsRef = ctx.addReferenceObj("ivfCents", cents, "float[]")
+        val ccRef = ctx.addReferenceObj("ivfCc", cc, "double[]")
+        val supRef = ctx.addReferenceObj("ivfSupers", supers, "float[]")
+        val ssRef = ctx.addReferenceObj("ivfSs", ss, "double[]")
+        val csRef = ctx.addReferenceObj("ivfCellSuper", cellSuper, "int[]")
+        s"${ev.value} = graft.plans.NativeImpl.ivfCellSelect($arr, " +
+          s"$centsRef, $ccRef, $supRef, $ssRef, $csRef, $dim, $nSuper, $nProbe);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): IvfCellSelect =
+      copy(child = c)
+  }
+
   case class SharedGramCount(left: Expression, right: Expression, n: Int)
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
@@ -1150,4 +1279,9 @@ object native {
 
   def sharedGramCount(a: Column, b: Column, n: Int): Column =
     column(SharedGramCount(expression(a), expression(b), n))
+
+  def ivfCellSelect(vec: Column, cents: Array[Float], supers: Array[Float],
+      cellSuper: Array[Int], dim: Int, nSuper: Int, nProbe: Int): Column =
+    column(IvfCellSelect(expression(vec), cents, supers, cellSuper, dim,
+      nSuper, nProbe))
 }

@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** The centroid table, collected driver-side in cell order — cells
+    * rows (≤ maxCells, thousands), a constant-size fetch at any
+    * corpus scale; feeds the native per-probe cell selection.
+    */
+  private def readCentroids(spark: SparkSession,
+      dir: String): Array[Array[Float]] =
+    spark.read.parquet(s"$dir/centroids.parquet")
+      .select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+
   /** Fit + assign + code the corpus and write the index. Determinism:
     * same corpus + params → the same seeded KMeans fit ivfTopK runs,
     * so probing the index reproduces ivfTopK's results exactly
@@ -82,17 +93,12 @@ object IvfIndex {
     */
   def append(emb: DataFrame, dir: String): Unit = {
     val spark = emb.sparkSession
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    // exhaustive (coarse = false) nearest-centroid ASSIGNMENT — one
+    // narrow native pass, batch-linear, no probes×cells window
     val assigned = emb.select(col("vec_id"), col("embedding"),
         graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist2",
-        graft.functions.VectorFns.dot(col("embedding"), col("embedding"))
-          - lit(2.0) * graft.functions.VectorFns.dot(col("embedding"), col("centroid"))
-          + graft.functions.VectorFns.dot(col("centroid"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist2"), col("cell"))))
-      .filter(col("crank") === 1)
+      .withColumn("cell", element_at(graft.operators.Similarity.cellSelect(
+        col("embedding"), readCentroids(spark, dir), 1, coarse = false), 1))
     assigned
       .select(col("cell"), col("vec_id"),
         graft.plans.native.sq8Code(col("embedding")).as("code"),
@@ -130,22 +136,19 @@ object IvfIndex {
     */
   private[graft] def topKPlan(spark: SparkSession, dir: String,
       probeEmb: DataFrame, k: Int, nProbe: Int): (DataFrame, DataFrame) = {
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
     val probes = probeEmb.select(col("vec_id").as("probe_id"),
       col("embedding").as("emb_p"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm_p"))
-    val probeCells = probes.crossJoin(broadcast(centroids))
-      .withColumn("dist2",
-        graft.functions.VectorFns.dot(col("emb_p"), col("emb_p"))
-          - lit(2.0) * graft.functions.VectorFns.dot(col("emb_p"), col("centroid"))
-          + graft.functions.VectorFns.dot(col("centroid"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("dist2"), col("cell"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("probe_id"),
+    // same native selection as ivfTopK's in-query form — the centroid
+    // table collected cell-ordered, so selection (and thus results)
+    // stay bit-identical between index-then-probe and the
+    // self-contained op (spec-asserted)
+    val probeCells = probes.select(col("probe_id"),
         graft.plans.native.sq8Code(col("emb_p")).as("code_p"),
         graft.plans.native.sq8Scale(col("emb_p")).as("qs_p"),
-        col("nrm_p"), col("cell"))
+        col("nrm_p"),
+        explode(graft.operators.Similarity.cellSelect(col("emb_p"),
+          readCentroids(spark, dir), nProbe)).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the distinct probed-cell set: bounded by the index CELL COUNT
     // (≤ maxCells), so collecting it is a constant-size driver fetch

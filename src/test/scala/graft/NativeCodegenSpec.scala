@@ -39,8 +39,17 @@ class NativeCodegenSpec extends SparkSpec {
         hex(native.sq8Code(col("vec"))).as("q8"), // hex: Row.toString on raw binary prints the array identity
         native.sq8Scale(col("vec")).as("q8s"),
         native.byteDot(native.sq8Code(col("vec")),
-          native.sq8Code(col("vec"))).as("q8d"))
+          native.sq8Code(col("vec"))).as("q8d"),
+        native.ivfCellSelect(col("vec"), icsCents,
+          Array.empty[Float], Array.empty[Int], 4, 2, 2).as("ics"),
+        native.ivfCellSelect(col("vec"), icsCents,
+          Array(0.25f, 0.25f, 0f, 0f, 0f, 0f, 0.5f, 0.25f),
+          Array(0, 0, 1), 4, 1, 2).as("icc"))
   }
+
+  // 3 centroids × dim 4, row-major (exhaustive + coarse IvfCellSelect)
+  private val icsCents = Array(
+    0.5f, 0f, 0f, 0f, 0f, 0.5f, 0f, 0f, 0f, 0f, 0.5f, 0.25f)
 
   test("sq8 code/scale approximate the float dot within quantization error") {
     import spark.implicits._

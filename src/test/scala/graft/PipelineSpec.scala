@@ -241,6 +241,52 @@ class PipelineSpec extends SparkSpec {
     assert(agree > 0.5, s"ivf/exact label agreement $agree")
   }
 
+  test("ivf cell selection: exhaustive ranking exact, coarse level keeps the top cell") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // a centroid table big enough to engage the coarse level (> 256
+    // cells), clustered so the coarse quantizer has structure to find
+    val cents = Array.tabulate(600) { c =>
+      val axis = c % 8
+      Array.tabulate(8)(i => (if (i == axis) 1.0f else 0.0f)
+        + (rnd.nextFloat() - 0.5f) * 0.3f)
+    }
+    // probes near centroids — the IVF regime (probes live in the
+    // indexed distribution)
+    val probeRows = (0 until 200).map { p =>
+      val c = cents(rnd.nextInt(600))
+      (p.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = probeRows.toDF("vec_id", "embedding")
+    def bruteTop(v: Array[Float], nProbe: Int): Seq[Int] = {
+      val pp = v.map(x => x.toDouble * x).sum
+      cents.zipWithIndex.map { case (c, i) =>
+        var dot = 0.0; var j = 0
+        while (j < 8) { dot += v(j).toDouble * c(j).toDouble; j += 1 }
+        var cc = 0.0; var j2 = 0
+        while (j2 < 8) { cc += c(j2).toDouble * c(j2).toDouble; j2 += 1 }
+        ((pp - 2.0 * dot) + cc, i)
+      }.sortBy(identity).take(nProbe).map(_._2).toSeq
+    }
+    // exhaustive native selection == brute-force (dist2 asc, cell asc)
+    val exact = df.select(col("vec_id"),
+        Similarity.cellSelect(col("embedding"), cents, 4, coarse = false).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    probeRows.foreach { case (id, v) =>
+      assert(exact(id) == bruteTop(v, 4), s"probe $id")
+    }
+    // coarse selection: still nProbe cells, and the probe's TRUE best
+    // cell survives the super-cell pruning for nearly every probe
+    // (fixed data → the assertion is deterministic)
+    val coarse = df.select(col("vec_id"),
+        Similarity.cellSelect(col("embedding"), cents, 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    coarse.values.foreach(s => assert(s.size == 4))
+    val top1Kept = probeRows.count { case (id, v) =>
+      coarse(id).contains(bruteTop(v, 1).head) }
+    assert(top1Kept >= 190, s"coarse kept top-1 for $top1Kept/200 probes")
+  }
+
   test("knn graph: exact at one cell, mutual-only and recall-gated when blocked") {
     val emb = Tables(spark, sf).embeddings
     // brute-force mutual kNN reference
