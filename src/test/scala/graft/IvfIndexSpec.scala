@@ -21,6 +21,21 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed.sameElements(direct))
   }
 
+  test("registered d_ann_topk routes through the session index and matches ivfTopK") {
+    graft.sources.AnnIndexCache.reset()
+    val emb = Tables(spark, sf).embeddings
+    val viaRegistry = SparkEntry.queries("d_ann_topk")(spark, sf)
+      .collect().map(_.toString)
+    val direct = Similarity.ivfTopK(emb, col("vec_id") % 50 === 0, k = 5)
+      .orderBy("probe_id", "rank").collect().map(_.toString)
+    assert(viaRegistry.sameElements(direct))
+    // second registry call hits the cached index (no rebuild) and
+    // returns the same rows
+    val again = SparkEntry.queries("d_ann_topk")(spark, sf)
+      .collect().map(_.toString)
+    assert(again.sameElements(viaRegistry))
+  }
+
   test("probe scan PRUNES to the probed cell partitions") {
     val emb = Tables(spark, sf).embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
