@@ -234,19 +234,28 @@ object Dedup {
     graft.plans.native.MinHashSignature(shingles, MinhashK, P,
       rng.map(_._1).toSeq, rng.map(_._2).toSeq)
 
-  /** doc → (id, shingles, sig[k]) with sig_i = min over shingles of
-    * ((a_i·h + b_i) mod P), h = xxhash64(shingle) folded into [0, P).
-    * The signature is a native one-pass expression
-    * (plans.native.MinHashSignature) — k registers updated per
-    * shingle, no per-permutation array materialization.
+  /** doc → (id, shingles, sig[k], buckets[bands]) with sig_i = min
+    * over shingles of ((a_i·h + b_i) mod P), h = xxhash64(shingle)
+    * folded into [0, P). Signature AND band buckets come from ONE
+    * native pass (plans.native.MinHashSigBuckets) — banding never
+    * re-reads the k-long sig array, and LSH callers cache only the
+    * bands-long buckets column (the r7 fusion: at the 256× blow-up
+    * the banding pass re-scanned the 512 B/doc sig cache). The sig
+    * column stays for profile tooling / parity specs; Catalyst prunes
+    * it wherever unused.
     */
   def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, carry: Seq[String] = Nil): DataFrame = {
     val shingles = TextFns.wordShingles(lower(col(textCol)), shingleK)
-    val sig = graft.plans.native.minhashSig(shingles, MinhashK, P,
-      rng.map(_._1).toSeq, rng.map(_._2).toSeq)
+    val sb = graft.plans.native.minhashSigBuckets(shingles, MinhashK, P,
+      rng.map(_._1).toSeq, rng.map(_._2).toSeq, Bands, RowsPerBand)
     docs.select((col(idCol).as("doc_id") +: carry.map(col)) ++
-      Seq(shingles.as("shingles"), sig.as("sig")): _*)
+        Seq(shingles.as("shingles"), sb.as("__sb")): _*)
+      // separate projection: __sb is referenced twice, which blocks
+      // CollapseProject from inlining (and re-evaluating) the pass
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(col("shingles"),
+        slice(col("__sb"), 1, MinhashK).as("sig"),
+        slice(col("__sb"), MinhashK + 1, Bands).as("buckets")): _*)
   }
 
   /** Candidate pairs from LSH banding + exact Jaccard verification.
@@ -271,40 +280,55 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", threshold: Double = 0.8,
       excludeIds: Option[DataFrame] = None, maxBucket: Int = 0): DataFrame = {
-    // persist: the signature feeds banding (2 candidate passes) and 2
-    // verify join sides — without a materialization barrier Catalyst
+    // persist: the signature feeds the candidate pass and 2 verify
+    // join sides — without a materialization barrier Catalyst
     // recomputes it per branch. The count() EAGERLY materializes the
     // cache: lazily-persisted frames race when AQE kicks off the
     // consumer branches concurrently — each branch finds the cache
     // unbuilt and computes the full signature pass itself (measured
     // at the 256× stress: four identical 13.9 s signature stages in
-    // one query execution, tools/StageProfile r6).
+    // one query execution, tools/StageProfile r6). The k-long sig
+    // array is PRUNED before the cache — banding reads the fused
+    // buckets column (r7), so only shingles + 16 bucket longs
+    // persist. (Re-deriving shingles from text at verify — dropping
+    // the shingle cache entirely — was MEASURED and rejected: 52-53 s
+    // vs 40-54 s at the 256× stress; the two verify-side parquet text
+    // scans cost more than the cache write they save.)
     val signed = minhashSignature(docs, textCol, idCol)
+      .select("doc_id", "shingles", "buckets")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusRows = signed.count()
     // band on ids only — the shingle arrays must NOT ride the band
     // shuffle (16× duplication of the heaviest column); they are
     // re-joined once, only for verification of the candidate pairs.
-    // persist the banded ids too: the count-prefilter candidate pass
-    // reads them TWICE (count + semi join), and uncached each pass
-    // re-runs the 16-way band explode + xxhash over the signature
-    // cache. (doc_id, bucket) longs are ~16 B/row — n·bands of them
-    // is small next to the shingle cache.
+    // The banded frame is NOT persisted anymore (the r6 banded cache
+    // existed because each candidate pass re-ran the 16-way band
+    // xxhash over the sig cache): with the buckets fused into the
+    // signature pass, banding is a posexplode over the cached,
+    // column-pruned 16-long buckets column — cheaper to recompute per
+    // pass than to write + read a second n·bands cache (measured at
+    // the 256× stress, r7).
     val kept = excludeIds.foldLeft(
         bandedIds(signed).select("bucket", "doc_id"))((b, ex) =>
       b.join(ex.select(col(ex.columns.head).as("doc_id")),
         Seq("doc_id"), "left_anti"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    kept.count()
+    // cache lifecycle: the LAZY result keeps reading the signature
+    // cache, so it can't be released here without materializing
+    // (which would hide the audited plan). Each call retires the
+    // PREVIOUS call's cache instead — a long-lived driver holds at
+    // most one corpus's worth of minhash cache, and an earlier result
+    // held across calls stays correct (it just recomputes).
+    retireMinhashCaches(Seq(signed))
     // group by bucket ALONE: the band id is hashed into the bucket
     // value (bandedIds hashes lit(j) first), so dropping the band
     // column from the keys is pair-equivalent up to 2^-64 cross-band
     // hash collisions — which only ADD candidates the exact-jaccard
-    // verify rejects. One 8-byte key keeps the whole candidate pass
-    // on codegen'd long-key hash maps (measured at the 256× stress:
-    // 27.5 → 19.7 s for the count+semi form, and it beats both
-    // collect-all forms there — tools/MinhashProfile candgen).
-    val cands = bucketCandidatePairs(kept, Seq("bucket"), "doc_id", maxBucket)
+    // verify rejects. Candidate generation is the SINGLE-SHUFFLE
+    // sorted-run form (r7 A/B at the 256× stress, MinhashProfile:
+    // sorted runs 4.6 s vs count+semi 7.0-10.0 s vs collect-all
+    // 10.3 s — one exchange of the n·bands rows instead of two, and
+    // no per-bucket aggregation buffers at all).
+    val cands = sortedRunCandidatePairs(kept, "bucket", "doc_id", maxBucket)
     val sh = signed.select(col("doc_id"), col("shingles"))
     // (measured, not guessed: verifying over xxhash64'd shingle arrays
     // — 8-byte longs instead of strings in the join shuffle — timed
@@ -336,6 +360,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  private val liveMinhashCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+  private def retireMinhashCaches(next: Seq[DataFrame]): Unit =
+    liveMinhashCaches.getAndSet(next).foreach(_.unpersist(false))
 
   /** Within-bucket candidate pairs from (key..., id) rows, with the
     * singleton buckets cut out BEFORE any per-bucket id collection.
@@ -388,6 +417,54 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Single-shuffle candidate generation (the round-7 measured
+    * alternative to [[bucketCandidatePairs]]): repartition the
+    * (bucket, id) rows by bucket, sort within each partition, and
+    * emit pairs per sorted run — no second (semi-join) exchange, no
+    * per-bucket object-aggregation buffers; the local sort handles
+    * n·bands/partitions rows per task. Pair set identical to the
+    * count-prefilter form (same ≥2 / ≤maxBucket run predicate,
+    * cut-whole cap semantics, doc_a < doc_b normalized, deduped).
+    */
+  private[graft] def sortedRunCandidatePairs(rows: DataFrame,
+      bucketCol: String, idCol: String, maxBucket: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val cap = if (maxBucket <= 0) Int.MaxValue else maxBucket
+    rows.select(col(bucketCol).cast("long"), col(idCol).cast("long"))
+      .as[(Long, Long)]
+      .repartition(col(bucketCol))
+      .sortWithinPartitions(bucketCol, idCol)
+      .mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          private val run = new scala.collection.mutable.ArrayBuffer[Long]()
+          private var runBucket = 0L
+          private var out: Iterator[(Long, Long)] = Iterator.empty
+          private def pairsOf(ids: scala.collection.Seq[Long]) =
+            if (ids.length < 2 || ids.length > cap) Iterator.empty
+            else ids.indices.iterator.flatMap(i =>
+              (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+          private def advance(): Unit = {
+            while (!out.hasNext && (it.hasNext || run.nonEmpty)) {
+              if (!it.hasNext) { out = pairsOf(run.toSeq); run.clear() }
+              else {
+                val (b, id) = it.next()
+                if (run.isEmpty || b == runBucket) { runBucket = b; run += id }
+                else {
+                  out = pairsOf(run.toSeq)
+                  run.clear(); runBucket = b; run += id
+                }
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); out.hasNext }
+          override def next(): (Long, Long) = { advance(); out.next() }
+        }
+      }
+      .toDF("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** (doc_id, band, bucket) rows from a signed frame — one row per
     * band, ids only. Shared by the batch LSH join and the streaming
     * stateful dedup (both sides MUST agree bit-for-bit on buckets so
@@ -401,18 +478,14 @@ object Dedup {
     * checkpoints and re-seeding the history.
     */
   def bandedIds(signed: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    // the buckets were already computed inside the signature pass
+    // (MinHashSigBuckets — bit-identical to the former per-band
+    // xxhash64 chain, parity spec-pinned); banding is now a plain
+    // posexplode of the bands-long array
     signed.select((col("doc_id") +: carry.map(col)) :+
-      explode(array((0 until Bands).map { j =>
-        // hash the band's sig longs DIRECTLY — the former
-        // concat_ws-over-slice built a string per band per doc just to
-        // feed the hash (measured as the dominant banding cost); equal
-        // slices still hash equal, so bucket semantics are unchanged
-        struct(lit(j).as("band"),
-          xxhash64(lit(j) +: (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), j * RowsPerBand + r + 1)): _*).as("bucket"))
-      }: _*)).as("bb"): _*)
+        posexplode(col("buckets")).as(Seq("band", "bucket")): _*)
       .select((col("doc_id") +: carry.map(col)) ++
-        Seq(col("bb.band"), col("bb.bucket")): _*)
+        Seq(col("band"), col("bucket")): _*)
 
   // ----------------------------------------------------------- simhash
 
@@ -542,9 +615,10 @@ object Dedup {
     // row per doc and feeds the verify joins too.
     val fps = base.select(col("doc_id"),
       explode(graft.plans.native.winnowing(col("text"), k, w)).as("fp"))
-    // singleton fingerprint buckets (the vast majority) are counted
-    // out before any id collection — see bucketCandidatePairs
-    val cands = bucketCandidatePairs(fps, Seq("fp"), "doc_id", maxBucket)
+    // single-shuffle sorted-run candgen (the minhashLsh r7 form):
+    // singleton fingerprint runs — the vast majority — emit nothing,
+    // and the 96 M-row explode crosses exactly ONE exchange
+    val cands = sortedRunCandidatePairs(fps, "fp", "doc_id", maxBucket)
     // verify joins mirror minhashLsh's build-side rule exactly:
     // join 1 builds the CANDIDATE pair ids (bounded, a few bytes
     // each) and streams the corpus text; join 2 goes through the

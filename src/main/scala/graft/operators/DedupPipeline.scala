@@ -156,6 +156,7 @@ object DedupPipeline {
     // recomputes the signatures per branch (same reuse rule as
     // minhashLsh).
     val corpusSigned = Dedup.minhashSignature(corpus, textCol, idCol)
+      .select("doc_id", "shingles", "buckets") // sig pruned (r7 fusion)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // THE PRE-COUNT GATE (runtime-adaptive build side, VERDICT r5
     // #6): the corpus md5 SET is corpus-sized and an anti join
@@ -181,6 +182,7 @@ object DedupPipeline {
       .join(gate(corpusH, corpusRows * 120L), Seq("__h"), "left_anti")
       .drop("__h")
     val batchSigned = Dedup.minhashSignature(fresh, textCol, idCol)
+      .select("doc_id", "shingles", "buckets") // sig pruned (r7 fusion)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // near vs corpus: batch bands × corpus bands — candidates always
     // pair a batch doc with a corpus doc, verified on exact jaccard.

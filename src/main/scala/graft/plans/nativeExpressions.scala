@@ -355,6 +355,44 @@ object NativeImpl {
     new GenericArrayData(out)
   }
 
+  /** See [[native.MinHashSigBuckets]]: the minhash signature AND its
+    * LSH band buckets in one pass — out[0, k) = sig, out[k, k+bands)
+    * = the band buckets.
+    */
+  def minhashSigBuckets(arr: ArrayData, k: Int, p: Long, as: Array[Long],
+      bs: Array[Long], bands: Int, rpb: Int): ArrayData = {
+    val out = new Array[Long](k + bands)
+    java.util.Arrays.fill(out, 0, k, p)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      val h = ((h0 % p) + p) % p
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    // bucket_j replays the catalyst xxhash64(lit(j), sig...) chain
+    // EXACTLY (seed 42; int hash for the literal band id, long hashes
+    // for the sig registers) — streaming state keyed by (band, bucket)
+    // requires bit-identical buckets across releases
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, 42L)
+      var r = 0
+      while (r < rpb) { h = XXH64.hashLong(out(b * rpb + r), h); r += 1 }
+      out(k + b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Per-centroid self dot products of a row-major flat centroid
     * table — precomputed once per plan by [[native.IvfCellSelect]].
     */
@@ -539,6 +577,38 @@ object native {
       })
 
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  /** [[MinHashSignature]] fused with LSH banding: one pass over the
+    * shingles emits sig[0, k) ++ buckets[k, k+bands), where bucket_j
+    * is the catalyst `xxhash64(lit(j), sig[j·r+1 .. j·r+r])` chain
+    * bit-for-bit (parity spec-pinned — streaming dedup state is keyed
+    * by these buckets, so the fusion must not move them). Emitting
+    * buckets at signature time means banding never re-reads — or
+    * caches — the k-long sig array: LSH callers keep only the
+    * bands-long buckets column (16 longs vs 64 at the defaults).
+    */
+  case class MinHashSigBuckets(child: Expression, k: Int, p: Long,
+      as: Seq[Long], bs: Seq[Long], bands: Int, rpb: Int)
+      extends UnaryExpression {
+    private val aArr = as.toArray
+    private val bArr = bs.toArray
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.minhashSigBuckets(input.asInstanceOf[ArrayData], k, p,
+        aArr, bArr, bands, rpb)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+        val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+        s"${ev.value} = graft.plans.NativeImpl.minhashSigBuckets($arr, " +
+          s"$k, ${p}L, $aRef, $bRef, $bands, $rpb);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): MinHashSigBuckets =
       copy(child = c)
   }
 
@@ -1222,6 +1292,10 @@ object native {
   def minhashSig(shingles: Column, k: Int, p: Long,
       as: Seq[Long], bs: Seq[Long]): Column =
     column(MinHashSignature(expression(shingles), k, p, as, bs))
+
+  def minhashSigBuckets(shingles: Column, k: Int, p: Long, as: Seq[Long],
+      bs: Seq[Long], bands: Int, rpb: Int): Column =
+    column(MinHashSigBuckets(expression(shingles), k, p, as, bs, bands, rpb))
 
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
 

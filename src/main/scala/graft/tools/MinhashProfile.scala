@@ -189,6 +189,20 @@ object MinhashProfile {
             Seq("bucket"), "doc_id", 0)
           .write.format("noop").mode("overwrite").save()
       }
+      // candidate (b), VERDICT r6 #3: ONE shuffle — repartition by
+      // bucket, sort within partitions, emit pairs per sorted run.
+      // No second (semi-join) exchange, no ObjectHashAggregate
+      // buffers; local sorts are per-task (n·bands/partitions rows).
+      time("candgen: single-shuffle sorted runs") {
+        Dedup.sortedRunCandidatePairs(banded.select("bucket", "doc_id"),
+            "bucket", "doc_id", 0)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("candgen: count+semi, bucket key only (2nd)") {
+        Dedup.bucketCandidatePairs(banded.select("bucket", "doc_id"),
+            Seq("bucket"), "doc_id", 0)
+          .write.format("noop").mode("overwrite").save()
+      }
       signed.unpersist()
     }
 

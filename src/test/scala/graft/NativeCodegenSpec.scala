@@ -124,6 +124,29 @@ class NativeCodegenSpec extends SparkSpec {
     assert(dedup("", 3) == "")
   }
 
+  test("fused band buckets replay the catalyst xxhash64 banding chain bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // streaming dedup checkpoints state keyed by these buckets: the
+    // r7 signature/banding fusion must not move a single bucket value
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different words compose this second document body"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.Bands; val rpb = Dedup.RowsPerBand
+    val rows = graft.operators.Dedup.minhashSignature(docs, "text", "doc_id")
+      .select(col("doc_id"), col("buckets"),
+        array((0 until bands).map { j =>
+          xxhash64(lit(j) +: (0 until rpb).map(r =>
+            element_at(col("sig"), j * rpb + r + 1)): _*)
+        }: _*).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("generated code compiles and matches the interpreted evaluation") {
     // forbid silent fallback: a janino compile error must throw, not
     // quietly revert to the interpreted path

@@ -68,10 +68,20 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("registered ANN top-k scans only IVF cells (equi-join on cell id)") {
-    val p = planOf("d_ann_topk")
-    // the only nested-loop allowed is probe×centroids (nCells rows,
-    // broadcast); the corpus-side candidate join must be hash-based
+    // the registered query returns a checkpointed frame off the
+    // session index (AnnIndexCache), so audit the underlying probe
+    // pipeline — the plan that actually scans at scale
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sf).embeddings
+    val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$sf#embeddings")
+    val (out, pc) = graft.sources.IvfIndex.topKPlan(spark, idx,
+      emb.filter(col("vec_id") % 50 === 0), k = 5, nProbe = 4)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    pc.unpersist()
+    // the corpus-side candidate join must be hash-based, cell-pruned
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("PartitionFilters: [cell"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -141,27 +151,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("substring dedup generates candidates by bucket aggregation, verifies hash-joined") {
+  test("substring dedup generates candidates by sorted runs, verifies hash-joined") {
     val p = planOf("d_substr_dedup")
     val finalPlan = p.split("== Initial Plan ==").head
-    // candidates come from the fingerprint groupBy + map-side pair
-    // expansion, never a fps⋈fps self-join; text re-joins are hinted
+    // candidates come from the single-shuffle sorted-run scan over
+    // the fingerprint explode, never a fps⋈fps self-join; text
+    // re-joins are hinted
+    assert(finalPlan.contains("MapPartitions"), p)
     assert(finalPlan.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("partial_"), p)
   }
 
-  test("minhash candidates: count prefilter semi join, then spill-safe verify") {
+  test("minhash candidates: single-shuffle sorted runs, then spill-safe verify") {
     val p = planOf("d_minhash_lsh")
     val finalPlan = p.split("== Initial Plan ==").head
-    // the r6 candidate pass: non-singleton buckets found by a
-    // codegen'd count aggregate, band rows SEMI-join that set (hash
-    // build on the bounded bucket-key side), id collection only on
-    // the survivors
-    assert(finalPlan.contains("LeftSemi"), p)
-    assert(finalPlan.contains("ShuffledHashJoin"), p)
+    // the r7 candidate pass: band rows cross ONE exchange
+    // (repartition by bucket), sort within partitions, pairs emitted
+    // per run — no semi join, no per-bucket aggregation buffers
+    assert(finalPlan.contains("MapPartitions"), p)
+    assert(finalPlan.contains("Sort"), p)
+    assert(finalPlan.contains("ShuffledHashJoin"), p) // verify join 1
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("partial_"), p)
     // verify join 2 runs through the SIZE GATE: hash at this spec
     // scale (the whole corpus fits a task budget), sort-merge once
     // the estimated relation exceeds it — an unspillable
