@@ -913,6 +913,220 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** A PROGRESSIVE JPEG (SOF2) of the synthetic image — the other
+    * common real-world layout (web encoders default to progressive).
+    * Six scans exercising both progressive dimensions: spectral
+    * selection (DC, AC 1-20, AC 21-63 as separate scans) AND
+    * successive approximation (first scans at Al=1, refinement scans
+    * at Ah=1/Al=0 for AC and DC).
+    */
+  def buildJpegProgressive(width: Int, height: Int, channels: Int,
+      seed: Int): Array[Byte] =
+    encodeJpegProgressive(width, height, channels,
+      (x, y, c) => jpegSampleAt(x, y, c, seed), s"graft synthetic $seed")
+
+  /** Encode a sample plane as a progressive (SOF2) JPEG. 1×1 sampling
+    * only (grayscale / 4:4:4) — the fixture generator for the
+    * progressive decode path; subsampled streams stay baseline.
+    *
+    * Scan script (T.81 Annex G, the shape libjpeg-style encoders
+    * emit): interleaved DC first scan at Al=1; per-component AC first
+    * scans at Al=1 split into two spectral bands; per-component AC
+    * refinement scans at Ah=1, Al=0; interleaved DC refinement. The
+    * successive-approximation layer is LOSSLESS end-to-end: first
+    * scans code coef/2^Al, refinement scans append the dropped bit,
+    * so the decoder's final coefficients equal the encoder's
+    * quantized truth bit-for-bit (spec-pinned).
+    */
+  def encodeJpegProgressive(width: Int, height: Int, channels: Int,
+      sample: (Int, Int, Int) => Int, comment: String): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 65536 && height < 65536)
+    require(channels == 1 || channels == 3)
+    val samp = samplingFor(channels, subsample = false)
+    val out = new ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xFF); out.write(marker) }
+    def seg(marker: Int, data: Array[Byte]): Unit = {
+      m(marker)
+      val len = data.length + 2
+      out.write(len >>> 8); out.write(len & 0xFF); out.write(data)
+    }
+    m(0xD8)
+    seg(0xE0, "JFIF\u0000".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xFE, comment.getBytes("US-ASCII"))
+    def dqt(id: Int, q: Array[Int]): Array[Byte] =
+      id.toByte +: Array.tabulate(64)(k => q(Zigzag(k)).toByte)
+    if (channels == 1) seg(0xDB, dqt(0, QLuma))
+    else seg(0xDB, dqt(0, QLuma) ++ dqt(1, QChroma))
+    val sof = Array[Byte](8,
+      (height >>> 8).toByte, (height & 0xFF).toByte,
+      (width >>> 8).toByte, (width & 0xFF).toByte,
+      channels.toByte) ++
+      (1 to channels).flatMap { c =>
+        Seq(c.toByte, 0x11.toByte, (if (c == 1) 0 else 1).toByte)
+      }
+    seg(0xC2, sof) // SOF2: progressive DCT, huffman
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
+      ((cls << 4) | id).toByte +: (bits.map(_.toByte) ++ vals.map(_.toByte))
+    if (channels == 1)
+      seg(0xC4, dht(0, 0, DcLumaBits, DcVals) ++ dht(1, 0, AcLumaBits, AcLumaVals))
+    else
+      seg(0xC4, dht(0, 0, DcLumaBits, DcVals) ++ dht(1, 0, AcLumaBits, AcLumaVals) ++
+        dht(0, 1, DcChromaBits, DcVals) ++ dht(1, 1, AcChromaBits, AcChromaVals))
+
+    val dcTabs = Array(huffEncodeTable(DcLumaBits, DcVals),
+      huffEncodeTable(DcChromaBits, DcVals))
+    val acTabs = Array(huffEncodeTable(AcLumaBits, AcLumaVals),
+      huffEncodeTable(AcChromaBits, AcChromaVals))
+    var acc = 0; var nAcc = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1); nAcc += 1
+        if (nAcc == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    def flushScan(): Unit = if (nAcc > 0) {
+      val pad = 8 - nAcc
+      putBits((1 << pad) - 1, pad)
+    }
+    def putSym(tab: Array[Long], sym: Int): Unit = {
+      val e = tab(sym)
+      require(e != 0L, s"symbol 0x${sym.toHexString} not in huffman table")
+      putBits((e >>> 8).toInt, (e & 0xFF).toInt)
+    }
+    def category(v: Int): Int = {
+      var s = 0; var a = math.abs(v)
+      while (a != 0) { a >>= 1; s += 1 }
+      s
+    }
+
+    val blocks = jpegCoefficients(width, height, channels, samp, sample)
+    val nMcus = blocks.length / channels // 1×1: one block per comp per MCU
+    def blockOf(c: Int, mcu: Int): Array[Int] = blocks(mcu * channels + c)
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
+      seg(0xDA, Array[Byte](comps.length.toByte) ++
+        comps.flatMap { c =>
+          val t = if (c == 0) 0 else 1
+          Seq((c + 1).toByte, ((t << 4) | t).toByte)
+        } ++ Array[Byte](ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+
+    // ---- scan 1: DC first, interleaved, Al = 1 (arithmetic shift) --
+    sos(0 until channels, 0, 0, 0, 1)
+    val dcPred = new Array[Int](channels)
+    var mcu = 0
+    while (mcu < nMcus) {
+      var c = 0
+      while (c < channels) {
+        val t = if (c == 0) 0 else 1
+        val v = blockOf(c, mcu)(0) >> 1
+        val diff = v - dcPred(c); dcPred(c) = v
+        val s = category(diff)
+        putSym(dcTabs(t), s)
+        if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        c += 1
+      }
+      mcu += 1
+    }
+    flushScan()
+
+    // ---- AC first scans at Al = 1, two spectral bands, per comp ----
+    def acFirst(c: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(c), ss, se, 0, al)
+      val t = if (c == 0) 0 else 1
+      var m2 = 0
+      while (m2 < nMcus) {
+        val zz = blockOf(c, m2)
+        var k = ss; var run = 0
+        while (k <= se) {
+          val v = zz(k)
+          // AC point transform: divide by 2^Al truncating toward zero
+          val tv = if (v < 0) -((-v) >> al) else v >> al
+          if (tv == 0) run += 1
+          else {
+            while (run > 15) { putSym(acTabs(t), 0xF0); run -= 16 }
+            val sa = category(tv)
+            putSym(acTabs(t), (run << 4) | sa)
+            putBits(if (tv < 0) tv + (1 << sa) - 1 else tv, sa)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) putSym(acTabs(t), 0x00) // EOB run of exactly 1
+        m2 += 1
+      }
+      flushScan()
+    }
+    // ---- AC refinement scans (Ah = 1, Al = 0), per comp ------------
+    def acRefine(c: Int, ss: Int, se: Int): Unit = {
+      sos(Seq(c), ss, se, 1, 0)
+      val t = if (c == 0) 0 else 1
+      var m2 = 0
+      while (m2 < nMcus) {
+        val zz = blockOf(c, m2)
+        val pend = new scala.collection.mutable.ArrayBuffer[Int]()
+        def flushPend(): Unit = { pend.foreach(b => putBits(b, 1)); pend.clear() }
+        // last newly-significant position: ZRLs beyond it fold into
+        // the EOB (whose processing refines the rest of the band)
+        var lastNew = -1
+        var k0 = ss
+        while (k0 <= se) { if (math.abs(zz(k0)) == 1) lastNew = k0; k0 += 1 }
+        var k = ss; var run = 0
+        while (k <= se) {
+          val v = zz(k)
+          val av = math.abs(v)
+          if (av == 0) run += 1
+          else {
+            // emit pending ZRLs before ANY nonzero coefficient (the
+            // decoder's run walk reads correction bits positionally),
+            // but never past lastNew — those runs fold into the EOB
+            while (run > 15 && k <= lastNew) {
+              putSym(acTabs(t), 0xF0); flushPend(); run -= 16
+            }
+            if (av > 1) pend += (av & 1) // already significant at Ah=1
+            else { // newly significant (|v| = 1)
+              putSym(acTabs(t), (run << 4) | 1)
+              putBits(if (v < 0) 0 else 1, 1) // sign bit
+              flushPend(); run = 0
+            }
+          }
+          k += 1
+        }
+        if (run > 0 || pend.nonEmpty) { putSym(acTabs(t), 0x00); flushPend() }
+        m2 += 1
+      }
+      flushScan()
+    }
+    var c = 0
+    while (c < channels) { acFirst(c, 1, 20, 1); c += 1 }
+    c = 0
+    while (c < channels) { acFirst(c, 21, 63, 1); c += 1 }
+    c = 0
+    while (c < channels) { acRefine(c, 1, 20); c += 1 }
+    c = 0
+    while (c < channels) { acRefine(c, 21, 63); c += 1 }
+
+    // ---- final scan: DC refinement, interleaved, Ah=1 Al=0 ---------
+    sos(0 until channels, 0, 0, 1, 0)
+    mcu = 0
+    while (mcu < nMcus) {
+      var c2 = 0
+      while (c2 < channels) {
+        putBits(blockOf(c2, mcu)(0) & 1, 1)
+        c2 += 1
+      }
+      mcu += 1
+    }
+    flushScan()
+    m(0xD9)
+    out.toByteArray
+  }
+
   /** Decoded JPEG sample plane: row-major, `channels` bytes per
     * pixel, values in the ENCODED color space (Y or YCbCr — the
     * builder generates component samples directly, no RGB transform).
@@ -1120,13 +1334,305 @@ object MediaCodecs {
     }
   }
 
+  /** Entropy-decode a PROGRESSIVE (SOF2) JPEG down to its quantized
+    * coefficient blocks — T.81 Annex G: per-scan spectral bands
+    * [Ss, Se] with successive-approximation bit positions (Ah, Al),
+    * interleaved DC scans, single-component AC scans with EOB runs,
+    * and the refinement scan loop (correction bits for
+    * already-significant coefficients). Coefficient state accumulates
+    * across scans; after the last scan the blocks equal the encoder's
+    * quantized truth bit-for-bit (the approximation layer is
+    * lossless end-to-end — spec-pinned).
+    *
+    * Honest subset, mirroring the baseline decoder's contract: 8-bit
+    * precision, 1×1 sampling (grayscale / 4:4:4 — what
+    * [[encodeJpegProgressive]] emits; subsampled progressive returns
+    * None rather than wrong pixels), no restart intervals.
+    */
+  private[graft] def decodeJpegProgressiveCoefficients(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[(Int, Int)], Array[Array[Int]], Array[Array[Int]])] = {
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF
+        || (bytes(1) & 0xFF) != 0xD8) return None
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var w = 0; var h = 0; var nc = 0
+    var sofIds: Array[Int] = null
+    var compQ: Array[Int] = null
+    var coefs: Array[Array[Array[Int]]] = null // comp -> block(raster) -> zz
+    var nMcus = 0
+    try {
+      var i = 2
+      var done = false
+      while (!done && i + 1 < bytes.length) {
+        if ((bytes(i) & 0xFF) != 0xFF) return None
+        val marker = bytes(i + 1) & 0xFF
+        if (marker == 0xFF) { i += 1 }
+        else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
+        else if (marker == 0xD9) done = true
+        else {
+          if (i + 3 >= bytes.length) return None
+          val len = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+          if (len < 2 || i + 2 + len > bytes.length) return None
+          val p0 = i + 4; val pEnd = i + 2 + len
+          var nextI = i + 2 + len
+          marker match {
+            case 0xDB =>
+              var p = p0
+              while (p < pEnd) {
+                val pq = (bytes(p) & 0xFF) >> 4; val tq = bytes(p) & 0x0F
+                if (pq != 0 || tq > 3 || p + 65 > pEnd) return None
+                val q = new Array[Int](64)
+                var k = 0
+                while (k < 64) { q(Zigzag(k)) = bytes(p + 1 + k) & 0xFF; k += 1 }
+                qtabs(tq) = q
+                p += 65
+              }
+            case 0xC4 =>
+              var p = p0
+              while (p < pEnd) {
+                val tc = (bytes(p) & 0xFF) >> 4; val th = bytes(p) & 0x0F
+                if (tc > 1 || th > 3 || p + 17 > pEnd) return None
+                val bits = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xFF)
+                val n = bits.sum
+                if (p + 17 + n > pEnd) return None
+                val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xFF)
+                val t = new JpegHuff(bits, vals)
+                if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+                p += 17 + n
+              }
+            case 0xC2 => // SOF2 progressive
+              if ((bytes(p0) & 0xFF) != 8) return None
+              h = ((bytes(p0 + 1) & 0xFF) << 8) | (bytes(p0 + 2) & 0xFF)
+              w = ((bytes(p0 + 3) & 0xFF) << 8) | (bytes(p0 + 4) & 0xFF)
+              nc = bytes(p0 + 5) & 0xFF
+              if (w == 0 || h == 0 || nc == 0 || nc > 4
+                  || p0 + 6 + 3 * nc > pEnd) return None
+              sofIds = new Array[Int](nc)
+              compQ = new Array[Int](nc)
+              var c = 0
+              while (c < nc) {
+                sofIds(c) = bytes(p0 + 6 + 3 * c) & 0xFF
+                val hv = bytes(p0 + 7 + 3 * c) & 0xFF
+                if (hv != 0x11) return None // honest subset: 1×1 only
+                compQ(c) = bytes(p0 + 8 + 3 * c) & 0x0F
+                c += 1
+              }
+              nMcus = ((w + 7) / 8) * ((h + 7) / 8)
+              coefs = Array.fill(nc, nMcus)(new Array[Int](64))
+            case mk if mk >= 0xC0 && mk <= 0xCF && mk != 0xC2
+                && mk != 0xC4 && mk != 0xC8 && mk != 0xCC =>
+              return None // baseline/other frame types: not this path
+            case 0xDD => return None // restart intervals unsupported
+            case 0xDA =>
+              if (coefs == null) return None
+              val ns = bytes(p0) & 0xFF
+              if (ns < 1 || ns > nc || p0 + 1 + 2 * ns + 3 > pEnd) return None
+              val scanComps = new Array[Int](ns)
+              val scanDc = new Array[Int](nc); val scanAc = new Array[Int](nc)
+              var c = 0
+              while (c < ns) {
+                val sel = bytes(p0 + 1 + 2 * c) & 0xFF
+                val ci = sofIds.indexOf(sel)
+                if (ci < 0) return None
+                scanComps(c) = ci
+                val tt = bytes(p0 + 2 + 2 * c) & 0xFF
+                scanDc(ci) = tt >> 4; scanAc(ci) = tt & 0x0F
+                c += 1
+              }
+              val ss = bytes(p0 + 1 + 2 * ns) & 0xFF
+              val se = bytes(p0 + 2 + 2 * ns) & 0xFF
+              val ahal = bytes(p0 + 3 + 2 * ns) & 0xFF
+              val ah = ahal >> 4; val al = ahal & 0x0F
+              if (ss > se || se > 63 || al > 13) return None
+              // T.81 G.1: a progressive DC scan is exactly [0, 0];
+              // AC scans start past DC and never interleave
+              if (ss == 0 && se != 0) return None
+              if (ss > 0 && ns != 1) return None
+              nextI = decodeProgressiveScan(bytes, pEnd, coefs, nMcus, nc,
+                scanComps, scanDc, scanAc, dcTabs, acTabs, ss, se, ah, al)
+            case _ => // APPn / COM: skip
+          }
+          i = nextI
+        }
+      }
+      if (coefs == null) return None
+      val samp = Array.fill(nc)((1, 1))
+      val cq = Array.tabulate(nc) { c =>
+        val q = qtabs(compQ(c)); if (q == null) throw new JpegDecodeErr; q
+      }
+      // interleave back to MCU order for the shared pixel assembly
+      val blocks = new Array[Array[Int]](nMcus * nc)
+      var m2 = 0
+      while (m2 < nMcus) {
+        var c = 0
+        while (c < nc) { blocks(m2 * nc + c) = coefs(c)(m2); c += 1 }
+        m2 += 1
+      }
+      Some((w, h, nc, samp, cq, blocks))
+    } catch {
+      case _: JpegDecodeErr => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** One progressive scan (T.81 G.1.2): mutates the coefficient
+    * state, returns the byte offset of the next marker.
+    */
+  private def decodeProgressiveScan(bytes: Array[Byte], start: Int,
+      coefs: Array[Array[Array[Int]]], nMcus: Int, nc: Int,
+      scanComps: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+      dcTabs: Array[JpegHuff], acTabs: Array[JpegHuff],
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
+    var pos = start
+    var acc = 0; var nBits = 0
+    def nextBit(): Int = {
+      if (nBits == 0) {
+        if (pos >= bytes.length) throw new JpegDecodeErr
+        val b = bytes(pos) & 0xFF; pos += 1
+        if (b == 0xFF) {
+          val b2 = if (pos < bytes.length) bytes(pos) & 0xFF else -1
+          if (b2 == 0x00) pos += 1
+          else throw new JpegDecodeErr // marker mid-scan
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >>> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+      v
+    }
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      val v = receive(s)
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    var eobrun = 0
+    if (ss == 0) {
+      // DC scan — interleaved over the scan's components (1×1
+      // sampling: one data unit per component per MCU)
+      val dcPred = new Array[Int](nc)
+      var m2 = 0
+      while (m2 < nMcus) {
+        var c = 0
+        while (c < scanComps.length) {
+          val ci = scanComps(c)
+          val zz = coefs(ci)(m2)
+          if (ah == 0) {
+            val t = dcTabs(scanDc(ci))
+            if (t == null) throw new JpegDecodeErr
+            val s = t.decode(nextBit)
+            if (s > 11) throw new JpegDecodeErr
+            dcPred(ci) += receiveExtend(s)
+            zz(0) = dcPred(ci) << al
+          } else {
+            if (nextBit() == 1) zz(0) |= (1 << al)
+          }
+          c += 1
+        }
+        m2 += 1
+      }
+    } else {
+      // AC scan — single component (T.81 G: AC scans never interleave)
+      if (scanComps.length != 1) throw new JpegDecodeErr
+      val ci = scanComps(0)
+      val acT = acTabs(scanAc(ci))
+      if (acT == null) throw new JpegDecodeErr
+      val p1 = 1 << al; val n1 = -1 << al
+      var m2 = 0
+      while (m2 < nMcus) {
+        val zz = coefs(ci)(m2)
+        if (ah == 0) {
+          // first scan in this band: values at precision Al, EOB runs
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var open = true
+            while (open && k <= se) {
+              val rs = acT.decode(nextBit)
+              val r = rs >> 4; val s = rs & 0x0F
+              if (s == 0) {
+                if (r < 15) { eobrun = (1 << r) - 1 + receive(r); open = false }
+                else k += 16 // ZRL
+              } else {
+                k += r
+                if (k > se) throw new JpegDecodeErr
+                zz(k) = receiveExtend(s) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // refinement: correction bits for already-significant
+          // coefficients, ±1<<Al placements for newly-significant ones
+          var k = ss
+          if (eobrun == 0) {
+            var open = true
+            while (open && k <= se) {
+              val rs = acT.decode(nextBit)
+              var r = rs >> 4; val s = rs & 0x0F
+              var newval = 0
+              if (s == 0) {
+                if (r < 15) { eobrun = (1 << r) + receive(r); open = false }
+                // r == 15: ZRL — skip 16 zero-history coefficients
+              } else {
+                if (s != 1) throw new JpegDecodeErr
+                newval = if (nextBit() == 1) p1 else n1
+              }
+              if (open) {
+                var placed = false
+                while (!placed && k <= se) {
+                  val v = zz(k)
+                  if (v != 0) {
+                    if (nextBit() == 1 && (v & p1) == 0)
+                      zz(k) = if (v >= 0) v + p1 else v + n1
+                  } else {
+                    if (r == 0) { if (s != 0) zz(k) = newval; placed = true }
+                    else r -= 1
+                  }
+                  k += 1
+                }
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // EOB processing still refines the remaining
+            // already-significant coefficients of the band
+            while (k <= se) {
+              val v = zz(k)
+              if (v != 0) {
+                if (nextBit() == 1 && (v & p1) == 0)
+                  zz(k) = if (v >= 0) v + p1 else v + n1
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        m2 += 1
+      }
+    }
+    // advance to the next marker (skip padding and stuffed bytes)
+    while (pos + 1 < bytes.length &&
+        !((bytes(pos) & 0xFF) == 0xFF && (bytes(pos + 1) & 0xFF) != 0x00
+          && (bytes(pos + 1) & 0xFF) != 0xFF)) pos += 1
+    pos
+  }
+
   /** FULL JPEG pixel decode, pure JVM: huffman entropy decode →
     * dequantize → 8×8 inverse DCT → level shift, per T.81's baseline
-    * sequential process. Closes the last media-format pixel gap
-    * (PNG and WAV decode landed in round 5).
+    * sequential process (SOF0) or the progressive multi-scan process
+    * (SOF2, [[decodeJpegProgressiveCoefficients]]). Closes the last
+    * media-format pixel gap (PNG and WAV decode landed in round 5;
+    * baseline JPEG in round 6; progressive in round 7).
     */
   def decodeJpegPixels(bytes: Array[Byte]): Option[JpegPixels] =
-    decodeJpegCoefficients(bytes).map { case (w, h, nc, samp, cq, blocks) =>
+    decodeJpegCoefficients(bytes)
+      .orElse(decodeJpegProgressiveCoefficients(bytes))
+      .map { case (w, h, nc, samp, cq, blocks) =>
       val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
       val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
       val mcuComp = samp.zipWithIndex

@@ -192,6 +192,53 @@ class MediaOpsSpec extends SparkSpec {
     }
   }
 
+  test("progressive jpeg: multi-scan decode recovers the exact coefficients") {
+    // the successive-approximation + spectral-selection layers are
+    // lossless end-to-end: after all six scans the decoder's blocks
+    // must equal the SAME quantized truth the baseline encoder uses —
+    // this pins DC first/refine, AC first (EOB runs, ZRL, Al point
+    // transform) and the AC refinement walk (correction bits, sign
+    // placement, EOB-run refinement of trailing coefficients)
+    val rnd = new scala.util.Random(47)
+    for (k <- 1 to 10; nc <- Seq(1, 3)) {
+      val w = 1 + rnd.nextInt(60); val h = 1 + rnd.nextInt(60)
+      val seed = rnd.nextInt(1 << 20)
+      val bytes = MediaCodecs.buildJpegProgressive(w, h, nc, seed)
+      // header parse sees a SOF2 frame with the right dims
+      assert(MediaCodecs.parseJpeg(bytes).exists(m =>
+        m.width.contains(w) && m.height.contains(h) && m.channels.contains(nc)))
+      // the baseline path must refuse it (no wrong pixels), the
+      // progressive path must decode it
+      assert(MediaCodecs.decodeJpegCoefficients(bytes).isEmpty)
+      val (dw, dh, dnc, _, _, blocks) =
+        MediaCodecs.decodeJpegProgressiveCoefficients(bytes)
+          .getOrElse(fail(s"no progressive decode w=$w h=$h nc=$nc seed=$seed"))
+      assert(dw == w && dh == h && dnc == nc)
+      val want = MediaCodecs.jpegReferenceCoefficients(w, h, nc, seed)
+      assert(blocks.length == want.length, s"block count w=$w h=$h nc=$nc")
+      blocks.indices.foreach { b =>
+        assert(java.util.Arrays.equals(blocks(b), want(b)),
+          s"block $b w=$w h=$h nc=$nc seed=$seed")
+      }
+    }
+  }
+
+  test("progressive jpeg pixels match the baseline decode exactly") {
+    // same quantized coefficients + same IDCT ⇒ progressive pixel
+    // output must be IDENTICAL to the baseline encoding's, and
+    // therefore inherits its bounded-error-vs-source guarantee
+    for (seed <- Seq(5, 23); nc <- Seq(1, 3); (w, h) <- Seq((64, 48), (33, 17))) {
+      val prog = MediaCodecs.decodeJpegPixels(
+        MediaCodecs.buildJpegProgressive(w, h, nc, seed))
+        .getOrElse(fail(s"no progressive pixel decode w=$w h=$h nc=$nc"))
+      val base = MediaCodecs.decodeJpegPixels(
+        MediaCodecs.buildJpeg(w, h, nc, seed)).get
+      assert(prog.width == w && prog.height == h && prog.channels == nc)
+      assert(java.util.Arrays.equals(prog.pixels, base.pixels),
+        s"pixel mismatch w=$w h=$h nc=$nc seed=$seed")
+    }
+  }
+
   test("jpeg pixel decode reconstructs the source within quantization error") {
     // DCT quantization is the ONLY lossy stage; on the low-slope
     // triangle-wave source the Annex K tables keep the error small.
