@@ -1134,7 +1134,10 @@ object LlmOps {
       SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS rarity_sum,
         round(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_rarity
       FROM j GROUP BY doc_id ORDER BY doc_id"""),
-    (s, dir) => Retrieval.rarity(Tables(s, dir).documents)
+    (s, dir) => Retrieval.RarityCache.statsFor(Tables(s, dir).documents, dir)
+      .select(col("doc_id"), col("n_tokens"), col("rarity_sum"),
+        round(col("rarity_sum").cast("double") / col("n_tokens").cast("double"),
+          4).as("mean_rarity"))
       .orderBy("doc_id"))
 
   /** Curriculum phase assignment — order-of-presentation prep for
@@ -1179,19 +1182,18 @@ object LlmOps {
           + CAST(gd > b3 AS INT) AS INT) AS phase
       FROM g, b ORDER BY doc_id"""),
     (s, dir) => {
-      // persist + eager count: the difficulty frame feeds THREE
-      // consumers (the grid histogram, the corpus count inside
-      // typeOneBoundaries, and the final phase projection) — without
-      // the materialized cache each re-runs the rarity pipeline's
-      // token explode + vocab join (measured at the 256× blow-up:
-      // 52.3 → 39.8 s, and the 22 s single-task histogram-merge
-      // stage left the profile; one narrow row per doc, the
-      // cache-one-row-per-doc rule)
-      val g = Retrieval.rarity(Tables(s, dir).documents)
+      // the difficulty frame feeds THREE consumers (the grid
+      // histogram, the corpus count inside typeOneBoundaries, and the
+      // final phase projection) — each is now a narrow projection of
+      // the SHARED materialized rarity cache (r7 fusion: the same
+      // stats frame d_unigram_rarity serves, built once per corpus
+      // per process instead of re-running the token explode + vocab
+      // join per registry entry; one narrow row per doc, the
+      // cache-one-row-per-doc rule; r6 measured the uncached form at
+      // 52.3 s vs 39.8 s cached at the 256× blow-up)
+      val g = Retrieval.RarityCache.statsFor(Tables(s, dir).documents, dir)
         .select(col("doc_id"), expr("rarity_sum div n_tokens").as("difficulty"))
         .withColumn("gd", expr("difficulty div 1000"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      g.count()
       val b = Quantiles.typeOneBoundaries(g, "gd",
         Seq((1, 4), (1, 2), (3, 4)), Seq("b1", "b2", "b3"))
       g.crossJoin(broadcast(b))

@@ -164,6 +164,42 @@ object Retrieval {
           .as("mean_importance"))
   }
 
+  /** Session-scoped shared rarity stats — the "compute corpus stats
+    * once" shape a real pipeline runs: d_unigram_rarity and
+    * d_curriculum both need the same one-row-per-doc
+    * (doc_id, n_tokens, rarity_sum) frame, and each previously re-ran
+    * the token explode + vocab join per registry entry. Lifecycle:
+    * keyed by corpus identity (the table dir); building stats for a
+    * NEW key retires the previous cache (a long-lived driver pins at
+    * most one corpus's stats — the minhash cache-retirement rule);
+    * [[reset]] covers in-process corpus rewrites. The cached frame is
+    * one narrow row per doc (the cache-one-row-per-doc rule); the
+    * eager count prevents the AQE lazy-cache race.
+    */
+  object RarityCache {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)](null)
+
+    def statsFor(docs: => DataFrame, key: String): DataFrame = synchronized {
+      val cur = ref.get()
+      if (cur != null && cur._1 == key) cur._2
+      else {
+        val df = rarity(docs)
+          .select(col("doc_id"), col("n_tokens"), col("rarity_sum"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        if (cur != null) cur._2.unpersist(false)
+        ref.set((key, df))
+        df
+      }
+    }
+
+    private[graft] def reset(): Unit = synchronized {
+      val cur = ref.getAndSet(null)
+      if (cur != null) cur._2.unpersist(false)
+    }
+  }
+
   def rarity(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val docTerm = docs.select(col(idCol).as("doc_id"),

@@ -110,6 +110,39 @@ object IvfIndex {
     spark.catalog.refreshByPath(s"$dir/codes.parquet")
   }
 
+  /** Compact the codes dataset after many [[append]] batches. Each
+    * append lands its rows as NEW files inside every touched cell
+    * directory, so after N ingest batches a cell holds N small files
+    * — the small-file problem [[TableSink.compact]] exists for, here
+    * inside the index. Routes through TableSink.compact (per-cell
+    * co-located rewrite, hive layout preserved) into a staging dir,
+    * then swaps it in and refreshes the file listing (the rebuild
+    * rule: stale listings resurrect deleted file names). Compaction
+    * only changes file LAYOUT — probe results are bit-identical
+    * before/after (spec-asserted). Returns (files before, after).
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
+    val fs = codes.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.compacting")
+    fs.delete(tmp, true)
+    val counts = TableSink.compact(spark, codes.toString, tmp.toString,
+      targetFileBytes)
+    val old = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.old")
+    fs.delete(old, true)
+    if (!fs.rename(codes, old))
+      sys.error(s"compact: cannot move $codes aside")
+    if (!fs.rename(tmp, codes)) {
+      fs.rename(old, codes) // restore — the index must stay probable
+      sys.error(s"compact: cannot swap $tmp into place")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(s"$dir/codes.parquet")
+    counts
+  }
+
   /** Top-k neighbors for a probe frame ((vec_id, embedding) or any
     * frame with those columns) against a built index.
     */

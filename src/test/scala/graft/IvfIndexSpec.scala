@@ -21,6 +21,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed.sameElements(direct))
   }
 
+  test("compact merges append-era small files; probes bit-identical before/after") {
+    val emb = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    // build on half, then two append batches — every touched cell
+    // directory now holds multiple small files
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), dir, nCells = 4)
+    IvfIndex.append(emb.filter(col("vec_id") % 4 === 1), dir)
+    IvfIndex.append(emb.filter(col("vec_id") % 4 === 3), dir)
+    val probes = emb.limit(7)
+    val before = IvfIndex.topK(spark, dir, probes, k = 5)
+      .collect().map(_.toString).sorted
+    val (nIn, nOut) = IvfIndex.compact(spark, dir)
+    assert(nOut < nIn, s"compact $nIn -> $nOut files")
+    // layout-only change: same rows, bit for bit
+    val after = IvfIndex.topK(spark, dir, probes, k = 5)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+    // compaction is idempotent and keeps the hive cell layout
+    val cellDirs = new java.io.File(s"$dir/codes.parquet").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    val again = IvfIndex.compact(spark, dir)
+    assert(again._2 <= nOut)
+    assert(IvfIndex.topK(spark, dir, probes, k = 5)
+      .collect().map(_.toString).sorted.sameElements(before))
+  }
+
   test("registered d_ann_topk routes through the session index and matches ivfTopK") {
     graft.sources.AnnIndexCache.reset()
     val emb = Tables(spark, sf).embeddings

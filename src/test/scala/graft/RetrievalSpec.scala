@@ -129,6 +129,24 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2L)._3 > out(1L)._3, "doc with the rare token scores higher")
   }
 
+  test("rarity cache: shared stats equal direct rarity; new key retires the old cache") {
+    import graft.operators.Retrieval.RarityCache
+    RarityCache.reset()
+    val docs = Tables(spark, sf).documents
+    val direct = Retrieval.rarity(docs)
+      .select("doc_id", "n_tokens", "rarity_sum")
+      .collect().map(_.toString).sorted
+    val cached = RarityCache.statsFor(docs, s"$sf#r1")
+    assert(cached.collect().map(_.toString).sorted.sameElements(direct))
+    // same key → the SAME cached frame (no rebuild)
+    assert(RarityCache.statsFor(docs, s"$sf#r1") eq cached)
+    // new key → rebuilt, old cache retired; results still correct
+    val next = RarityCache.statsFor(docs, s"$sf#r2")
+    assert(!(next eq cached))
+    assert(next.collect().map(_.toString).sorted.sameElements(direct))
+    RarityCache.reset()
+  }
+
   test("importance: on-target docs outscore off-target, smoothing keeps weights defined") {
     import spark.implicits._
     val d = Seq(
