@@ -235,6 +235,16 @@ object Similarity {
     */
   private[graft] def cellSelect(vec: Column, cents: Array[Array[Float]],
       nProbe: Int, coarse: Boolean = true): Column = {
+    val (flat, supers, cellSuper, dim) = selectionArrays(cents, coarse)
+    graft.plans.native.ivfCellSelect(vec, flat, supers, cellSuper, dim,
+      nSuper = math.max(4, nProbe), nProbe = nProbe)
+  }
+
+  /** The flat centroid table + optional coarse level behind
+    * [[cellSelect]] / the fused label-prop kernel.
+    */
+  private def selectionArrays(cents: Array[Array[Float]], coarse: Boolean)
+      : (Array[Float], Array[Float], Array[Int], Int) = {
     val cells = cents.length
     val dim = if (cells == 0) 0 else cents(0).length
     val flat = new Array[Float](cells * dim)
@@ -244,8 +254,7 @@ object Similarity {
       if (coarse && cells > CoarseCells)
         coarsen(cents, math.max(16, math.ceil(math.sqrt(cells * 2.0)).toInt))
       else (Array.empty[Float], Array.empty[Int])
-    graft.plans.native.ivfCellSelect(vec, flat, supers, cellSuper, dim,
-      nSuper = math.max(4, nProbe), nProbe = nProbe)
+    (flat, supers, cellSuper, dim)
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into k Voronoi
@@ -307,7 +316,7 @@ object Similarity {
     */
   private def ivfScan(assigned: DataFrame, probes: DataFrame,
       model: org.apache.spark.ml.clustering.KMeansModel, k: Int,
-      nProbe: Int, broadcastProbes: Boolean = true): DataFrame = {
+      nProbe: Int): DataFrame = {
     // probe → its nProbe nearest cells: one native per-row selection
     // ([[cellSelect]] — zero shuffle; the sq8 code/scale compute once
     // per probe row before the explode replicates them nProbe×)
@@ -347,17 +356,12 @@ object Similarity {
     // candidate scan on a single task (measured 13.5 s of a 16 s e2e
     // at the 64× blow-up). With the hint, the scan runs across the
     // cached code partitions and the heap partials stay map-side.
-    // broadcast DIRECTION follows which side is small by the op's
-    // premise: ANN probes a thin probe set against a big corpus
-    // (broadcast probes — the AQE single-task trap note above);
-    // label propagation inverts that (probes = the whole unlabeled
-    // corpus, index = the small seed set), so there the seed CODES
-    // broadcast and the probe side streams — a corpus-sized probe
-    // broadcast would pin probes x nProbe x ~100 B on the driver and
-    // every executor, unbounded at scale
-    val survivors = (if (broadcastProbes)
-        codes.join(broadcast(probeCells), Seq("cell"))
-      else probeCells.join(broadcast(codes), Seq("cell")))
+    // (broadcast DIRECTION follows which side is small by the op's
+    // premise: ANN probes a thin probe set against a big corpus.
+    // Label propagation inverts that premise — its scan is now the
+    // fused LabelPropPredict kernel over a broadcast seed index, no
+    // longer this join.)
+    val survivors = codes.join(broadcast(probeCells), Seq("cell"))
       .filter(col("probe_id") =!= col("vec_id"))
       .withColumn("qcos",
         col("qs_p") * col("qs")
@@ -413,13 +417,22 @@ object Similarity {
     majorityVote(ranked.select(col("probe_id"), col("seed_label")))
   }
 
-  /** The IVF-SQ scale path for label propagation: KMeans cells are
-    * fit on the SEED set (the searchable corpus here — neighbors must
-    * be seeds, so only seeds are indexed), probes scan nProbe cells
-    * of int8 seed codes through the bounded-heap top-k, survivors
-    * re-rank exactly, and the k nearest seeds vote. Rows-only
-    * (KMeans + SQ8 are engine-specific); spec-gated on agreement with
-    * [[labelPropagateExact]].
+  /** The IVF scale path for label propagation: KMeans cells are fit
+    * on the SEED set (the searchable corpus here — neighbors must be
+    * seeds, so only seeds are indexed) and the ENTIRE
+    * select-cells → scan → rank → vote pipeline is ONE native
+    * expression per probe row over a broadcast per-cell seed index
+    * ([[graft.plans.native.LabelPropPredict]], round 7) — the op is a
+    * zero-shuffle narrow projection of the unlabeled corpus after the
+    * fit. Sound at scale by the op's premise: the seed set is
+    * hand-labeled ≪ corpus (it already BROADCAST as the r6 scan's
+    * build side; collecting it driver-side to build the index is the
+    * same memory class). History of the wall this replaces: 500-cell
+    * probe-broadcast 74.0 s at 64× → 128-cell 53.4 → seed-broadcast
+    * ivfScan 34.3 (r6) → native cell selection 27.1 (r7) → fused
+    * kernel (this form). Rows-only (KMeans is engine-specific);
+    * spec-gated on agreement with [[labelPropagateExact]], exact
+    * equality when the scan is exhaustive.
     */
   def labelPropagate(emb: DataFrame, seedFilter: Column, k: Int = 5,
       nCells: Int = 0, nProbe: Int = 4, trainSample: Int = 2000): DataFrame = {
@@ -429,42 +442,51 @@ object Similarity {
     val seedBase = base.filter(seedFilter)
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sizing count doubles as the cache materialization (ivfTopK rule)
-    // 128-vector cells, not ivfTopK's 500 (the knnGraph sizing): the
-    // probe side here is the whole UNLABELED corpus (~4× the seeds at
-    // a 20% seed rate), so candidate volume — probes·nProbe·cellSize
-    // rows through the scan — dominates end-to-end, and the scan is
-    // probe-parallel only with the flipped broadcast (ivfScan
-    // broadcastProbes = false). Measured at the 64× blow-up (102k
-    // probes × 25.6k seeds), cumulative: 500-vector cells +
-    // probe-broadcast 74.0 s e2e → 128-vector cells 53.4 s →
-    // seed-codes broadcast 34.3 s.
-    val cells = autoCells(seedBase.count(), nCells,
-      targetCellSize = 128, maxCells = 2048)
+    // sizing count doubles as the cache materialization (ivfTopK
+    // rule); 128-vector cells (the knnGraph sizing) — the probe side
+    // is the whole unlabeled corpus, so per-probe scan volume
+    // (nProbe · cellSize vectors) is the direct per-probe cost
+    val nSeeds = seedBase.count()
+    require(nSeeds > 0, "labelPropagate needs a nonempty seed set")
+    val cells = autoCells(nSeeds, nCells, targetCellSize = 128,
+      maxCells = 2048)
     val model = fitKMeans(seedBase, cells, trainSample, initMode = "random")
-    val assignedSeeds = model.transform(seedBase)
-      .withColumnRenamed("prediction", "cell")
-      .drop("features")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assignedSeeds.count()
+    // the assigned seed set collects driver-side into the per-cell
+    // index (cell-grouped, id-ordered) and ships once per executor
+    val rows = model.transform(seedBase)
+      .select(col("prediction").as("cell"), col("vec_id"), col("label"),
+        col("embedding"), col("nrm"))
+      .collect()
+      .sortBy(r => (r.getInt(0), r.getLong(1)))
     seedBase.unpersist()
-    val probes = base.filter(!seedFilter)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
-        col("nrm").as("nrm_p"))
-    val nn = ivfScan(assignedSeeds, probes, model, k, nProbe,
-      broadcastProbes = false)
-    // k nearest seeds vote; seed labels re-join on neighbor id
-    // (seed-count rows — the broadcastable side of this join)
-    val out = majorityVote(nn
-        .join(broadcast(assignedSeeds.select(col("vec_id").as("neighbor_id"),
-          col("label").as("seed_label"))), "neighbor_id")
-        .select(col("probe_id"), col("seed_label")))
-      // probe-sized result pinned so the seed cache can release now
-      // (the ivfTopK unpersist rationale)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    assignedSeeds.unpersist()
-    out
+    val centArr = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val (flat, supers, cellSuper, dim) = selectionArrays(centArr, coarse = true)
+    val n = rows.length
+    val cellOff = new Array[Int](centArr.length + 1)
+    val ids = new Array[Long](n); val labels = new Array[Int](n)
+    val nrms = new Array[Double](n); val vecs = new Array[Float](n * dim)
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      cellOff(r.getInt(0) + 1) += 1
+      ids(i) = r.getLong(1); labels(i) = r.getInt(2)
+      nrms(i) = r.getDouble(4)
+      val v = r.getSeq[Float](3)
+      var j = 0
+      val dd = math.min(dim, v.length)
+      while (j < dd) { vecs(i * dim + j) = v(j); j += 1 }
+      i += 1
+    }
+    var c = 0
+    while (c < centArr.length) { cellOff(c + 1) += cellOff(c); c += 1 }
+    val bc = emb.sparkSession.sparkContext.broadcast(
+      graft.plans.NativeImpl.SeedIndex(cellOff, ids, labels, nrms, vecs, dim))
+    base.filter(!seedFilter)
+      .select(col("vec_id"),
+        graft.plans.native.labelPropPredict(col("embedding"), flat, supers,
+          cellSuper, dim, math.max(4, nProbe), nProbe, k, bc).as("__p"))
+      .select(col("vec_id"), col("__p.pred_label").as("pred_label"),
+        col("__p.n_votes").as("n_votes"))
   }
 
   /** (probe_id, seed_label) votes → (vec_id, pred_label, n_votes):

@@ -422,7 +422,17 @@ object NativeImpl {
   def ivfCellSelect(probe: ArrayData, cents: Array[Float],
       cc: Array[Double], supers: Array[Float], ss: Array[Double],
       cellSuper: Array[Int], dim: Int, nSuper: Int,
-      nProbe: Int): ArrayData = {
+      nProbe: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(ivfCellSelectCore(probe, cents, cc,
+      supers, ss, cellSuper, dim, nSuper, nProbe))
+
+  /** Core of [[ivfCellSelect]], returning the raw int[] (reused by
+    * the fused label-propagation kernel).
+    */
+  def ivfCellSelectCore(probe: ArrayData, cents: Array[Float],
+      cc: Array[Double], supers: Array[Float], ss: Array[Double],
+      cellSuper: Array[Int], dim: Int, nSuper: Int,
+      nProbe: Int): Array[Int] = {
     val d = math.min(dim, probe.numElements())
     // pp once per probe; per-candidate dist2 = (pp - 2·dot) + cc in
     // the Column form's association order so doubles agree bit-for-bit
@@ -470,8 +480,96 @@ object NativeImpl {
         sz = topInto(bd, bi, sz, dist2(cents, cc, c), c)
       c += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(
-      if (sz == bi.length) bi else java.util.Arrays.copyOf(bi, sz))
+    if (sz == bi.length) bi else java.util.Arrays.copyOf(bi, sz)
+  }
+
+  /** The per-cell seed index the fused label-propagation kernel scans
+    * — built driver-side (the op's premise: seeds are hand-labeled ≪
+    * corpus, so the whole labeled set broadcasts like any dimension
+    * table) and shipped once per executor as a Spark broadcast.
+    * Seeds are grouped by KMeans cell: `cellOff(c) until cellOff(c+1)`
+    * indexes `ids`/`labels`/`nrms` and row `i` of the row-major
+    * `vecs`.
+    */
+  final case class SeedIndex(cellOff: Array[Int], ids: Array[Long],
+      labels: Array[Int], nrms: Array[Double], vecs: Array[Float],
+      dim: Int)
+
+  /** See [[native.LabelPropPredict]]: cell selection + seed scan +
+    * exact cosine ranking + majority vote, one pass per probe row.
+    * Returns (predicted label, votes for it).
+    */
+  def labelPropPredict(probe: ArrayData, cents: Array[Float],
+      cc: Array[Double], supers: Array[Float], ss: Array[Double],
+      cellSuper: Array[Int], dim: Int, nSuper: Int, nProbe: Int,
+      k: Int, seeds: SeedIndex): InternalRow = {
+    val d = math.min(dim, probe.numElements())
+    var pp = 0.0
+    var i = 0
+    while (i < d) { val x = probe.getFloat(i).toDouble; pp += x * x; i += 1 }
+    val nrmP = math.sqrt(pp)
+    // top-k by (gridKey desc, seed id asc) — the ivfScan re-rank
+    // ordering exactly (floor(cos·1e6 + 0.5) like Catalyst's floor)
+    val bk = new Array[Long](k)
+    val bid = new Array[Long](k)
+    val blab = new Array[Int](k)
+    var sz = 0
+    def scanCell(c: Int): Unit = {
+      var s = seeds.cellOff(c)
+      val end = seeds.cellOff(c + 1)
+      while (s < end) {
+        var dot = 0.0
+        var j = 0
+        val off = s * seeds.dim
+        val dd = math.min(d, seeds.dim)
+        while (j < dd) {
+          dot += probe.getFloat(j).toDouble * seeds.vecs(off + j).toDouble
+          j += 1
+        }
+        val cos = dot / (nrmP * seeds.nrms(s))
+        val key = Math.floor(cos * 1000000.0 + 0.5).toLong
+        val id = seeds.ids(s)
+        if (sz < k || key > bk(sz - 1) || (key == bk(sz - 1) && id < bid(sz - 1))) {
+          var j2 = if (sz < k) sz else k - 1
+          while (j2 > 0 && (key > bk(j2 - 1)
+              || (key == bk(j2 - 1) && id < bid(j2 - 1)))) {
+            bk(j2) = bk(j2 - 1); bid(j2) = bid(j2 - 1); blab(j2) = blab(j2 - 1)
+            j2 -= 1
+          }
+          bk(j2) = key; bid(j2) = id; blab(j2) = seeds.labels(s)
+          if (sz < k) sz += 1
+        }
+        s += 1
+      }
+    }
+    val sel = ivfCellSelectCore(probe, cents, cc, supers, ss, cellSuper,
+      dim, nSuper, nProbe)
+    var ci = 0
+    while (ci < sel.length) { scanCell(sel(ci)); ci += 1 }
+    if (sz == 0) {
+      // every selected cell was empty (possible with random-init
+      // KMeans on small seed sets): fall back to an exhaustive scan
+      // so the prediction stays TOTAL over the probes
+      var c = 0
+      val nCells = cellSuper.length.max(cc.length)
+      while (c < nCells) { scanCell(c); c += 1 }
+    }
+    // callers guarantee a nonempty seed set (labelPropagate requires
+    // it), so the exhaustive fallback always finds candidates; the
+    // zero row is defensive only
+    if (sz == 0) return InternalRow(0, 0L)
+    // majority vote over the k nearest, ties to the SMALLER label
+    var bestLab = 0; var bestN = 0
+    var a = 0
+    while (a < sz) {
+      val lab = blab(a)
+      var n = 0
+      var b = 0
+      while (b < sz) { if (blab(b) == lab) n += 1; b += 1 }
+      if (n > bestN || (n == bestN && lab < bestLab)) { bestLab = lab; bestN = n }
+      a += 1
+    }
+    InternalRow(bestLab, bestN.toLong)
   }
 }
 
@@ -1187,6 +1285,53 @@ object native {
       copy(child = c)
   }
 
+  /** Fused label-propagation prediction (round 7): per probe row —
+    * coarse/exhaustive cell selection, exact-cosine scan of the seed
+    * vectors in the selected cells, top-k by (gridKey desc, seed id),
+    * majority vote (ties → smaller label) — ONE native pass over a
+    * BROADCAST seed index. The previous shape pushed
+    * probes·nProbe·cellSize candidate rows (210M at the 256× blow-up)
+    * through a TypedImperativeAggregate boundary plus a re-rank join
+    * and a vote shuffle; with the seed set bounded by the op's
+    * premise (hand-labeled ≪ corpus — it already broadcast as the
+    * scan's build side), the whole scan collapses to a zero-shuffle
+    * narrow projection. Returns struct(pred_label, n_votes); null
+    * only for a null probe vector.
+    */
+  case class LabelPropPredict(child: Expression, cents: Array[Float],
+      supers: Array[Float], cellSuper: Array[Int], dim: Int,
+      nSuper: Int, nProbe: Int, k: Int,
+      seeds: org.apache.spark.broadcast.Broadcast[NativeImpl.SeedIndex])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("pred_label", IntegerType, nullable = false),
+      StructField("n_votes", LongType, nullable = false)))
+
+    @transient private lazy val cc = NativeImpl.selfDots(cents, dim)
+    @transient private lazy val ss = NativeImpl.selfDots(supers, dim)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.labelPropPredict(input.asInstanceOf[ArrayData], cents, cc,
+        supers, ss, cellSuper, dim, nSuper, nProbe, k, seeds.value)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val centsRef = ctx.addReferenceObj("lpCents", cents, "float[]")
+        val ccRef = ctx.addReferenceObj("lpCc", cc, "double[]")
+        val supRef = ctx.addReferenceObj("lpSupers", supers, "float[]")
+        val ssRef = ctx.addReferenceObj("lpSs", ss, "double[]")
+        val csRef = ctx.addReferenceObj("lpCellSuper", cellSuper, "int[]")
+        val bcRef = ctx.addReferenceObj("lpSeeds", seeds,
+          "org.apache.spark.broadcast.Broadcast")
+        s"${ev.value} = graft.plans.NativeImpl.labelPropPredict($arr, " +
+          s"$centsRef, $ccRef, $supRef, $ssRef, $csRef, $dim, $nSuper, " +
+          s"$nProbe, $k, (graft.plans.NativeImpl.SeedIndex) $bcRef.value());"
+      })
+
+    override protected def withNewChildInternal(c: Expression): LabelPropPredict =
+      copy(child = c)
+  }
+
   case class SharedGramCount(left: Expression, right: Expression, n: Int)
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
@@ -1358,4 +1503,11 @@ object native {
       cellSuper: Array[Int], dim: Int, nSuper: Int, nProbe: Int): Column =
     column(IvfCellSelect(expression(vec), cents, supers, cellSuper, dim,
       nSuper, nProbe))
+
+  def labelPropPredict(vec: Column, cents: Array[Float],
+      supers: Array[Float], cellSuper: Array[Int], dim: Int, nSuper: Int,
+      nProbe: Int, k: Int,
+      seeds: org.apache.spark.broadcast.Broadcast[NativeImpl.SeedIndex]): Column =
+    column(LabelPropPredict(expression(vec), cents, supers, cellSuper, dim,
+      nSuper, nProbe, k, seeds))
 }
