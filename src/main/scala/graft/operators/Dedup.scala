@@ -323,12 +323,14 @@ object Dedup {
     // value (bandedIds hashes lit(j) first), so dropping the band
     // column from the keys is pair-equivalent up to 2^-64 cross-band
     // hash collisions — which only ADD candidates the exact-jaccard
-    // verify rejects. Candidate generation is the SINGLE-SHUFFLE
-    // sorted-run form (r7 A/B at the 256× stress, MinhashProfile:
+    // verify rejects. Candidate generation is volume-gated
+    // ([[candidatePairs]]): the single-shuffle sorted-run form at
+    // blow-up scale (r7 A/B at the 256× stress, MinhashProfile:
     // sorted runs 4.6 s vs count+semi 7.0-10.0 s vs collect-all
-    // 10.3 s — one exchange of the n·bands rows instead of two, and
-    // no per-bucket aggregation buffers at all).
-    val cands = sortedRunCandidatePairs(kept, "bucket", "doc_id", maxBucket)
+    // 10.3 s), the two-pass count+semi form below ~2M banded rows
+    // where sorted-run's fixed overhead dominates.
+    val cands = candidatePairs(kept, "bucket", "doc_id", maxBucket,
+      corpusRows * Bands)
     val sh = signed.select(col("doc_id"), col("shingles"))
     // (measured, not guessed: verifying over xxhash64'd shingle arrays
     // — 8-byte longs instead of strings in the join shuffle — timed
@@ -416,6 +418,28 @@ object Dedup {
         greatest(col("da"), col("db")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Candidate generation with the form chosen by banded-row volume:
+    * the single-shuffle sorted-run scan wins at blow-up scale (4.6 s
+    * vs 7-10 s for count+semi at the 256× stress) but its
+    * mapPartitions tuple encode/decode + repartition carry ~0.5 s of
+    * fixed overhead that dominates at sf scale, where the two-pass
+    * count+semi form is cheaper. The two forms produce the IDENTICAL
+    * pair set (same ≥2 / cut-whole-cap predicates; spec-asserted), so
+    * the choice is pure physics — the size-gate pattern, applied to
+    * candgen.
+    */
+  private[graft] def candidatePairs(rows: DataFrame, bucketCol: String,
+      idCol: String, maxBucket: Int, estRows: Long): DataFrame =
+    if (estRows >= SortedRunRows)
+      sortedRunCandidatePairs(rows, bucketCol, idCol, maxBucket)
+    else bucketCandidatePairs(rows, Seq(bucketCol), idCol, maxBucket)
+
+  /** Banded-row volume above which sorted-run candgen wins (~2M rows:
+    * the 64× blow-up sits at 5.1M — sorted-run; sf0.1 at 320k —
+    * count+semi).
+    */
+  private[graft] val SortedRunRows = 2L * 1000 * 1000
 
   /** Single-shuffle candidate generation (the round-7 measured
     * alternative to [[bucketCandidatePairs]]): repartition the
@@ -615,10 +639,16 @@ object Dedup {
     // row per doc and feeds the verify joins too.
     val fps = base.select(col("doc_id"),
       explode(graft.plans.native.winnowing(col("text"), k, w)).as("fp"))
-    // single-shuffle sorted-run candgen (the minhashLsh r7 form):
-    // singleton fingerprint runs — the vast majority — emit nothing,
-    // and the 96 M-row explode crosses exactly ONE exchange
-    val cands = sortedRunCandidatePairs(fps, "fp", "doc_id", maxBucket)
+    // the doc count is a parquet-metadata-cheap aggregate over the id
+    // column only; it feeds both the candgen volume gate and the
+    // verify-join size gate
+    val corpusRows = base.select(col("doc_id")).count()
+    // volume-gated candgen (the minhashLsh r7 form): singleton
+    // fingerprint runs — the vast majority — emit nothing, and at
+    // scale the 96 M-row explode crosses exactly ONE exchange;
+    // ~len/w ≈ 90 winnowing fingerprints per doc is the row estimate
+    val cands = candidatePairs(fps, "fp", "doc_id", maxBucket,
+      corpusRows * 90L)
     // verify joins mirror minhashLsh's build-side rule exactly:
     // join 1 builds the CANDIDATE pair ids (bounded, a few bytes
     // each) and streams the corpus text; join 2 goes through the
@@ -626,9 +656,7 @@ object Dedup {
     // small corpora, sort-merge beyond, where an unspillable
     // corpus-sized build is the round-5 256× OOM class. (The r4 form
     // hinted the corpus TEXT side as the hash build on BOTH joins
-    // unconditionally.) The doc count is a parquet-metadata-cheap
-    // aggregate over the id column only.
-    val corpusRows = base.select(col("doc_id")).count()
+    // unconditionally.)
     cands.hint("shuffle_hash")
       .join(base.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
         "doc_a")

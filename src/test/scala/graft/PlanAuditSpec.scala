@@ -151,27 +151,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("substring dedup generates candidates by sorted runs, verifies hash-joined") {
+  test("substring dedup generates candidates by bucket aggregation, verifies hash-joined") {
+    // spec scale sits under the sorted-run volume threshold → the
+    // two-pass count+semi candgen; never a fps⋈fps self-join
     val p = planOf("d_substr_dedup")
     val finalPlan = p.split("== Initial Plan ==").head
-    // candidates come from the single-shuffle sorted-run scan over
-    // the fingerprint explode, never a fps⋈fps self-join; text
-    // re-joins are hinted
-    assert(finalPlan.contains("MapPartitions"), p)
+    assert(finalPlan.contains("LeftSemi"), p)
     assert(finalPlan.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("minhash candidates: single-shuffle sorted runs, then spill-safe verify") {
+  test("minhash candidates: volume-gated candgen, then spill-safe verify") {
+    // at spec scale the volume gate picks the two-pass count+semi
+    // form (banded rows ≪ the sorted-run threshold)
     val p = planOf("d_minhash_lsh")
     val finalPlan = p.split("== Initial Plan ==").head
-    // the r7 candidate pass: band rows cross ONE exchange
-    // (repartition by bucket), sort within partitions, pairs emitted
-    // per run — no semi join, no per-bucket aggregation buffers
-    assert(finalPlan.contains("MapPartitions"), p)
-    assert(finalPlan.contains("Sort"), p)
+    assert(finalPlan.contains("LeftSemi"), p)
     assert(finalPlan.contains("ShuffledHashJoin"), p) // verify join 1
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the blow-up form: ONE exchange (repartition by bucket) +
+    // in-partition sort + per-run pair emission — no semi join, no
+    // per-bucket aggregation buffers
+    val banded = operators.Dedup.bandedIds(
+      operators.Dedup.minhashSignature(Tables(spark, sf).documents,
+        "text", "doc_id"))
+      .select("bucket", "doc_id")
+    val sr = operators.Dedup.sortedRunCandidatePairs(
+      banded, "bucket", "doc_id", 0)
+    sr.collect()
+    val srPlan = sr.queryExecution.executedPlan.toString
+    assert(srPlan.contains("MapPartitions"), srPlan)
+    assert(!srPlan.contains("LeftSemi"), srPlan)
+    assert("Exchange".r.findAllIn(
+      srPlan.split("== Initial Plan ==").head).length <= 2, srPlan)
+    // and the two candgen forms produce the identical pair set
+    val cs = operators.Dedup.bucketCandidatePairs(
+      banded, Seq("bucket"), "doc_id", 0)
+      .collect().map(_.toString).sorted
+    assert(sr.collect().map(_.toString).sorted.sameElements(cs))
     // verify join 2 runs through the SIZE GATE: hash at this spec
     // scale (the whole corpus fits a task budget), sort-merge once
     // the estimated relation exceeds it — an unspillable
