@@ -771,28 +771,30 @@ object Similarity {
           .select(col("src"), explode(col("tops")).as("t"))
           .select(col("src"), col("t.id").as("dst"), col("t.score").as("cos"))
       } else {
-        val codes = assigned.select(col("cell"), col("vec_id"),
-          graft.plans.native.sq8Code(col("embedding")).as("code"),
-          graft.plans.native.sq8Scale(col("embedding")).as("qs"),
-          col("nrm"))
         val m = k + 8 // margin covers SQ8 rank jitter; recall spec-gated
-        val survivors = codes
-          .select(col("cell"), col("vec_id").as("src"),
-            col("code").as("code_a"), col("qs").as("qs_a"),
-            col("nrm").as("nrm_a"))
-          .join(codes.select(col("cell"), col("vec_id").as("dst"),
-            col("code").as("code_b"), col("qs").as("qs_b"),
-            col("nrm").as("nrm_b")), Seq("cell"))
-          .filter(col("src") =!= col("dst"))
-          .withColumn("qcos",
-            col("qs_a") * col("qs_b")
-              * graft.plans.native.byteDot(col("code_a"), col("code_b"))
-                .cast("double")
-              / (col("nrm_a") * col("nrm_b")))
-          .groupBy("src")
-          .agg(graft.plans.BoundedTopK.boundedTopK(col("qcos"), col("dst"), m)
-            .as("tops"))
-          .select(col("src"), explode(col("tops.id")).as("dst"))
+        // The within-cell SQ8 scan as a SORTED CELL-RUN pass (round 7
+        // — the sorted-run candgen pattern one level deeper): ONE
+        // exchange co-locates each cell, an in-partition sort groups
+        // it, and a tight per-cell loop computes every vector's top-m
+        // by integer dot in primitive arrays. The former
+        // self-join + BoundedTopK form materialized the Σ cell²
+        // candidate rows through the join and paid the
+        // TypedImperativeAggregate boundary (~1 µs/row) on every one;
+        // here the quadratic work never leaves the loop. Same
+        // survivor ordering ((qcos desc, dst asc) — the BoundedTopK
+        // total order), exact float re-rank downstream unchanged.
+        val spark0 = assigned.sparkSession
+        import spark0.implicits._
+        val survivors = assigned
+          .select(col("cell").cast("long"), col("vec_id"),
+            graft.plans.native.sq8Code(col("embedding")),
+            graft.plans.native.sq8Scale(col("embedding")),
+            col("nrm"))
+          .as[(Long, Long, Array[Byte], Double, Double)]
+          .repartition(col("cell"))
+          .sortWithinPartitions("cell")
+          .mapPartitions(it => cellRunTopM(it, m))
+          .toDF("src", "dst")
         val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
         survivors
           .join(emb2.select(col("vec_id").as("src"),
@@ -823,6 +825,83 @@ object Similarity {
       .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
         col("x.cos").as("cos"))
   }
+
+  /** Per-cell top-m scan over sorted cell runs (the knnGraph blocked
+    * path): buffers one cell's (id, code, scale, norm) rows, then for
+    * every vector ranks its cell-mates by the SQ8 integer-dot cosine
+    * — (qcos desc, id asc), the BoundedTopK total order — and emits
+    * (src, dst) survivor pairs. Quadratic work stays in primitive
+    * arrays inside the loop; nothing quadratic crosses an operator
+    * boundary. Cell size is bounded by design (autoCells + the SRP
+    * sub-split), so the buffer is ~hundreds of rows.
+    */
+  private def cellRunTopM(it: Iterator[(Long, Long, Array[Byte], Double, Double)],
+      m: Int): Iterator[(Long, Long)] =
+    new Iterator[(Long, Long)] {
+      private val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      private val codes = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      private val qs = new scala.collection.mutable.ArrayBuffer[Double]()
+      private val nrms = new scala.collection.mutable.ArrayBuffer[Double]()
+      private var runCell = 0L
+      private var out: Iterator[(Long, Long)] = Iterator.empty
+
+      private def flush(): Iterator[(Long, Long)] = {
+        val n = ids.length
+        if (n < 2) { clearRun(); return Iterator.empty }
+        val res = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * math.min(m, n - 1))
+        val bs = new Array[Double](m); val bi = new Array[Long](m)
+        var i = 0
+        while (i < n) {
+          var sz = 0
+          var j = 0
+          while (j < n) {
+            if (j != i) {
+              val a = codes(i); val b = codes(j)
+              val dd = math.min(a.length, b.length)
+              var acc = 0L; var x = 0
+              while (x < dd) { acc += a(x).toLong * b(x).toLong; x += 1 }
+              val q = qs(i) * qs(j) * acc.toDouble / (nrms(i) * nrms(j))
+              val id = ids(j)
+              if (sz < m || q > bs(sz - 1)
+                  || (q == bs(sz - 1) && id < bi(sz - 1))) {
+                var p = if (sz < m) sz else m - 1
+                while (p > 0 && (q > bs(p - 1)
+                    || (q == bs(p - 1) && id < bi(p - 1)))) {
+                  bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
+                }
+                bs(p) = q; bi(p) = id
+                if (sz < m) sz += 1
+              }
+            }
+            j += 1
+          }
+          var e = 0
+          while (e < sz) { res += ((ids(i), bi(e))); e += 1 }
+          i += 1
+        }
+        clearRun()
+        res.iterator
+      }
+      private def clearRun(): Unit = {
+        ids.clear(); codes.clear(); qs.clear(); nrms.clear()
+      }
+      private def advance(): Unit = {
+        while (!out.hasNext && (it.hasNext || ids.nonEmpty)) {
+          if (!it.hasNext) out = flush()
+          else {
+            val (c, id, code, q, nr) = it.next()
+            if (ids.isEmpty || c == runCell) {
+              runCell = c; ids += id; codes += code; qs += q; nrms += nr
+            } else {
+              out = flush()
+              runCell = c; ids += id; codes += code; qs += q; nrms += nr
+            }
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); out.hasNext }
+      override def next(): (Long, Long) = { advance(); out.next() }
+    }
 
   /** Cluster-level corpus report — the curation view behind
     * cluster-based data mixing (partition the corpus in embedding

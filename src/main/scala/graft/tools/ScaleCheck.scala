@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   * with ~8M candidates that all fail) — and the sweep measures how
   * the PLAN scales with data volume, not a planted clique's output.
   *
+  * `SPARK_GRAFT_TAG_EVERY` (default 4) sets the replica tag density:
+  * 4 → replica-pair Jaccard ≈ 0.14, which collides at the
+  * 16×4-banding FP rate (~6.7e-3/pair) — candidate volume grows
+  * QUADRATICALLY in the replica count (the honest template-family
+  * stress; tools/CandCount measures it). 2 → J ≈ 0.05, an order of
+  * magnitude under the FP knee, so candgen stays ~linear and the
+  * sweep measures PLAN scaling without the collision floor — use
+  * this mode for linearity claims at big factors.
+  *
   * Usage: ScaleCheck <sfDir> <factor> <workDir> <query> [query ...]
   */
 object ScaleCheck {
@@ -33,6 +42,7 @@ object ScaleCheck {
       "usage: ScaleCheck <sfDir> <factor> <workDir> <query> [query ...]")
     val Array(sfDir, factorS, workDir) = args.take(3)
     val factor = factorS.toInt
+    val tagEvery = sys.env.getOrElse("SPARK_GRAFT_TAG_EVERY", "4").toInt
     val queries = args.drop(3).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-scale-check")
@@ -57,7 +67,7 @@ object ScaleCheck {
       .select(
         (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "), (w, i) =>
-          when(i % 4 === 0,
+          when(i % tagEvery === 0,
             concat(w, lit("r"), col("rep").cast("string"))).otherwise(w)))
           .as("text"),
         col("lang"), col("source"))
