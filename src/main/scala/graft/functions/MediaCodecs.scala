@@ -921,13 +921,18 @@ object MediaCodecs {
     * at Ah=1/Al=0 for AC and DC).
     */
   def buildJpegProgressive(width: Int, height: Int, channels: Int,
-      seed: Int): Array[Byte] =
+      seed: Int, subsample: Boolean = false): Array[Byte] =
     encodeJpegProgressive(width, height, channels,
-      (x, y, c) => jpegSampleAt(x, y, c, seed), s"graft synthetic $seed")
+      (x, y, c) => jpegSampleAt(x, y, c, seed), s"graft synthetic $seed",
+      subsample)
 
-  /** Encode a sample plane as a progressive (SOF2) JPEG. 1×1 sampling
-    * only (grayscale / 4:4:4) — the fixture generator for the
-    * progressive decode path; subsampled streams stay baseline.
+  /** Encode a sample plane as a progressive (SOF2) JPEG, at 1×1
+    * sampling or (`subsample`, color only) 4:2:0 — the fixture
+    * generator for the progressive decode path. Non-interleaved
+    * scans (every AC scan, and DC when single-component) traverse
+    * the component's OWN block grid (ceil(compW/8) × ceil(compH/8),
+    * T.81 A.2.2) — NOT the MCU-padded grid — so MCU-pad blocks of a
+    * subsampled luma plane carry DC only.
     *
     * Scan script (T.81 Annex G, the shape libjpeg-style encoders
     * emit): interleaved DC first scan at Al=1; per-component AC first
@@ -939,10 +944,11 @@ object MediaCodecs {
     * quantized truth bit-for-bit (spec-pinned).
     */
   def encodeJpegProgressive(width: Int, height: Int, channels: Int,
-      sample: (Int, Int, Int) => Int, comment: String): Array[Byte] = {
+      sample: (Int, Int, Int) => Int, comment: String,
+      subsample: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width < 65536 && height < 65536)
     require(channels == 1 || channels == 3)
-    val samp = samplingFor(channels, subsample = false)
+    val samp = samplingFor(channels, subsample)
     val out = new ByteArrayOutputStream()
     def m(marker: Int): Unit = { out.write(0xFF); out.write(marker) }
     def seg(marker: Int, data: Array[Byte]): Unit = {
@@ -963,7 +969,8 @@ object MediaCodecs {
       (width >>> 8).toByte, (width & 0xFF).toByte,
       channels.toByte) ++
       (1 to channels).flatMap { c =>
-        Seq(c.toByte, 0x11.toByte, (if (c == 1) 0 else 1).toByte)
+        val (hc, vc) = samp(c - 1)
+        Seq(c.toByte, ((hc << 4) | vc).toByte, (if (c == 1) 0 else 1).toByte)
       }
     seg(0xC2, sof) // SOF2: progressive DCT, huffman
     def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
@@ -1007,8 +1014,48 @@ object MediaCodecs {
     }
 
     val blocks = jpegCoefficients(width, height, channels, samp, sample)
-    val nMcus = blocks.length / channels // 1×1: one block per comp per MCU
-    def blockOf(c: Int, mcu: Int): Array[Int] = blocks(mcu * channels + c)
+    val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val nMcus = mcusX * mcusY
+    // per-component MCU-padded block grid, filled in jpegCoefficients'
+    // emission order (MCU raster, components interleaved, h×v raster)
+    val padW = Array.tabulate(channels)(c => mcusX * samp(c)._1)
+    val grid = Array.tabulate(channels)(c =>
+      new Array[Array[Int]](padW(c) * mcusY * samp(c)._2))
+    locally {
+      var bi = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var c = 0
+          while (c < channels) {
+            val (hc, vc) = samp(c)
+            var by = 0
+            while (by < vc) {
+              var bx = 0
+              while (bx < hc) {
+                grid(c)((my * vc + by) * padW(c) + (mx * hc + bx)) = blocks(bi)
+                bi += 1; bx += 1
+              }
+              by += 1
+            }
+            c += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    // the component's REAL block grid (T.81 A.2.2: non-interleaved
+    // scans cover ceil(compW/8) × ceil(compH/8), not the MCU pad)
+    val bw = Array.tabulate(channels) { c =>
+      val fx = hMax / samp(c)._1; ((width + fx - 1) / fx + 7) / 8
+    }
+    val bh = Array.tabulate(channels) { c =>
+      val fy = vMax / samp(c)._2; ((height + fy - 1) / fy + 7) / 8
+    }
     def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
       seg(0xDA, Array[Byte](comps.length.toByte) ++
         comps.flatMap { c =>
@@ -1017,18 +1064,31 @@ object MediaCodecs {
         } ++ Array[Byte](ss.toByte, se.toByte, ((ah << 4) | al).toByte))
 
     // ---- scan 1: DC first, interleaved, Al = 1 (arithmetic shift) --
+    // (per MCU, component c contributes its h×v blocks raster-major;
+    // at channels == 1 / 1×1 this equals the non-interleaved
+    // real-grid traversal the decoder uses for a single-comp scan)
     sos(0 until channels, 0, 0, 0, 1)
     val dcPred = new Array[Int](channels)
     var mcu = 0
     while (mcu < nMcus) {
+      val mx = mcu % mcusX; val my = mcu / mcusX
       var c = 0
       while (c < channels) {
         val t = if (c == 0) 0 else 1
-        val v = blockOf(c, mcu)(0) >> 1
-        val diff = v - dcPred(c); dcPred(c) = v
-        val s = category(diff)
-        putSym(dcTabs(t), s)
-        if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        val (hc, vc) = samp(c)
+        var by = 0
+        while (by < vc) {
+          var bx = 0
+          while (bx < hc) {
+            val v = grid(c)((my * vc + by) * padW(c) + (mx * hc + bx))(0) >> 1
+            val diff = v - dcPred(c); dcPred(c) = v
+            val s = category(diff)
+            putSym(dcTabs(t), s)
+            if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+            bx += 1
+          }
+          by += 1
+        }
         c += 1
       }
       mcu += 1
@@ -1039,9 +1099,10 @@ object MediaCodecs {
     def acFirst(c: Int, ss: Int, se: Int, al: Int): Unit = {
       sos(Seq(c), ss, se, 0, al)
       val t = if (c == 0) 0 else 1
+      val nBlk = bw(c) * bh(c)
       var m2 = 0
-      while (m2 < nMcus) {
-        val zz = blockOf(c, m2)
+      while (m2 < nBlk) {
+        val zz = grid(c)((m2 / bw(c)) * padW(c) + m2 % bw(c))
         var k = ss; var run = 0
         while (k <= se) {
           val v = zz(k)
@@ -1066,9 +1127,10 @@ object MediaCodecs {
     def acRefine(c: Int, ss: Int, se: Int): Unit = {
       sos(Seq(c), ss, se, 1, 0)
       val t = if (c == 0) 0 else 1
+      val nBlk = bw(c) * bh(c)
       var m2 = 0
-      while (m2 < nMcus) {
-        val zz = blockOf(c, m2)
+      while (m2 < nBlk) {
+        val zz = grid(c)((m2 / bw(c)) * padW(c) + m2 % bw(c))
         val pend = new scala.collection.mutable.ArrayBuffer[Int]()
         def flushPend(): Unit = { pend.foreach(b => putBits(b, 1)); pend.clear() }
         // last newly-significant position: ZRLs beyond it fold into
@@ -1115,9 +1177,20 @@ object MediaCodecs {
     sos(0 until channels, 0, 0, 1, 0)
     mcu = 0
     while (mcu < nMcus) {
+      val mx = mcu % mcusX; val my = mcu / mcusX
       var c2 = 0
       while (c2 < channels) {
-        putBits(blockOf(c2, mcu)(0) & 1, 1)
+        val (hc, vc) = samp(c2)
+        var by = 0
+        while (by < vc) {
+          var bx = 0
+          while (bx < hc) {
+            putBits(
+              grid(c2)((my * vc + by) * padW(c2) + (mx * hc + bx))(0) & 1, 1)
+            bx += 1
+          }
+          by += 1
+        }
         c2 += 1
       }
       mcu += 1
@@ -1345,9 +1418,13 @@ object MediaCodecs {
     * lossless end-to-end — spec-pinned).
     *
     * Honest subset, mirroring the baseline decoder's contract: 8-bit
-    * precision, 1×1 sampling (grayscale / 4:4:4 — what
-    * [[encodeJpegProgressive]] emits; subsampled progressive returns
-    * None rather than wrong pixels), no restart intervals.
+    * precision, sampling factors 1 or 2 per axis (grayscale / 4:4:4 /
+    * 4:2:0 / 4:2:2), no restart intervals. Coefficients live on each
+    * component's MCU-padded block grid; interleaved DC scans traverse
+    * MCUs (h×v blocks per component), non-interleaved scans traverse
+    * the component's OWN ceil(compW/8) × ceil(compH/8) grid (T.81
+    * A.2.2) — so a subsampled luma plane's MCU-pad blocks stay
+    * AC-zero, which the pixel assembly never reads.
     */
   private[graft] def decodeJpegProgressiveCoefficients(bytes: Array[Byte])
       : Option[(Int, Int, Int, Array[(Int, Int)], Array[Array[Int]], Array[Array[Int]])] = {
@@ -1359,8 +1436,12 @@ object MediaCodecs {
     var w = 0; var h = 0; var nc = 0
     var sofIds: Array[Int] = null
     var compQ: Array[Int] = null
-    var coefs: Array[Array[Array[Int]]] = null // comp -> block(raster) -> zz
-    var nMcus = 0
+    var samp: Array[(Int, Int)] = null
+    // comp -> padded-grid block index (raster) -> zigzag coefficients
+    var coefs: Array[Array[Array[Int]]] = null
+    var nMcus = 0; var mcusX = 0; var mcusY = 0
+    var padW: Array[Int] = null // comp -> padded block-grid width
+    var bwArr: Array[Int] = null; var bhArr: Array[Int] = null // real grid
     try {
       var i = 2
       var done = false
@@ -1410,16 +1491,31 @@ object MediaCodecs {
                   || p0 + 6 + 3 * nc > pEnd) return None
               sofIds = new Array[Int](nc)
               compQ = new Array[Int](nc)
+              samp = new Array[(Int, Int)](nc)
               var c = 0
               while (c < nc) {
                 sofIds(c) = bytes(p0 + 6 + 3 * c) & 0xFF
                 val hv = bytes(p0 + 7 + 3 * c) & 0xFF
-                if (hv != 0x11) return None // honest subset: 1×1 only
+                val hc = hv >> 4; val vc = hv & 0x0F
+                // the honest subset (as baseline): factors 1 or 2
+                if (hc < 1 || hc > 2 || vc < 1 || vc > 2) return None
+                samp(c) = (hc, vc)
                 compQ(c) = bytes(p0 + 8 + 3 * c) & 0x0F
                 c += 1
               }
-              nMcus = ((w + 7) / 8) * ((h + 7) / 8)
-              coefs = Array.fill(nc, nMcus)(new Array[Int](64))
+              val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+              mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              nMcus = mcusX * mcusY
+              padW = Array.tabulate(nc)(k => mcusX * samp(k)._1)
+              bwArr = Array.tabulate(nc) { k =>
+                val fx = hMax / samp(k)._1; ((w + fx - 1) / fx + 7) / 8
+              }
+              bhArr = Array.tabulate(nc) { k =>
+                val fy = vMax / samp(k)._2; ((h + fy - 1) / fy + 7) / 8
+              }
+              coefs = Array.tabulate(nc)(k =>
+                Array.fill(padW(k) * mcusY * samp(k)._2)(new Array[Int](64)))
             case mk if mk >= 0xC0 && mk <= 0xCF && mk != 0xC2
                 && mk != 0xC4 && mk != 0xC8 && mk != 0xCC =>
               return None // baseline/other frame types: not this path
@@ -1449,7 +1545,8 @@ object MediaCodecs {
               // AC scans start past DC and never interleave
               if (ss == 0 && se != 0) return None
               if (ss > 0 && ns != 1) return None
-              nextI = decodeProgressiveScan(bytes, pEnd, coefs, nMcus, nc,
+              nextI = decodeProgressiveScan(bytes, pEnd, coefs, nc,
+                samp, mcusX, nMcus, padW, bwArr, bhArr,
                 scanComps, scanDc, scanAc, dcTabs, acTabs, ss, se, ah, al)
             case _ => // APPn / COM: skip
           }
@@ -1457,16 +1554,31 @@ object MediaCodecs {
         }
       }
       if (coefs == null) return None
-      val samp = Array.fill(nc)((1, 1))
       val cq = Array.tabulate(nc) { c =>
         val q = qtabs(compQ(c)); if (q == null) throw new JpegDecodeErr; q
       }
-      // interleave back to MCU order for the shared pixel assembly
-      val blocks = new Array[Array[Int]](nMcus * nc)
+      // interleave back to MCU order (h×v blocks per component) for
+      // the shared pixel assembly
+      val blocksPerMcu = samp.map { case (hc, vc) => hc * vc }.sum
+      val blocks = new Array[Array[Int]](nMcus * blocksPerMcu)
+      var bi = 0
       var m2 = 0
       while (m2 < nMcus) {
+        val mx = m2 % mcusX; val my = m2 / mcusX
         var c = 0
-        while (c < nc) { blocks(m2 * nc + c) = coefs(c)(m2); c += 1 }
+        while (c < nc) {
+          val (hc, vc) = samp(c)
+          var by = 0
+          while (by < vc) {
+            var bx = 0
+            while (bx < hc) {
+              blocks(bi) = coefs(c)((my * vc + by) * padW(c) + (mx * hc + bx))
+              bi += 1; bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
         m2 += 1
       }
       Some((w, h, nc, samp, cq, blocks))
@@ -1480,7 +1592,9 @@ object MediaCodecs {
     * state, returns the byte offset of the next marker.
     */
   private def decodeProgressiveScan(bytes: Array[Byte], start: Int,
-      coefs: Array[Array[Array[Int]]], nMcus: Int, nc: Int,
+      coefs: Array[Array[Array[Int]]], nc: Int,
+      samp: Array[(Int, Int)], mcusX: Int, nMcus: Int,
+      padW: Array[Int], bw: Array[Int], bh: Array[Int],
       scanComps: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
       dcTabs: Array[JpegHuff], acTabs: Array[JpegHuff],
       ss: Int, se: Int, ah: Int, al: Int): Int = {
@@ -1512,39 +1626,64 @@ object MediaCodecs {
     }
     var eobrun = 0
     if (ss == 0) {
-      // DC scan — interleaved over the scan's components (1×1
-      // sampling: one data unit per component per MCU)
+      // DC scan. ns > 1: interleaved over MCUs, h×v data units per
+      // scan component; ns == 1: non-interleaved over the component's
+      // real block grid (T.81 A.2.2)
       val dcPred = new Array[Int](nc)
-      var m2 = 0
-      while (m2 < nMcus) {
-        var c = 0
-        while (c < scanComps.length) {
-          val ci = scanComps(c)
-          val zz = coefs(ci)(m2)
-          if (ah == 0) {
-            val t = dcTabs(scanDc(ci))
-            if (t == null) throw new JpegDecodeErr
-            val s = t.decode(nextBit)
-            if (s > 11) throw new JpegDecodeErr
-            dcPred(ci) += receiveExtend(s)
-            zz(0) = dcPred(ci) << al
-          } else {
-            if (nextBit() == 1) zz(0) |= (1 << al)
-          }
-          c += 1
+      def dcUnit(ci: Int, zz: Array[Int]): Unit =
+        if (ah == 0) {
+          val t = dcTabs(scanDc(ci))
+          if (t == null) throw new JpegDecodeErr
+          val s = t.decode(nextBit)
+          if (s > 11) throw new JpegDecodeErr
+          dcPred(ci) += receiveExtend(s)
+          zz(0) = dcPred(ci) << al
+        } else {
+          if (nextBit() == 1) zz(0) |= (1 << al)
         }
-        m2 += 1
+      if (scanComps.length > 1) {
+        var m2 = 0
+        while (m2 < nMcus) {
+          val mx = m2 % mcusX; val my = m2 / mcusX
+          var c = 0
+          while (c < scanComps.length) {
+            val ci = scanComps(c)
+            val (hc, vc) = samp(ci)
+            var by = 0
+            while (by < vc) {
+              var bx = 0
+              while (bx < hc) {
+                dcUnit(ci,
+                  coefs(ci)((my * vc + by) * padW(ci) + (mx * hc + bx)))
+                bx += 1
+              }
+              by += 1
+            }
+            c += 1
+          }
+          m2 += 1
+        }
+      } else {
+        val ci = scanComps(0)
+        val nBlk = bw(ci) * bh(ci)
+        var m2 = 0
+        while (m2 < nBlk) {
+          dcUnit(ci, coefs(ci)((m2 / bw(ci)) * padW(ci) + m2 % bw(ci)))
+          m2 += 1
+        }
       }
     } else {
-      // AC scan — single component (T.81 G: AC scans never interleave)
+      // AC scan — single component (T.81 G: AC scans never
+      // interleave), traversed over the component's real block grid
       if (scanComps.length != 1) throw new JpegDecodeErr
       val ci = scanComps(0)
       val acT = acTabs(scanAc(ci))
       if (acT == null) throw new JpegDecodeErr
       val p1 = 1 << al; val n1 = -1 << al
+      val nBlk = bw(ci) * bh(ci)
       var m2 = 0
-      while (m2 < nMcus) {
-        val zz = coefs(ci)(m2)
+      while (m2 < nBlk) {
+        val zz = coefs(ci)((m2 / bw(ci)) * padW(ci) + m2 % bw(ci))
         if (ah == 0) {
           // first scan in this band: values at precision Al, EOB runs
           if (eobrun > 0) eobrun -= 1

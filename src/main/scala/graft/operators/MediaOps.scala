@@ -244,14 +244,16 @@ object MediaOps {
         case 1 =>
           // cycle gray 4:4:4 / color 4:4:4 / color 4:2:0 (the
           // subsampled layout most real-world JPEGs ship) /
-          // PROGRESSIVE (the multi-scan layout web encoders default
-          // to) — all four pixel-decodable
+          // PROGRESSIVE at 1×1 and 4:2:0 (the multi-scan layouts web
+          // encoders default to) — all five pixel-decodable
           (i.toLong, "image/jpeg", Some(w), Some(h),
-            (i / 4) % 4 match {
+            (i / 4) % 5 match {
               case 0 => MediaCodecs.buildJpeg(w, h, 1, seed = i)
               case 1 => MediaCodecs.buildJpeg(w, h, 3, seed = i)
               case 2 => MediaCodecs.buildJpeg420(w, h, seed = i)
-              case _ => MediaCodecs.buildJpegProgressive(w, h, 3, seed = i)
+              case 3 => MediaCodecs.buildJpegProgressive(w, h, 3, seed = i)
+              case _ => MediaCodecs.buildJpegProgressive(w, h, 3, seed = i,
+                subsample = true)
             })
         case 2 =>
           (i.toLong, "audio/wav", None, None,

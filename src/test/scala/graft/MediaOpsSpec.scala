@@ -239,6 +239,64 @@ class MediaOpsSpec extends SparkSpec {
     }
   }
 
+  test("progressive 4:2:0 jpeg: coefficients exact on the component grids") {
+    // subsampled progressive: non-interleaved scans cover each
+    // component's OWN block grid (T.81 A.2.2), so real-grid blocks
+    // must equal the encoder's quantized truth bit-for-bit while
+    // MCU-pad blocks (luma positions past ceil(compW/8)/ceil(compH/8))
+    // carry exactly the interleaved DC scans' value and zero AC
+    val rnd = new scala.util.Random(53)
+    for (k <- 1 to 8) {
+      val w = 1 + rnd.nextInt(60); val h = 1 + rnd.nextInt(60)
+      val seed = rnd.nextInt(1 << 20)
+      val bytes =
+        MediaCodecs.buildJpegProgressive(w, h, 3, seed, subsample = true)
+      assert(MediaCodecs.decodeJpegCoefficients(bytes).isEmpty)
+      val (dw, dh, dnc, samp, _, blocks) =
+        MediaCodecs.decodeJpegProgressiveCoefficients(bytes)
+          .getOrElse(fail(s"no progressive 4:2:0 decode w=$w h=$h seed=$seed"))
+      assert(dw == w && dh == h && dnc == 3)
+      assert(samp.toSeq == Seq((2, 2), (1, 1), (1, 1)))
+      val want = MediaCodecs.jpegReferenceCoefficients420(w, h, seed)
+      assert(blocks.length == want.length, s"block count w=$w h=$h")
+      val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+      var bi = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until 3) {
+        val (hc, vc) = samp(c)
+        val fx = 2 / hc; val fy = 2 / vc
+        val bwC = ((w + fx - 1) / fx + 7) / 8
+        val bhC = ((h + fy - 1) / fy + 7) / 8
+        for (by <- 0 until vc; bx <- 0 until hc) {
+          if (mx * hc + bx < bwC && my * vc + by < bhC)
+            assert(java.util.Arrays.equals(blocks(bi), want(bi)),
+              s"real block $bi c=$c w=$w h=$h seed=$seed")
+          else {
+            assert(blocks(bi)(0) == want(bi)(0),
+              s"pad DC block $bi c=$c w=$w h=$h seed=$seed")
+            assert(blocks(bi).drop(1).forall(_ == 0),
+              s"pad AC block $bi c=$c w=$w h=$h seed=$seed")
+          }
+          bi += 1
+        }
+      }
+    }
+  }
+
+  test("progressive 4:2:0 pixels match the baseline 4:2:0 decode exactly") {
+    // pad blocks differ from baseline (AC-zero vs coded) but the
+    // pixel assembly never reads them — output must be IDENTICAL
+    for (seed <- Seq(5, 23); (w, h) <- Seq((64, 48), (33, 17), (8, 8))) {
+      val prog = MediaCodecs.decodeJpegPixels(
+        MediaCodecs.buildJpegProgressive(w, h, 3, seed, subsample = true))
+        .getOrElse(fail(s"no progressive 4:2:0 pixel decode w=$w h=$h"))
+      val base = MediaCodecs.decodeJpegPixels(
+        MediaCodecs.buildJpeg420(w, h, seed)).get
+      assert(prog.width == w && prog.height == h && prog.channels == 3)
+      assert(java.util.Arrays.equals(prog.pixels, base.pixels),
+        s"pixel mismatch w=$w h=$h seed=$seed")
+    }
+  }
+
   test("jpeg pixel decode reconstructs the source within quantization error") {
     // DCT quantization is the ONLY lossy stage; on the low-slope
     // triangle-wave source the Annex K tables keep the error small.
