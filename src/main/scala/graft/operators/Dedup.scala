@@ -41,21 +41,52 @@ object Dedup {
     * (64 MB budget at the 8 GB heap ≥ the 64× md5/band builds) while
     * small executors degrade to sort-merge, which spills.
     */
-  private def buildBudgetBytes(df: DataFrame): Long = {
-    val sc = df.sparkSession.sparkContext
+  private def buildBudgetBytes(df: DataFrame): Long =
+    executorMemBytes(df.sparkSession.sparkContext) / 128
+
+  /** Per-executor heap bytes, best effort across masters. */
+  private def executorMemBytes(sc: org.apache.spark.SparkContext): Long = {
     val conf = sc.getConf
-    val execBytes =
-      if (sc.isLocal) Runtime.getRuntime.maxMemory // executors ARE this JVM
-      else LocalClusterMem.findFirstMatchIn(sc.master)
-        // local-cluster[n,c,mem] carries per-executor MB in the master
-        // string and never touches the conf
-        .map(_.group(1).toLong * 1024L * 1024L)
-        // real cluster manager: the conf (Spark's 1g executor default
-        // when unset) — NEVER the driver heap, which on a
-        // big-driver/small-executor cluster overestimates the budget
-        // and re-opens the unspillable-build OOM the gate exists for
-        .getOrElse(conf.getSizeAsBytes("spark.executor.memory", "1g"))
-    execBytes / 128
+    if (sc.isLocal) Runtime.getRuntime.maxMemory // executors ARE this JVM
+    else LocalClusterMem.findFirstMatchIn(sc.master)
+      // local-cluster[n,c,mem] carries per-executor MB in the master
+      // string and never touches the conf
+      .map(_.group(1).toLong * 1024L * 1024L)
+      // real cluster manager: the conf (Spark's 1g executor default
+      // when unset) — NEVER the driver heap, which on a
+      // big-driver/small-executor cluster overestimates the budget
+      // and re-opens the unspillable-build OOM the gate exists for
+      .getOrElse(conf.getSizeAsBytes("spark.executor.memory", "1g"))
+  }
+
+  /** CLUSTER-wide storage budget for an optional derived cache: a
+    * quarter of the aggregate executor heap (per-executor heap × live
+    * executor count). Corpus-sized derived frames (the verify-side
+    * shingle frame) are cached only under this budget — past it the
+    * MEMORY_AND_DISK cache thrashes instead of helping: disk-stored
+    * CachedBatches lose column pruning and re-read the WHOLE row
+    * every scan (the 1024× minhash profile: three 8-task cache scans
+    * at 14-31× their 256× cost while every non-cache stage stayed
+    * ≤ 4× — recomputing the frame from source is linear, the spilled
+    * cache read is a cliff).
+    */
+  private[graft] def cacheBudgetBytes(df: DataFrame): Long = {
+    val sc = df.sparkSession.sparkContext
+    val nExec = math.max(1, sc.getExecutorMemoryStatus.size - 1)
+    executorMemBytes(sc) / 4 * (if (sc.isLocal) 1 else nExec)
+  }
+
+  /** PRE-pass estimate of a source frame's in-memory shingle cache:
+    * optimized-plan sizeInBytes × 5 (measured at the 256× stress:
+    * 203 MB of documents parquet → ~1.0 GB of cached shingle+bucket
+    * rows). Exact-enough for file scans, where sizeInBytes is the
+    * file volume; derived plans propagate inflated sizes, which
+    * errs toward the slim cache — correct either way, just linear
+    * re-derivation instead of a cache hit.
+    */
+  private[graft] def estShingleCacheBytes(docs: DataFrame): Long = {
+    val s = docs.queryExecution.optimizedPlan.stats.sizeInBytes * 5
+    if (s.isValidLong) s.toLong else Long.MaxValue
   }
 
   private val LocalClusterMem =
@@ -66,6 +97,12 @@ object Dedup {
     * shared constant so the estimate and its doc can't drift).
     */
   private[graft] val BandRowBytes = 60L
+
+  /** Measured in-memory bytes of one (id, shingle-array) verify row
+    * (~800 B at the 256× stress) — shared by the verify-join sizeGate
+    * and the shingle-cache volume gate.
+    */
+  private[graft] val ShingleRowBytes = 800L
 
   // ------------------------------------------------------------- exact
 
@@ -287,15 +324,28 @@ object Dedup {
     // consumer branches concurrently — each branch finds the cache
     // unbuilt and computes the full signature pass itself (measured
     // at the 256× stress: four identical 13.9 s signature stages in
-    // one query execution, tools/StageProfile r6). The k-long sig
-    // array is PRUNED before the cache — banding reads the fused
-    // buckets column (r7), so only shingles + 16 bucket longs
-    // persist. (Re-deriving shingles from text at verify — dropping
-    // the shingle cache entirely — was MEASURED and rejected: 52-53 s
-    // vs 40-54 s at the 256× stress; the two verify-side parquet text
-    // scans cost more than the cache write they save.)
+    // one query execution, tools/StageProfile r6).
+    //
+    // WHAT rides the cache is volume-gated (r7, late): under the
+    // storage budget the shingle arrays cache alongside the buckets
+    // — the verify sides then read them for free (re-deriving was
+    // MEASURED and rejected at the 256× stress: 52-53 s vs 37-43 s,
+    // two extra parquet text scans). PAST the budget the combined
+    // cache crosses the storage-memory cliff — disk-stored
+    // CachedBatches lose column pruning, so all three consumer scans
+    // (candgen + both verify sides) re-read ~5 GB of serialized rows
+    // at 14-31× their 256× stage cost while every other stage stayed
+    // ≤ 4× (1024× stress, tools/StageProfile) — so only the slim
+    // (doc_id, buckets) frame persists (~200 B/row, the one column
+    // set whose recompute would repeat the 64-perm minhash pass) and
+    // each verify side re-derives shingles from source: two LINEAR
+    // text scans instead of the cliff (109-137 s → 75.7 s at 1024×).
+    val fatCache = estShingleCacheBytes(docs) < cacheBudgetBytes(docs)
+    val sigCols =
+      if (fatCache) Seq("doc_id", "shingles", "buckets")
+      else Seq("doc_id", "buckets")
     val signed = minhashSignature(docs, textCol, idCol)
-      .select("doc_id", "shingles", "buckets")
+      .select(sigCols.head, sigCols.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusRows = signed.count()
     // band on ids only — the shingle arrays must NOT ride the band
@@ -312,6 +362,13 @@ object Dedup {
         bandedIds(signed).select("bucket", "doc_id"))((b, ex) =>
       b.join(ex.select(col(ex.columns.head).as("doc_id")),
         Seq("doc_id"), "left_anti"))
+    // verify-side shingles: from the fat cache when it exists, else
+    // the SAME derivation the signature pass shingles from (one
+    // shared expression, so banding and verification can never
+    // drift), recomputed from source per verify side — no minhash
+    val sh = if (fatCache) signed.select("doc_id", "shingles")
+      else docs.select(col(idCol).as("doc_id"),
+        TextFns.wordShingles(lower(col(textCol)), 3).as("shingles"))
     // cache lifecycle: the LAZY result keeps reading the signature
     // cache, so it can't be released here without materializing
     // (which would hide the audited plan). Each call retires the
@@ -331,7 +388,6 @@ object Dedup {
     // where sorted-run's fixed overhead dominates.
     val cands = candidatePairs(kept, "bucket", "doc_id", maxBucket,
       corpusRows * Bands)
-    val sh = signed.select(col("doc_id"), col("shingles"))
     // (measured, not guessed: verifying over xxhash64'd shingle arrays
     // — 8-byte longs instead of strings in the join shuffle — timed
     // NEUTRAL at the 128× blow-up (3.73 s vs 3.70 s, MinhashProfile):
@@ -357,7 +413,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
         "doc_a")
       .join(sizeGate(sh.select(col("doc_id").as("doc_b"),
-        col("shingles").as("sh_b")), corpusRows * 800L), "doc_b")
+        col("shingles").as("sh_b")), corpusRows * ShingleRowBytes), "doc_b")
       .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -660,8 +716,8 @@ object Dedup {
     cands.hint("shuffle_hash")
       .join(base.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
         "doc_a")
-      .join(sizeGate(base.select(col("doc_id").as("doc_b"),
-        col("text").as("text_b")), corpusRows * 800L), "doc_b")
+      .join(sizeGate(base.select(col("doc_id").as("doc_b"),  // text ≈ shingle row weight
+        col("text").as("text_b")), corpusRows * ShingleRowBytes), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.plans.native.sharedGramCount(col("text_a"), col("text_b"),
           minLen).as("n_shared"))

@@ -154,9 +154,20 @@ object DedupPipeline {
     // persist FIRST: the signed frame feeds the size gate, banding
     // AND the verification join — without a barrier Catalyst
     // recomputes the signatures per branch (same reuse rule as
-    // minhashLsh).
+    // minhashLsh). The CORPUS cache is volume-gated like minhashLsh's
+    // (r7, late): past the storage budget the shingle column drops
+    // from the cache (disk-stored CachedBatches lose column pruning —
+    // the 1024× cliff) and the verify side re-derives shingles from
+    // corpus text, one linear scan. The BATCH cache stays fat
+    // unconditionally: the batch is the increment — re-deriving it
+    // would re-run the md5 anti join per consumer.
+    val corpusFat =
+      Dedup.estShingleCacheBytes(corpus) < Dedup.cacheBudgetBytes(corpus)
+    val corpusCols =
+      if (corpusFat) Seq("doc_id", "shingles", "buckets")
+      else Seq("doc_id", "buckets")
     val corpusSigned = Dedup.minhashSignature(corpus, textCol, idCol)
-      .select("doc_id", "shingles", "buckets") // sig pruned (r7 fusion)
+      .select(corpusCols.head, corpusCols.tail: _*) // sig pruned (r7 fusion)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // THE PRE-COUNT GATE (runtime-adaptive build side, VERDICT r5
     // #6): the corpus md5 SET is corpus-sized and an anti join
@@ -213,11 +224,17 @@ object DedupPipeline {
     // are text-heavy — ~800 B each); the CORPUS shingle frame is
     // never a hash build (unspillable SHJ build = the 256× OOM) —
     // sort-merge for that side, which spills instead of dying
+    val corpusSh = if (corpusFat)
+        corpusSigned.select(col("doc_id").as("c_id"),
+          col("shingles").as("sh_c"))
+      else corpus.select(col(idCol).as("c_id"),
+        graft.functions.TextFns.wordShingles(lower(col(textCol)), 3)
+          .as("sh_c"))
     val dupOfCorpus = cands
       .join(gate(batchSigned.select(col("doc_id").as("b_id"),
-        col("shingles").as("sh_b")), batchRows * 800L), "b_id")
-      .join(corpusSigned.select(col("doc_id").as("c_id"), col("shingles").as("sh_c"))
-        .hint("merge"), "c_id")
+        col("shingles").as("sh_b")), batchRows * Dedup.ShingleRowBytes),
+        "b_id")
+      .join(corpusSh.hint("merge"), "c_id")
       .filter(graft.functions.TextFns.jaccard(col("sh_b"), col("sh_c")) >= threshold)
       .select(col("b_id").as(idCol)).distinct()
     // barrier: the within-batch dedup below scans `admitted`
