@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.DataFrame
 
 /** Session-scoped [[IvfIndex]] cache — the lifecycle that lets the
@@ -27,24 +26,53 @@ object AnnIndexCache {
   private lazy val root =
     java.nio.file.Files.createTempDirectory("graft-ann-index").toString
 
-  private val built = new ConcurrentHashMap[String, String]()
+  /** Most-recently-used bound on live index dirs: a many-corpus
+    * driver (one process probing N table snapshots) otherwise grows
+    * one persisted index per corpus for the process lifetime — disk,
+    * not heap, but unbounded. 4 covers every in-repo access pattern
+    * (Verify/Bench touch one corpus; tests a handful) while an
+    * evicted corpus transparently rebuilds on its next probe.
+    */
+  private[graft] val MaxLive = 4
+
+  // access-ordered: iteration starts at the least-recently-used key
+  private val built = new java.util.LinkedHashMap[String, String](16, 0.75f, true)
 
   /** The index directory for `key`, building from `emb` on first use.
-    * Concurrent first probes for the same key serialize on the build
-    * (computeIfAbsent), so the index is never built twice.
+    * Lookups and builds serialize on the cache lock (builds are rare
+    * — once per corpus per process — and concurrent first probes for
+    * the same key must not build twice). Past [[MaxLive]] corpora the
+    * least-recently-probed index is DELETED from disk; any lazy frame
+    * still pointing at an evicted dir must re-probe, same as after
+    * [[reset]].
     */
   def dirFor(emb: DataFrame, key: String, nCells: Int = 0,
-      trainSample: Int = 2000): String =
-    built.computeIfAbsent(key, _ => {
+      trainSample: Int = 2000): String = built.synchronized {
+    val have = built.get(key)
+    if (have != null) have
+    else {
       val d = s"$root/idx-${java.lang.Integer.toHexString(key.hashCode)}"
       IvfIndex.build(emb, d, nCells, trainSample)
+      built.put(key, d)
+      while (built.size > MaxLive) {
+        val it = built.entrySet().iterator()
+        val evict = it.next(); it.remove()
+        deleteRecursively(new java.io.File(evict.getValue))
+      }
       d
-    })
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** Forget every cached index (in-process corpus rewrite, tests).
     * Files stay on disk under the temp root; forgotten keys rebuild
     * under a distinct path only if the root changes — same path +
     * rebuild is safe because IvfIndex.build refreshes file listings.
     */
-  private[graft] def reset(): Unit = built.clear()
+  private[graft] def reset(): Unit = built.synchronized(built.clear())
 }

@@ -63,6 +63,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(again.sameElements(viaRegistry))
   }
 
+  test("session index cache evicts least-recently-probed dirs past the bound") {
+    graft.sources.AnnIndexCache.reset()
+    val emb = Tables(spark, sf).embeddings.limit(120)
+    val n = graft.sources.AnnIndexCache.MaxLive
+    // n+1 distinct corpus keys: the first becomes LRU and must be
+    // deleted from disk when the (n+1)th builds
+    val dirs = (0 to n).map { i =>
+      graft.sources.AnnIndexCache.dirFor(emb, s"lru-corpus-$i", nCells = 2)
+    }
+    assert(!new java.io.File(dirs.head).exists(), "LRU dir not evicted")
+    dirs.tail.foreach(d =>
+      assert(new java.io.File(d).exists(), s"live dir $d evicted"))
+    // the evicted corpus transparently rebuilds on its next probe,
+    // at the same deterministic path
+    val rebuilt =
+      graft.sources.AnnIndexCache.dirFor(emb, "lru-corpus-0", nCells = 2)
+    assert(rebuilt == dirs.head && new java.io.File(rebuilt).exists())
+    graft.sources.AnnIndexCache.reset()
+  }
+
   test("probe scan PRUNES to the probed cell partitions") {
     val emb = Tables(spark, sf).embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
