@@ -369,13 +369,6 @@ object Dedup {
     val sh = if (fatCache) signed.select("doc_id", "shingles")
       else docs.select(col(idCol).as("doc_id"),
         TextFns.wordShingles(lower(col(textCol)), 3).as("shingles"))
-    // cache lifecycle: the LAZY result keeps reading the signature
-    // cache, so it can't be released here without materializing
-    // (which would hide the audited plan). Each call retires the
-    // PREVIOUS call's cache instead — a long-lived driver holds at
-    // most one corpus's worth of minhash cache, and an earlier result
-    // held across calls stays correct (it just recomputes).
-    retireMinhashCaches(Seq(signed))
     // group by bucket ALONE: the band id is hashed into the bucket
     // value (bandedIds hashes lit(j) first), so dropping the band
     // column from the keys is pair-equivalent up to 2^-64 cross-band
@@ -386,8 +379,32 @@ object Dedup {
     // sorted runs 4.6 s vs count+semi 7.0-10.0 s vs collect-all
     // 10.3 s), the two-pass count+semi form below ~2M banded rows
     // where sorted-run's fixed overhead dominates.
+    // persist + eager count: the pair set is a bounded sliver of the
+    // corpus, and materializing it here does two load-bearing things
+    // at once. (1) The dedup aggregation inside candidatePairs runs
+    // DISTRIBUTED now — without this, AQE's runtime broadcast
+    // conversion saw join 1's build side under threshold, coalesced
+    // its AQEShuffleRead to ONE partition, and the single broadcast-
+    // build task absorbed the entire pair-dedup aggregation (21.9 s
+    // of a 110 s d_dedup_corpus at the 1024× stress; turning the
+    // conversion off globally was A/B-rejected — the sf0.1 sweep
+    // regressed 63 → 78 s, runtime broadcasts earn their keep on
+    // small derived frames). (2) Join planning sees the cached
+    // relation's ACCURATE size, so build-side choices stop depending
+    // on post-shuffle estimates. A shuffle_hash hint does NOT prevent
+    // the conversion — size-based broadcast outranks shuffle-hash
+    // hints in join selection.
     val cands = candidatePairs(kept, "bucket", "doc_id", maxBucket,
       corpusRows * Bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    // cache lifecycle: the LAZY result keeps reading both caches, so
+    // they can't be released here without materializing (which would
+    // hide the audited plan). Each call retires the PREVIOUS call's
+    // caches instead — a long-lived driver holds at most one corpus's
+    // worth of minhash cache, and an earlier result held across calls
+    // stays correct (it just recomputes).
+    retireMinhashCaches(Seq(signed, cands))
     // (measured, not guessed: verifying over xxhash64'd shingle arrays
     // — 8-byte longs instead of strings in the join shuffle — timed
     // NEUTRAL at the 128× blow-up (3.73 s vs 3.70 s, MinhashProfile):

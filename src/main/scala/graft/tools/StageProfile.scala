@@ -21,6 +21,11 @@ object StageProfile {
     // is load-bearing for the spill-safety comparisons
     sys.env.get("SPARK_GRAFT_PARTITIONS")
       .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    // ad-hoc conf overrides for A/B runs: "k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
 
     val stages = new scala.collection.mutable.ArrayBuffer[(Int, String, Double, Int)]()
     spark.sparkContext.addSparkListener(
@@ -31,8 +36,26 @@ object StageProfile {
           val secs = (for {
             s <- info.submissionTime; c <- info.completionTime
           } yield (c - s) / 1e3).getOrElse(0.0)
+          // the AQE-stage callsite is an anonymous thread-pool frame;
+          // the aggregated byte metrics say what the stage actually
+          // does (scan / shuffle-read / shuffle-write volumes)
+          val tm = info.taskMetrics
+          val what = if (tm == null) "" else {
+            def mb(v: Long) = f"${v / 1e6}%.0fMB"
+            s" [in ${mb(tm.inputMetrics.bytesRead)}" +
+              s" sr ${mb(tm.shuffleReadMetrics.totalBytesRead)}" +
+              s" sw ${mb(tm.shuffleWriteMetrics.bytesWritten)}" +
+              s" spill ${mb(tm.memoryBytesSpilled + tm.diskBytesSpilled)}]"
+          }
+          // SQL operator scopes (Exchange / WholeStageCodegen(n) /
+          // ObjectHashAggregate...) — the readable answer to "what is
+          // this AQE stage" that the thread-pool callsite hides
+          val ops = info.rddInfos.flatMap(_.scope).map(_.name).distinct
+            .filterNot(_ == "DeserializeToObject").take(6).mkString(", ")
           stages.synchronized {
-            stages += ((info.stageId, info.name.takeWhile(_ != '('), secs,
+            stages += ((info.stageId,
+              info.name.takeWhile(_ != '(') + what +
+                (if (ops.nonEmpty) s" {$ops}" else ""), secs,
               info.numTasks))
           }
         }
