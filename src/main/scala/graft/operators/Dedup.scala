@@ -340,7 +340,12 @@ object Dedup {
     // set whose recompute would repeat the 64-perm minhash pass) and
     // each verify side re-derives shingles from source: two LINEAR
     // text scans instead of the cliff (109-137 s → 75.7 s at 1024×).
-    val fatCache = estShingleCacheBytes(docs) < cacheBudgetBytes(docs)
+    // test override: -Dgraft.minhash.fatCache=true|false forces the
+    // path so the slim≡fat pair-set equivalence is spec-pinned
+    // (sf-scale corpora always gate fat, so the slim path would
+    // otherwise only run at blow-up scale)
+    val fatCache = sys.props.get("graft.minhash.fatCache").map(_.toBoolean)
+      .getOrElse(estShingleCacheBytes(docs) < cacheBudgetBytes(docs))
     val sigCols =
       if (fatCache) Seq("doc_id", "shingles", "buckets")
       else Seq("doc_id", "buckets")

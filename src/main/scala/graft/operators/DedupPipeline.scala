@@ -161,8 +161,9 @@ object DedupPipeline {
     // corpus text, one linear scan. The BATCH cache stays fat
     // unconditionally: the batch is the increment — re-deriving it
     // would re-run the md5 anti join per consumer.
-    val corpusFat =
-      Dedup.estShingleCacheBytes(corpus) < Dedup.cacheBudgetBytes(corpus)
+    val corpusFat = sys.props.get("graft.minhash.fatCache").map(_.toBoolean)
+      .getOrElse(
+        Dedup.estShingleCacheBytes(corpus) < Dedup.cacheBudgetBytes(corpus))
     val corpusCols =
       if (corpusFat) Seq("doc_id", "shingles", "buckets")
       else Seq("doc_id", "buckets")

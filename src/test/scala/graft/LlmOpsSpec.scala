@@ -18,6 +18,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} pairs")
   }
 
+  test("minhash slim-cache path returns the fat path's pairs exactly") {
+    // the cache-contents gate (fat shingles+buckets vs slim buckets +
+    // source re-derive) is a PHYSICAL choice only — the pair set and
+    // jaccard values must be identical. sf corpora always gate fat,
+    // so force both paths explicitly.
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.minhashLsh(docs, threshold = 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fat = try {
+      sys.props("graft.minhash.fatCache") = "true"; run()
+    } finally sys.props.remove("graft.minhash.fatCache")
+    val slim = try {
+      sys.props("graft.minhash.fatCache") = "false"; run()
+    } finally sys.props.remove("graft.minhash.fatCache")
+    assert(fat.nonEmpty && fat == slim,
+      s"fat ${fat.size} pairs vs slim ${slim.size}")
+  }
+
   test("prefix-jaccard bucket cap cuts a planted boilerplate family whole, keeps the rest") {
     import spark.implicits._
     val pre = (1 to 12).map(i => s"pw$i").mkString(" ") // 51 chars shared

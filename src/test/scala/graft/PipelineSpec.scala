@@ -149,6 +149,14 @@ class PipelineSpec extends SparkSpec {
     val kept = DedupPipeline.incrementalDedup(corpus, batch, threshold = 0.8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(12L, 14L), s"kept $kept")
+    // the corpus-cache gate (fat vs slim + source re-derive) is a
+    // physical choice only — forced slim must admit the same docs
+    val keptSlim = try {
+      sys.props("graft.minhash.fatCache") = "false"
+      DedupPipeline.incrementalDedup(corpus, batch, threshold = 0.8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    } finally sys.props.remove("graft.minhash.fatCache")
+    assert(keptSlim == kept, s"slim path kept $keptSlim")
   }
 
   test("incremental dedup and corpus dedup honor custom column names") {
