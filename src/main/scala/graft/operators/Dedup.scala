@@ -704,29 +704,39 @@ object Dedup {
     */
   def substrDedup(docs: DataFrame, minLen: Int = 60,
       textCol: String = "text", idCol: String = "doc_id",
-      k: Int = 40, w: Int = 8, maxBucket: Int = 0): DataFrame = {
-    require(minLen >= w + k - 1,
-      s"winnowing(k=$k, w=$w) only guarantees spans >= ${w + k - 1} chars")
+      k: Int = 40, w: Int = 0, maxBucket: Int = 0): DataFrame = {
+    // the widest window the contract allows: winnowing guarantees a
+    // shared fingerprint for any common span >= w + k - 1 chars, so
+    // w = minLen - k + 1 detects exactly the spans the op promises
+    // while selecting the FEWEST fingerprints (~len/w rows per doc —
+    // the op's dominant shuffle). A narrower w only adds candidates
+    // for sub-minLen spans that the exact verify rejects anyway: the
+    // output is w-invariant, the cost is not (2048× stress: the w=8
+    // default shuffled 12.4 GB of fingerprints with 41 GB of
+    // shuffle-sort spill — 250 of 322 s).
+    val w1 = if (w > 0) w else math.max(1, minLen - k + 1)
+    require(minLen >= w1 + k - 1,
+      s"winnowing(k=$k, w=$w1) only guarantees spans >= ${w1 + k - 1} chars")
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // deliberately NOT persisted: the fingerprint explode feeds both
     // candidate passes, but it is ~len/w rows PER DOC (96 M rows at
-    // the 256× stress) — caching that costs more than running the
-    // winnowing rolling hash twice (measured: 96.2 s with an eager
-    // MEMORY_AND_DISK cache vs 53.6 s recomputing, StageProfile r6).
-    // The opposite call from minhashLsh's signed cache, which is one
-    // row per doc and feeds the verify joins too.
+    // the 256× stress at w=8) — caching that costs more than running
+    // the winnowing rolling hash twice (measured: 96.2 s with an
+    // eager MEMORY_AND_DISK cache vs 53.6 s recomputing, StageProfile
+    // r6). The opposite call from minhashLsh's signed cache, which is
+    // one row per doc and feeds the verify joins too.
     val fps = base.select(col("doc_id"),
-      explode(graft.plans.native.winnowing(col("text"), k, w)).as("fp"))
+      explode(graft.plans.native.winnowing(col("text"), k, w1)).as("fp"))
     // the doc count is a parquet-metadata-cheap aggregate over the id
     // column only; it feeds both the candgen volume gate and the
     // verify-join size gate
     val corpusRows = base.select(col("doc_id")).count()
     // volume-gated candgen (the minhashLsh r7 form): singleton
     // fingerprint runs — the vast majority — emit nothing, and at
-    // scale the 96 M-row explode crosses exactly ONE exchange;
-    // ~len/w ≈ 90 winnowing fingerprints per doc is the row estimate
+    // scale the fingerprint explode crosses exactly ONE exchange;
+    // ~len/w fingerprints per doc (~720-char docs) is the row estimate
     val cands = candidatePairs(fps, "fp", "doc_id", maxBucket,
-      corpusRows * 90L)
+      corpusRows * (720L / w1))
     // verify joins mirror minhashLsh's build-side rule exactly:
     // join 1 builds the CANDIDATE pair ids (bounded, a few bytes
     // each) and streams the corpus text; join 2 goes through the
