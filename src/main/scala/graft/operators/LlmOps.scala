@@ -216,9 +216,12 @@ object LlmOps {
   private val labelProp = GraftQuery(
     "d_label_prop",
     None, // seeds-only KMeans cells + SQ8 codes: engine-specific; agreement spec-gated
+    // no orderBy: rows-only check, and a total sort over the
+    // zero-shuffle kernel projection makes RangePartitioner's
+    // sampling pass evaluate the kernel a SECOND time (2048× stress:
+    // two identical 160 s probe-scan stages)
     (s, dir) => Similarity.labelPropagate(Tables(s, dir).embeddings,
-        col("vec_id") % 5 === 0, k = 5)
-      .orderBy("vec_id"))
+        col("vec_id") % 5 === 0, k = 5))
 
   private val langIdQ = GraftQuery(
     "d_langid",
@@ -322,8 +325,9 @@ object LlmOps {
     "d_fingerprint",
     None, // xxhash64-based winnowing has no SQL twin; see TextAnalysisSpec
     (s, dir) => Tables(s, dir).documents
-      .select(col("doc_id") +: TextAnalysis.fingerprint(col("text")): _*)
-      .orderBy("doc_id"))
+      // no orderBy: rows-only, and the sort's range sampling would
+      // run the narrow fingerprint kernel twice over the corpus
+      .select(col("doc_id") +: TextAnalysis.fingerprint(col("text")): _*))
 
   private val editDistance = GraftQuery(
     "d_edit_distance",
@@ -1055,10 +1059,13 @@ object LlmOps {
         md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
           FILTER (WHERE rn = 1), '')) AS clean_md5
       FROM k GROUP BY doc_id ORDER BY doc_id"""),
-    (s, dir) => Dedup.intraDocDedup(Tables(s, dir).documents, segWords = 20)
+    // sort the INPUT: the kernel is a narrow projection (order
+    // preserved), so range sampling scans only the pruned doc_id
+    // column instead of evaluating the kernel a second time
+    (s, dir) => Dedup.intraDocDedup(
+        Tables(s, dir).documents.orderBy("doc_id"), segWords = 20)
       .select(col("doc_id"), col("n_segments"), col("n_kept"),
-        md5(col("clean_text")).as("clean_md5"))
-      .orderBy("doc_id"))
+        md5(col("clean_text")).as("clean_md5")))
 
   /** CCNet-style boilerplate excision (Dedup.boilerplateStrip):
     * segments occurring in ≥ 3 distinct docs are dropped from EVERY
@@ -1279,9 +1286,11 @@ object LlmOps {
           THEN '<extra_id_' || kidx || '> ' || seg END, ' ' ORDER BY g), '')
           AS targets
       FROM k GROUP BY doc_id ORDER BY doc_id"""),
-    (s, dir) => TextAnalysis.spanCorrupt(Tables(s, dir).documents,
-        spanWords = 3, rate = 0.15)
-      .orderBy("doc_id"))
+    // input-sorted for the same narrow-projection reason as
+    // d_intradoc_dedup
+    (s, dir) => TextAnalysis.spanCorrupt(
+        Tables(s, dir).documents.orderBy("doc_id"),
+        spanWords = 3, rate = 0.15))
 
   /** Inverted-index build (Retrieval.invertedIndex): per-term df /
     * total tf / bounded ascending posting sample. The bounded-heap
@@ -1549,8 +1558,8 @@ object LlmOps {
         MediaOps.syntheticMedia(s, 200).repartition(8))
       .select(col("media_id"), col("mime"), col("n_bytes"), col("fmt"),
         col("width"), col("height"), col("bit_depth"), col("channels"),
-        col("sample_rate"))
-      .orderBy("media_id"))
+        col("sample_rate")))
+      // (no orderBy: rows-only, and range sampling re-runs the decode)
 
   /** Video-frame sampling surface (#79, round 6): real APNG demux —
     * every video-like payload explodes to `nFrames` evenly spaced
@@ -1567,8 +1576,8 @@ object LlmOps {
       .select(col("media_id"), col("mime"), col("frame_idx"),
         length(col("frame")).as("n_bytes"),
         (substring(col("frame"), 2, 3) === lit("PNG".getBytes("US-ASCII")))
-          .as("is_png"))
-      .orderBy("media_id", "frame_idx"))
+          .as("is_png")))
+      // (no orderBy: rows-only, and range sampling re-runs the demux)
 
   /** Cluster-level curation report (Similarity.clusterTopics): the
     * corpus partitioned in embedding space, each cluster sized and
