@@ -1127,6 +1127,70 @@ object LlmOps {
       (s, dir) => Retrieval.bm25(Tables(s, dir).documents, terms, limit = 25))
   }
 
+  /** Hybrid sparse+dense retrieval with reciprocal-rank fusion
+    * (Retrieval.hybridRrf): BM25 keyword top-N and exact-cosine
+    * embedding top-N fused by 1/(60+rank) — the two-retriever RAG
+    * stack, oracle-backed end to end. First registered query to JOIN
+    * the two modality tables (vec_id is doc_id's embedding by the
+    * driver-schema construction). All post-top-N work is on ≤2·topN
+    * rows — constant, never corpus-sized.
+    */
+  private val rrfHybridQ = {
+    val terms = Seq("spark", "join", "window")
+    GraftQuery(
+      "d_rrf_hybrid",
+      Some {
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"${occSql(padSql, s" $t ")} AS tf_$i" }
+        val dfs = terms.indices.map(i =>
+          s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+        val termScores = terms.indices.map { i =>
+          s"""((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+             / (CAST(df_$i AS DOUBLE) + 0.5))
+           * ((CAST(tf_$i AS DOUBLE) * 2.2)
+             / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"""
+        }
+        s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+            ${tfs.mkString(", ")} FROM documents),
+          stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+            ${dfs.mkString(", ")} FROM base),
+          sc AS (SELECT base.*, n_docs, ${terms.indices.map(i => s"df_$i").mkString(", ")},
+            CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+            FROM base, stats),
+          spr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+              AS sparse_rank
+            FROM (SELECT doc_id, round(${termScores.mkString(" + ")}, 6) AS bm25
+              FROM sc)),
+          sp AS (SELECT * FROM spr WHERE sparse_rank <= 50),
+          e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+          p AS (SELECT * FROM n WHERE vec_id = 0),
+          dr AS (SELECT n.vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY
+              round(list_inner_product(p.v, n.v) / (p.nrm * n.nrm), 6) DESC,
+              n.vec_id) AS dense_rank
+            FROM p JOIN n ON p.vec_id <> n.vec_id),
+          dn AS (SELECT * FROM dr WHERE dense_rank <= 50),
+          f AS (SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+              COALESCE(sparse_rank, 0) AS sparse_rank,
+              COALESCE(dense_rank, 0) AS dense_rank
+            FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+          SELECT doc_id, sparse_rank, dense_rank,
+            round(CASE WHEN sparse_rank > 0
+                THEN CAST(1 AS DOUBLE) / CAST(60 + sparse_rank AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END
+              + CASE WHEN dense_rank > 0
+                THEN CAST(1 AS DOUBLE) / CAST(60 + dense_rank AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END, 6) AS rrf
+          FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""
+      },
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Retrieval.hybridRrf(t.documents, t.embeddings, terms,
+          probeVecId = 0L, topN = 50, rrfK = 60, limit = 20)
+      })
+  }
+
   /** Unigram-frequency rarity (Retrieval.rarity): the exact-arithmetic
     * perplexity-proxy quality filter — integer-quantized inverse
     * corpus frequency summed per doc.
@@ -1609,7 +1673,7 @@ object LlmOps {
     piiQ, normalizeQ,
     splitQ, packQ, incrDedup, intraDedupQ, segmentDedup, boilerplateQ,
     substrDedupQ,
-    bm25Q, rarityQ, curriculumQ, tfidfQ, bigramLmQ,
+    bm25Q, rrfHybridQ, rarityQ, curriculumQ, tfidfQ, bigramLmQ,
     bpeTrainQ, bpeVocabQ, bpeEncodeQ,
     invertedIndexQ, cooccurQ, spanCorruptQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)

@@ -107,6 +107,52 @@ object Retrieval {
     out
   }
 
+  /** Hybrid sparse+dense retrieval with reciprocal-rank fusion
+    * (Cormack/Clarke/Büttcher 2009): the standard two-retriever stack
+    * — BM25 keyword top-N and exact-cosine embedding top-N — fused by
+    * rrf(d) = Σ_lists 1/(rrfK + rank_list(d)), absent-from-list
+    * contributing 0. This is the retrieval shape a RAG / curation
+    * pipeline actually serves: each retriever returns its own top-N,
+    * and only those ≤2N rows are ever fused.
+    *
+    * Scale shape: the sparse side is [[bm25]]'s conditional-aggregate
+    * stats + TakeOrderedAndProject top-N; the dense side is the
+    * brute-force cosine top-N (broadcast single probe, per-partition
+    * window heads). Everything downstream of the two top-Ns — the
+    * rank windows, the full-outer join, the fused sort — runs on
+    * ≤ 2·topN rows (constant by construction, never corpus-sized),
+    * so the single-partition rank windows are bounded, not the
+    * global-sort trap.
+    *
+    * Determinism (oracle-exact): ranks are integers from
+    * round-to-6 ordered windows with id tie-breaks; each RRF
+    * contribution is ONE IEEE division of exact small integers
+    * (1/(rrfK+rank)), summed in fixed list order — the SQL twin
+    * replays the identical expression tree.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      probeVecId: Long, topN: Int = 50, rrfK: Int = 60,
+      limit: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25(docs, terms, limit = topN)
+      .withColumn("sparse_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("sparse_rank"))
+    val dense = Similarity.bruteForceTopK(emb,
+        col("vec_id") === lit(probeVecId), k = topN)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+    def contrib(r: Column): Column = when(r > 0,
+      lit(1.0) / ((lit(rrfK) + r).cast("double"))).otherwise(lit(0.0))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("sparse_rank"), lit(0)).as("sparse_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
+      .withColumn("rrf",
+        round(contrib(col("sparse_rank")) + contrib(col("dense_rank")), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(limit)
+  }
+
   /** Corpus-frequency rarity score per document: each token instance
     * contributes weight 1e9 div corpusCount(token) (integer division
     * — exact on both engines), and the document score is the integer

@@ -98,6 +98,47 @@ class RetrievalSpec extends SparkSpec {
       s"59-char shared region is below minLen: $out")
   }
 
+  test("hybrid RRF fuses sparse and dense ranks with exact contributions") {
+    import spark.implicits._
+    // doc 1: keyword-dense AND embedding-near the probe → both lists;
+    // doc 2: keyword-only; doc 3: embedding-only; doc 4/5: neither
+    val d = mkDocs(Seq(
+      (1L, "spark spark spark join window"),
+      (2L, "spark spark join pad pad"),
+      (3L, "nothing relevant here at all"),
+      (4L, "plain filler text body words"),
+      (5L, "more filler body words here")))
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),       // the probe
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),   // near the probe
+      (3L, Seq(0.8f, 0.2f, 0f, 0f)),   // near the probe
+      (2L, Seq(0f, 1f, 0f, 0f)),       // orthogonal
+      (4L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val out = Retrieval.hybridRrf(d, e, Seq("spark", "join"),
+      probeVecId = 0L, topN = 2, rrfK = 60, limit = 10).collect()
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    // both-list doc 1 carries two contributions and leads the fusion
+    assert(byDoc(1L)._1 == 1 && byDoc(1L)._2 == 1, s"doc 1 tops both: $byDoc")
+    assert(out.head.getLong(0) == 1L, "both-list doc outranks single-list docs")
+    assert(byDoc(2L)._1 == 2 && byDoc(2L)._2 == 0, s"doc 2 sparse-only: $byDoc")
+    assert(byDoc(3L)._2 == 2 && byDoc(3L)._1 == 0, s"doc 3 dense-only: $byDoc")
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L),
+      "docs absent from both top-Ns never reach the fusion")
+    // every rrf value is exactly round(Σ 1/(60+rank), 6) of its ranks
+    out.foreach { r =>
+      val (sr, dr) = (r.getInt(1), r.getInt(2))
+      val exp = BigDecimal((if (sr > 0) 1.0 / (60 + sr) else 0.0)
+          + (if (dr > 0) 1.0 / (60 + dr) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == exp, s"rrf mismatch for doc ${r.getLong(0)}")
+    }
+    // fused order is total: (rrf desc, doc_id)
+    val key = out.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
+    assert(key == key.sorted, "output ordered by (rrf desc, doc_id)")
+  }
+
   test("bm25 ranks by term density and is repartition-invariant") {
     val filler = (1 to 30).map(i => s"w$i").mkString(" ")
     val d = mkDocs(Seq(
