@@ -1127,6 +1127,31 @@ object LlmOps {
       (s, dir) => Retrieval.bm25(Tables(s, dir).documents, terms, limit = 25))
   }
 
+  /** Model-based quality filter (Classifier.qualityClassifier): a
+    * logistic regression over cheap text statistics, trained
+    * distributed with Newton/IRLS on a deterministic 1-in-5 id slice
+    * and applied to the full corpus as a zero-shuffle projection —
+    * the fasttext-classifier filtering stage of public pretraining
+    * pipelines (GPT-3/LLaMA/CCNet style). Weak label: the doc passes
+    * EVERY heuristic quality rule (quality_score = 1.0) — the
+    * classifier distills the rule set into one linear scorer (the
+    * synthetic lang column is independent of the text by generator
+    * construction, so a language label would be unlearnable).
+    * Rows-only: the trained weights come from an iterative solver no
+    * single SQL query replays; ClassifierSpec pins bit-reproducible
+    * training, planted-separation recovery, and prediction agreement
+    * with MLlib's LogisticRegression.
+    */
+  private val qualityClassifierQ = GraftQuery(
+    "d_quality_classifier",
+    None,
+    // no orderBy: rows-only, and the scoring projection is
+    // zero-shuffle — a total sort would double-evaluate it through
+    // RangePartitioner sampling
+    (s, dir) => Classifier.qualityClassifier(
+      Tables(s, dir).documents,
+      TextAnalysis.quality(col("text")).last >= 1.0))
+
   /** Hybrid sparse+dense retrieval with reciprocal-rank fusion
     * (Retrieval.hybridRrf): BM25 keyword top-N and exact-cosine
     * embedding top-N fused by 1/(60+rank) — the two-retriever RAG
@@ -1663,7 +1688,8 @@ object LlmOps {
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact, knnGraphQ,
     labelPropExact, labelProp,
-    langIdQ, qualityQ, gopherQ, tokenCountQ, fingerprintQ, editDistance,
+    langIdQ, qualityQ, qualityClassifierQ, gopherQ, tokenCountQ,
+    fingerprintQ, editDistance,
     dedupCorpus,
     dupFamilies, leakageSplitQ,
     consistentSample, contamination, contaminationExact, bloomContam,
