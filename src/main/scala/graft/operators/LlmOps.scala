@@ -1127,6 +1127,23 @@ object LlmOps {
       (s, dir) => Retrieval.bm25(Tables(s, dir).documents, terms, limit = 25))
   }
 
+  /** Exact distributed PCA projection (Pca.fitProject): embedding
+    * compression in front of semantic dedup / clustering — one
+    * constant-size moment pass to fit (partition-ordered reduction,
+    * deterministic Jacobi eigensolve with a fixed sign convention),
+    * then a zero-shuffle native projection of the corpus. Rows-only:
+    * the eigensolve is iterative driver-side numerics no single SQL
+    * query replays; PcaSpec pins orthonormal loadings, descending
+    * eigenvalues, planted-subspace recovery, fit-twice equality, and
+    * reconstruction-error agreement with MLlib's PCA.
+    */
+  private val embedPcaQ = GraftQuery(
+    "d_embed_pca",
+    None,
+    // no orderBy: rows-only + zero-shuffle projection (a total sort
+    // would double-evaluate it through RangePartitioner sampling)
+    (s, dir) => Pca.fitProject(Tables(s, dir).embeddings, nComponents = 8))
+
   /** Model-based quality filter (Classifier.qualityClassifier): a
     * logistic regression over cheap text statistics, trained
     * distributed with Newton/IRLS on a deterministic 1-in-5 id slice
@@ -1702,5 +1719,5 @@ object LlmOps {
     bm25Q, rrfHybridQ, rarityQ, curriculumQ, tfidfQ, bigramLmQ,
     bpeTrainQ, bpeVocabQ, bpeEncodeQ,
     invertedIndexQ, cooccurQ, spanCorruptQ,
-    vecQuantize, semDedup, importanceQ, lenHist, embedOutlier)
+    vecQuantize, semDedup, importanceQ, lenHist, embedOutlier, embedPcaQ)
 }

@@ -412,6 +412,25 @@ object NativeImpl {
     out
   }
 
+  /** See [[native.MatVecProject]]. out_r = Σ_i mat[r·dim+i]·x_i −
+    * offsets[r] — one fused multiply-add walk per output row over the
+    * plan-constant row-major matrix.
+    */
+  def matVecProject(x: ArrayData, mat: Array[Double],
+      offsets: Array[Double], dim: Int): ArrayData = {
+    val nOut = offsets.length
+    val out = new Array[Double](nOut)
+    val n = math.min(dim, x.numElements())
+    var r = 0
+    while (r < nOut) {
+      var acc = 0.0; var i = 0; val off = r * dim
+      while (i < n) { acc += mat(off + i) * x.getFloat(i).toDouble; i += 1 }
+      out(r) = acc - offsets(r)
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** See [[native.IvfCellSelect]]. Returns the probe's `nProbe`
     * nearest cell ids ordered by (dist2 asc, cell asc) — the exact
     * ordering of the former crossJoin + row_number form. When
@@ -1258,6 +1277,33 @@ object native {
     * thousands × dim floats — plan-sized, not data-sized), shipped to
     * executors with the serialized plan like MLlib model broadcasts.
     */
+  /** Dense row-major matrix × float-array-column product with a
+    * per-row offset subtraction: out_r = Σ_i mat[r·dim+i]·x_i −
+    * offsets[r]. The matrix and offsets are plan constants (e.g. PCA
+    * loadings and the pre-folded mean·loading dot), so a linear
+    * projection of the whole corpus is ONE zero-shuffle narrow
+    * codegen'd pass — no per-row array allocation for the centered
+    * input, no HOF lambda (which would interpret per element).
+    */
+  case class MatVecProject(child: Expression, mat: Array[Double],
+      offsets: Array[Double], dim: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.matVecProject(input.asInstanceOf[ArrayData], mat, offsets, dim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val matRef = ctx.addReferenceObj("mvMat", mat, "double[]")
+        val offRef = ctx.addReferenceObj("mvOff", offsets, "double[]")
+        s"${ev.value} = graft.plans.NativeImpl.matVecProject($arr, " +
+          s"$matRef, $offRef, $dim);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): MatVecProject =
+      copy(child = c)
+  }
+
   case class IvfCellSelect(child: Expression, cents: Array[Float],
       supers: Array[Float], cellSuper: Array[Int], dim: Int,
       nSuper: Int, nProbe: Int) extends UnaryExpression {
@@ -1503,6 +1549,10 @@ object native {
       cellSuper: Array[Int], dim: Int, nSuper: Int, nProbe: Int): Column =
     column(IvfCellSelect(expression(vec), cents, supers, cellSuper, dim,
       nSuper, nProbe))
+
+  def matVecProject(vec: Column, mat: Array[Double],
+      offsets: Array[Double], dim: Int): Column =
+    column(MatVecProject(expression(vec), mat, offsets, dim))
 
   def labelPropPredict(vec: Column, cents: Array[Float],
       supers: Array[Float], cellSuper: Array[Int], dim: Int, nSuper: Int,
