@@ -1127,6 +1127,53 @@ object LlmOps {
       (s, dir) => Retrieval.bm25(Tables(s, dir).documents, terms, limit = 25))
   }
 
+  /** MMR diversification (Similarity.mmrDiversify): greedy
+    * maximal-marginal-relevance re-rank of the dense top-20 — the
+    * de-redundancy step between retrieval and use. ORACLE-BACKED even
+    * though the op is an iterative greedy: DuckDB replays the
+    * selection loop as a recursive CTE carrying (ids, scores) lists,
+    * picking each step's argmax with correlated MAX-similarity
+    * subqueries — selection-for-selection identical because scores
+    * round to 6 with id tie-breaks and every float comes from the
+    * same IEEE expression tree (μ is a literal 0.3, never 1−λ).
+    */
+  private val mmrDiversifyQ = GraftQuery(
+    "d_mmr_diversify",
+    Some("""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      p AS (SELECT * FROM n WHERE vec_id = 0),
+      cr AS (SELECT n.vec_id, n.v, n.nrm,
+          list_inner_product(p.v, n.v) / (p.nrm * n.nrm) AS rel,
+          ROW_NUMBER() OVER (ORDER BY
+            round(list_inner_product(p.v, n.v) / (p.nrm * n.nrm), 6) DESC,
+            n.vec_id) AS rnk
+        FROM p JOIN n ON p.vec_id <> n.vec_id),
+      cand AS (SELECT * FROM cr WHERE rnk <= 20),
+      first AS (SELECT c.vec_id, round(CAST(0.7 AS DOUBLE) * c.rel, 6) AS sc
+        FROM cand c
+        ORDER BY round(CAST(0.7 AS DOUBLE) * c.rel, 6) DESC, c.vec_id LIMIT 1),
+      sel(step, ids, scores) AS (
+        SELECT 1, [f.vec_id], [f.sc] FROM first f
+        UNION ALL
+        SELECT s.step + 1, list_append(s.ids, pk.vec_id),
+          list_append(s.scores, pk.sc)
+        FROM sel s, LATERAL (
+          SELECT c.vec_id, round(CAST(0.7 AS DOUBLE) * c.rel
+              - CAST(0.3 AS DOUBLE) * (
+              SELECT MAX(list_inner_product(c.v, c2.v) / (c.nrm * c2.nrm))
+              FROM cand c2 WHERE list_contains(s.ids, c2.vec_id)), 6) AS sc
+          FROM cand c WHERE NOT list_contains(s.ids, c.vec_id)
+          ORDER BY sc DESC, c.vec_id LIMIT 1) pk
+        WHERE s.step < 8),
+      lastsel AS (SELECT ids, scores FROM sel WHERE step = 8)
+      SELECT CAST(0 AS BIGINT) AS probe_id, gs.g AS mmr_rank,
+        l.ids[gs.g] AS neighbor_id, l.scores[gs.g] AS mmr
+      FROM lastsel l, generate_series(1, 8) gs(g) ORDER BY mmr_rank"""),
+    (s, dir) => Similarity.mmrDiversify(Tables(s, dir).embeddings,
+        col("vec_id") === 0, topN = 20, k = 8)
+      .orderBy("mmr_rank"))
+
   /** Exact distributed PCA projection (Pca.fitProject): embedding
     * compression in front of semantic dedup / clustering — one
     * constant-size moment pass to fit (partition-ordered reduction,
@@ -1719,5 +1766,6 @@ object LlmOps {
     bm25Q, rrfHybridQ, rarityQ, curriculumQ, tfidfQ, bigramLmQ,
     bpeTrainQ, bpeVocabQ, bpeEncodeQ,
     invertedIndexQ, cooccurQ, spanCorruptQ,
-    vecQuantize, semDedup, importanceQ, lenHist, embedOutlier, embedPcaQ)
+    vecQuantize, semDedup, importanceQ, lenHist, embedOutlier, embedPcaQ,
+    mmrDiversifyQ)
 }

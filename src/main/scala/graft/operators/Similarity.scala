@@ -37,6 +37,106 @@ object Similarity {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Maximal-marginal-relevance diversification (Carbonell &
+    * Goldstein 1998) of a dense top-N retrieval: greedily select k of
+    * the N candidates by score = λ·rel(c) − μ·max_{s∈selected}
+    * cos(c, s) (μ passed explicitly, never derived as 1−λ — IEEE
+    * 1.0−0.7 is NOT 0.3, the Bm25K1Plus1 rule). The de-redundancy
+    * re-rank every retrieval/curation stack runs between "nearest"
+    * and "useful".
+    *
+    * Scale shape: candidate generation is the exact top-N per probe
+    * (swap in the IVF index for many probes — the greedy only needs
+    * SOME bounded candidate frame); everything after is bounded by
+    * construction — collect_list gathers ≤ topN candidates per probe
+    * (arrival-order independent: the greedy is a pure function of the
+    * SET, ties broken on id), and the per-probe greedy is
+    * O(k·topN·dim) local work distributed by probe. Nothing
+    * corpus-sized crosses an operator boundary after the top-N cut.
+    *
+    * Determinism (oracle-exact): rel is the Catalyst float-dot cosine
+    * (sequential accumulation — the list_inner_product order);
+    * pairwise sims replay the identical loop in Scala; scores are
+    * rounded to 6 via the same BigDecimal HALF_UP Spark's round()
+    * applies, with id tie-breaks — so DuckDB's recursive-CTE greedy
+    * replays selection-for-selection.
+    */
+  def mmrDiversify(emb: DataFrame, probeFilter: Column, topN: Int = 20,
+      k: Int = 8, lambdaRel: Double = 0.7, muDiv: Double = 0.3): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    val probes = base.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
+        col("nrm").as("nrm_p"))
+    val pairs = broadcast(probes)
+      .join(base, col("probe_id") =!= col("vec_id"))
+      .withColumn("rel",
+        VectorFns.dot(col("emb_p"), col("embedding")) / (col("nrm_p") * col("nrm")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(round(col("rel"), 6).desc, col("vec_id"))
+    val cand = pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select(col("probe_id"), col("vec_id"), col("embedding"),
+        col("nrm"), col("rel"))
+    val grouped = cand.groupBy("probe_id")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"),
+        col("nrm"), col("rel"))).as("cands"))
+    val session = emb.sparkSession
+    import session.implicits._
+    val kk = k
+    val lam = lambdaRel
+    val mu = muDiv
+    grouped.select(col("probe_id"), col("cands")).rdd.flatMap { row =>
+      val probeId = row.getLong(0)
+      val rs = row.getSeq[org.apache.spark.sql.Row](1)
+      val ids = rs.map(_.getLong(0)).toArray
+      val vecs = rs.map(_.getSeq[Float](1).toArray).toArray
+      val nrms = rs.map(_.getDouble(2)).toArray
+      val rels = rs.map(_.getDouble(3)).toArray
+      val n = ids.length
+      // pair sims on demand: the same sequential float→double
+      // accumulation as the Catalyst dot (list_inner_product order)
+      def sim(a: Int, b: Int): Double = {
+        val x = vecs(a); val y = vecs(b)
+        var acc = 0.0; var i = 0
+        val len = math.min(x.length, y.length)
+        while (i < len) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+        acc / (nrms(a) * nrms(b))
+      }
+      def rnd6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val selected = new scala.collection.mutable.ArrayBuffer[Int](kk)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)](kk)
+      var step = 1
+      while (step <= math.min(kk, n)) {
+        var bestIdx = -1
+        var bestScore = 0.0
+        var c = 0
+        while (c < n) {
+          if (!selected.contains(c)) {
+            var maxSim = 0.0
+            var s = 0
+            while (s < selected.length) {
+              val v = sim(c, selected(s))
+              if (s == 0 || v > maxSim) maxSim = v
+              s += 1
+            }
+            val score = rnd6(lam * rels(c) - mu * maxSim)
+            if (bestIdx < 0 || score > bestScore ||
+                (score == bestScore && ids(c) < ids(bestIdx))) {
+              bestIdx = c; bestScore = score
+            }
+          }
+          c += 1
+        }
+        selected += bestIdx
+        out += ((probeId, step, ids(bestIdx), bestScore))
+        step += 1
+      }
+      out
+    }.toDF("probe_id", "mmr_rank", "neighbor_id", "mmr")
+  }
+
   /** LSH-bucketed ANN: candidates share a hyperplane-signature bucket;
     * exact cosine + top-k within candidates. Recall < 1, cost
     * O(candidates); multi-probe (nTables signatures) recovers recall.

@@ -106,6 +106,28 @@ object ClusterCheck {
       graft.SparkEntry.queries("d_label_prop")(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    // the partition-ordered deterministic solvers (Classifier IRLS,
+    // Pca moment pass): their bit-reproducibility claim must hold
+    // under real RPC partitioning too, not just local[N] — run each
+    // twice and require identical output checksums
+    val cls1 = time("d_quality_classifier (run 1)") {
+      checksum(graft.SparkEntry.queries("d_quality_classifier")(spark, dir))
+    }
+    val cls2 = time("d_quality_classifier (run 2)") {
+      checksum(graft.SparkEntry.queries("d_quality_classifier")(spark, dir))
+    }
+    require(cls1 == cls2,
+      s"classifier training must be reproducible across cluster runs: $cls1 vs $cls2")
+    println(s"[cluster] classifier checksum stable across runs: $cls1")
+    val pca1 = time("d_embed_pca (run 1)") {
+      checksum(graft.SparkEntry.queries("d_embed_pca")(spark, dir))
+    }
+    val pca2 = time("d_embed_pca (run 2)") {
+      checksum(graft.SparkEntry.queries("d_embed_pca")(spark, dir))
+    }
+    require(pca1 == pca2,
+      s"pca fit must be reproducible across cluster runs: $pca1 vs $pca2")
+    println(s"[cluster] pca checksum stable across runs: $pca1")
 
     // ---- 2+3: kill an executor mid-CC-loop, labels must match --
     val killer = new Thread(() => {

@@ -249,6 +249,35 @@ class PipelineSpec extends SparkSpec {
     assert(agree > 0.5, s"ivf/exact label agreement $agree")
   }
 
+  test("mmr diversification trades redundant relevance for coverage") {
+    import spark.implicits._
+    // probe between two tight clusters; A is nearer. Pure relevance
+    // ranks ALL of A first; MMR must interleave B at rank 2 because
+    // a second A is ~fully redundant (within-cluster sim ≈ 1).
+    val probe = (0L, Seq(1f, 1f, 0f, 0f))
+    val aIds = (1L to 4L)
+    val bIds = (11L to 13L)
+    val a = aIds.map(i => (i, Seq(1f, 0.2f, i * 1e-4f, 0f)))
+    val b = bIds.map(j => (j, Seq(0.1f, 1f, 0f, j * 1e-4f)))
+    val emb = (probe +: (a ++ b)).toDF("vec_id", "embedding")
+    val out = Similarity.mmrDiversify(emb, col("vec_id") === 0,
+        topN = 7, k = 5)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 5)
+    assert(out.map(_._1).toSeq == (1 to 5), "ranks are 1..k")
+    assert(aIds.contains(out(0)._2), s"rank 1 is the most relevant (A): ${out.toSeq}")
+    assert(bIds.contains(out(1)._2),
+      s"rank 2 jumps to the other cluster, not the redundant A: ${out.toSeq}")
+    assert(out.map(_._2).distinct.length == 5, "no repeats")
+    // set-based greedy: partitioning must not change a single pick
+    val re = Similarity.mmrDiversify(emb.repartition(7), col("vec_id") === 0,
+        topN = 7, k = 5)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(re.toSeq == out.toSeq, "mmr is partitioning-invariant")
+  }
+
   test("ivf cell selection: exhaustive ranking exact, coarse level keeps the top cell") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
