@@ -61,8 +61,13 @@ object Similarity {
     * applies, with id tie-breaks — so DuckDB's recursive-CTE greedy
     * replays selection-for-selection.
     */
-  def mmrDiversify(emb: DataFrame, probeFilter: Column, topN: Int = 20,
-      k: Int = 8, lambdaRel: Double = 0.7, muDiv: Double = 0.3): DataFrame = {
+  /** Candidate stage of [[mmrDiversify]], exposed for plan auditing
+    * (the greedy runs behind an RDD boundary, so the registered
+    * frame's executedPlan cannot show this stage): exact top-N per
+    * probe, grouped to one bounded candidate list per probe.
+    */
+  def mmrCandidates(emb: DataFrame, probeFilter: Column,
+      topN: Int): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
     val probes = base.filter(probeFilter)
@@ -74,13 +79,18 @@ object Similarity {
         VectorFns.dot(col("emb_p"), col("embedding")) / (col("nrm_p") * col("nrm")))
     val w = Window.partitionBy("probe_id")
       .orderBy(round(col("rel"), 6).desc, col("vec_id"))
-    val cand = pairs.withColumn("rnk", row_number().over(w))
+    pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topN)
       .select(col("probe_id"), col("vec_id"), col("embedding"),
         col("nrm"), col("rel"))
-    val grouped = cand.groupBy("probe_id")
+      .groupBy("probe_id")
       .agg(collect_list(struct(col("vec_id"), col("embedding"),
         col("nrm"), col("rel"))).as("cands"))
+  }
+
+  def mmrDiversify(emb: DataFrame, probeFilter: Column, topN: Int = 20,
+      k: Int = 8, lambdaRel: Double = 0.7, muDiv: Double = 0.3): DataFrame = {
+    val grouped = mmrCandidates(emb, probeFilter, topN)
     val session = emb.sparkSession
     import session.implicits._
     val kk = k

@@ -85,6 +85,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("hybrid rrf fuses two bounded top-N lists, never a corpus product") {
+    val p = planOf("d_rrf_hybrid")
+    // the sparse side ends in top-N heaps, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every nested-loop join in this plan must be a broadcast build
+    // (the 1-row bm25 stats row, the single dense probe) — a
+    // non-broadcast nested loop would be a corpus product
+    assert(!p.replace("BroadcastNestedLoopJoin", "").contains("NestedLoopJoin"), p)
+  }
+
+  test("mmr cuts candidates to top-N map-side before the bounded greedy") {
+    // the greedy runs behind an RDD boundary, so audit the exposed
+    // candidate stage — the only part that ever sees corpus-sized data
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Similarity.mmrCandidates(
+      Tables(spark, sf).embeddings, col("vec_id") === 0, topN = 20)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p) // collect_list partials map-side
+  }
+
   test("bm25 plans as one stats pass broadcast back plus top-k heaps") {
     val p = planOf("d_bm25")
     // corpus stats aggregate map-side before their single-row shuffle
