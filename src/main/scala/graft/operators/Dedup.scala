@@ -409,7 +409,8 @@ object Dedup {
     // caches instead — a long-lived driver holds at most one corpus's
     // worth of minhash cache, and an earlier result held across calls
     // stays correct (it just recomputes).
-    retireMinhashCaches(Seq(signed, cands))
+    // (cache retirement happens once below, after the candidate-doc
+    // set joins the live set)
     // (measured, not guessed: verifying over xxhash64'd shingle arrays
     // — 8-byte longs instead of strings in the join shuffle — timed
     // NEUTRAL at the 128× blow-up (3.73 s vs 3.70 s, MinhashProfile):
@@ -431,11 +432,26 @@ object Dedup {
     //    relation (~800 B/row measured at 256×) fits a task budget,
     //    sort-merge beyond — small corpora keep the fast path, big
     //    ones spill gracefully instead of OOMing.
+    // verify-side doc prune (late r7, the substrDedup recipe): only
+    // docs that appear in some candidate pair need shingles. Away
+    // from the FP knee the candidate doc set is a sliver of the
+    // corpus, so the semi join (the bounded id set broadcasts) turns
+    // the slim path's two FULL corpus text-scan+shingle derivations
+    // into candidate-doc-only work, and shrinks both verify join
+    // inputs in either cache mode. The gate estimate uses the pruned
+    // count — accurate by construction.
+    val candDocs = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCandDocs = candDocs.count()
+    retireMinhashCaches(Seq(signed, cands, candDocs))
+    val shp = sh.join(candDocs, Seq("doc_id"), "left_semi")
     cands.hint("shuffle_hash")
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+      .join(shp.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
         "doc_a")
-      .join(sizeGate(sh.select(col("doc_id").as("doc_b"),
-        col("shingles").as("sh_b")), corpusRows * ShingleRowBytes), "doc_b")
+      .join(sizeGate(shp.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sh_b")), nCandDocs * ShingleRowBytes), "doc_b")
       .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -510,7 +526,7 @@ object Dedup {
   private[graft] def candidatePairs(rows: DataFrame, bucketCol: String,
       idCol: String, maxBucket: Int, estRows: Long): DataFrame =
     if (estRows >= SortedRunRows)
-      sortedRunCandidatePairs(rows, bucketCol, idCol, maxBucket)
+      sortedRunCandidatePairs(rows, bucketCol, idCol, maxBucket, estRows)
     else bucketCandidatePairs(rows, Seq(bucketCol), idCol, maxBucket)
 
   /** Banded-row volume above which sorted-run candgen wins (~2M rows:
@@ -528,14 +544,28 @@ object Dedup {
     * count-prefilter form (same ≥2 / ≤maxBucket run predicate,
     * cut-whole cap semantics, doc_a < doc_b normalized, deduped).
     */
+  /** Rows per sorted-run task: ~4M (bucket, id) pairs ≈ 200 MB of
+    * unsafe sort data — comfortably in-memory for a task's share of
+    * an 8 GB heap. The repartition below must be EXPLICITLY sized
+    * from the row estimate: an un-sized `repartition(col)` lands on
+    * spark.sql.shuffle.partitions and AQE keeps it there, so at the
+    * 2048× stress 150M fingerprint rows sorted in 8 tasks with
+    * 19.8 GB of external-sort spill — 72 of 194 s (StageProfile).
+    */
+  private[graft] val SortedRunRowsPerTask = 4L * 1000 * 1000
+
   private[graft] def sortedRunCandidatePairs(rows: DataFrame,
-      bucketCol: String, idCol: String, maxBucket: Int): DataFrame = {
+      bucketCol: String, idCol: String, maxBucket: Int,
+      estRows: Long): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val cap = if (maxBucket <= 0) Int.MaxValue else maxBucket
+    val defaultN = spark.sessionState.conf.numShufflePartitions
+    val n = math.max(defaultN.toLong,
+      math.min(4096L, (estRows + SortedRunRowsPerTask - 1) / SortedRunRowsPerTask)).toInt
     rows.select(col(bucketCol).cast("long"), col(idCol).cast("long"))
       .as[(Long, Long)]
-      .repartition(col(bucketCol))
+      .repartition(n, col(bucketCol))
       .sortWithinPartitions(bucketCol, idCol)
       .mapPartitions { it =>
         new Iterator[(Long, Long)] {
@@ -734,27 +764,59 @@ object Dedup {
     // volume-gated candgen (the minhashLsh r7 form): singleton
     // fingerprint runs — the vast majority — emit nothing, and at
     // scale the fingerprint explode crosses exactly ONE exchange;
-    // ~len/w fingerprints per doc (~720-char docs) is the row estimate
+    // ~len/w fingerprints per doc (~720-char docs) is the row estimate.
+    // persist + eager count: the pair set feeds TWO consumers now
+    // (the doc prune below and the verify), and materializing it runs
+    // the pair dedup distributed + gives join planning accurate sizes
+    // (the minhashLsh §15.15 rationale).
     val cands = candidatePairs(fps, "fp", "doc_id", maxBucket,
       corpusRows * (720L / w1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    // verify-side prune (late r7): only docs that appear in some
+    // candidate pair ever reach the verify joins, and the candidate
+    // doc set is a SLIVER of the corpus away from the FP knee — so
+    // semi-join the text down to candidate docs first (the id set
+    // usually broadcasts; worst case one text shuffle) instead of
+    // shuffling the FULL corpus text through both verify joins. At
+    // the 2048× sub-knee stress the two corpus-text shuffles, one of
+    // them sort-merge-spilled, were the measured above-linear
+    // residual. The gate estimate below uses the PRUNED doc count —
+    // accurate by construction.
+    val candDocs = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val pruned = base.join(candDocs, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCandDocs = pruned.count()
+    retireSubstrCaches(Seq(cands, pruned))
     // verify joins mirror minhashLsh's build-side rule exactly:
     // join 1 builds the CANDIDATE pair ids (bounded, a few bytes
-    // each) and streams the corpus text; join 2 goes through the
-    // size gate on the corpus text relation (~800 B/row) — hash at
-    // small corpora, sort-merge beyond, where an unspillable
+    // each) and streams the pruned text; join 2 goes through the
+    // size gate on the pruned text relation (~800 B/row) — hash
+    // while it fits, sort-merge beyond, where an unspillable
     // corpus-sized build is the round-5 256× OOM class. (The r4 form
     // hinted the corpus TEXT side as the hash build on BOTH joins
     // unconditionally.)
     cands.hint("shuffle_hash")
-      .join(base.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+      .join(pruned.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
         "doc_a")
-      .join(sizeGate(base.select(col("doc_id").as("doc_b"),  // text ≈ shingle row weight
-        col("text").as("text_b")), corpusRows * ShingleRowBytes), "doc_b")
+      .join(sizeGate(pruned.select(col("doc_id").as("doc_b"),  // text ≈ shingle row weight
+        col("text").as("text_b")), nCandDocs * ShingleRowBytes), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.plans.native.sharedGramCount(col("text_a"), col("text_b"),
           minLen).as("n_shared"))
       .filter(col("n_shared") >= 1)
   }
+
+  private val liveSubstrCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+  /** Same lifecycle as [[retireMinhashCaches]]: each call pins its own
+    * candidate + pruned-text caches and retires the previous call's —
+    * a long-lived driver holds at most one corpus's worth.
+    */
+  private def retireSubstrCaches(next: Seq[DataFrame]): Unit =
+    liveSubstrCaches.getAndSet(next).foreach(_.unpersist(false))
 
   // ----------------------------------------- exact n-gram Jaccard pairs
 

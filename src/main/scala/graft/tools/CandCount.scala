@@ -19,7 +19,8 @@ object CandCount {
       val banded = graft.operators.Dedup.bandedIds(signed)
         .select("bucket", "doc_id")
       val cands = graft.operators.Dedup.sortedRunCandidatePairs(
-        banded, "bucket", "doc_id", 0).count()
+        banded, "bucket", "doc_id", 0,
+        n * graft.operators.Dedup.Bands).count()
       println(s"[cand] $dir docs=$n candidates=$cands")
       Console.flush()
       signed.unpersist()

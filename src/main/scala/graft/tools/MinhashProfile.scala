@@ -142,7 +142,7 @@ object MinhashProfile {
     {
       val signed = Dedup.minhashSignature(big, "text", "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      signed.count()
+      val nDocs = signed.count()
       val banded = Dedup.bandedIds(signed)
       time("candgen: collect-all (r4 form)") {
         // the old one-pass form: EVERY bucket through collect_list —
@@ -195,7 +195,7 @@ object MinhashProfile {
       // buffers; local sorts are per-task (n·bands/partitions rows).
       time("candgen: single-shuffle sorted runs") {
         Dedup.sortedRunCandidatePairs(banded.select("bucket", "doc_id"),
-            "bucket", "doc_id", 0)
+            "bucket", "doc_id", 0, nDocs * Dedup.Bands)
           .write.format("noop").mode("overwrite").save()
       }
       time("candgen: count+semi, bucket key only (2nd)") {

@@ -201,7 +201,7 @@ class PlanAuditSpec extends SparkSpec {
         "text", "doc_id"))
       .select("bucket", "doc_id")
     val sr = operators.Dedup.sortedRunCandidatePairs(
-      banded, "bucket", "doc_id", 0)
+      banded, "bucket", "doc_id", 0, estRows = 0)
     sr.collect()
     val srPlan = sr.queryExecution.executedPlan.toString
     assert(srPlan.contains("MapPartitions"), srPlan)
