@@ -220,6 +220,17 @@ object DedupPipeline {
         Seq("bucket"))
       .select("b_id", "c_id")
       .dropDuplicates("b_id", "c_id")
+      // persisted: feeds the corpus-doc prune below AND the verify
+      // join (and the materialized pair dedup runs distributed — the
+      // minhashLsh §15.15 rationale); released with the signed frames
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // verify-side prune (late r7, the minhashLsh recipe): only corpus
+    // docs that collided with some batch doc need shingles — a sliver
+    // of the corpus for a daily increment, which in slim-cache mode
+    // also cuts the whole-corpus shingle re-derivation down to the
+    // candidate set
+    val candCorpus = cands.select(col("c_id")).distinct()
+    val nCandCorpus = candCorpus.count()
     // verify joins follow minhashLsh's build-side rule, with the
     // batch shingle side through the same size gate (shingle rows
     // are text-heavy — ~800 B each); the CORPUS shingle frame is
@@ -235,7 +246,11 @@ object DedupPipeline {
       .join(gate(batchSigned.select(col("doc_id").as("b_id"),
         col("shingles").as("sh_b")), batchRows * Dedup.ShingleRowBytes),
         "b_id")
-      .join(corpusSh.hint("merge"), "c_id")
+      // pruned corpus side through the gate with the PRUNED count —
+      // hash-build for normal increments, sort-merge when a backfill
+      // makes the candidate corpus set genuinely large
+      .join(gate(corpusSh.join(candCorpus, Seq("c_id"), "left_semi"),
+        nCandCorpus * Dedup.ShingleRowBytes), "c_id")
       .filter(graft.functions.TextFns.jaccard(col("sh_b"), col("sh_c")) >= threshold)
       .select(col("b_id").as(idCol)).distinct()
     // barrier: the within-batch dedup below scans `admitted`
@@ -251,6 +266,7 @@ object DedupPipeline {
     // would pin another corpus-sized cached frame until LRU thrashing
     corpusSigned.unpersist()
     batchSigned.unpersist()
+    cands.unpersist()
     // finally: the batch can duplicate itself
     dedupedCorpus(admitted, threshold, textCol, idCol)
   }
