@@ -1747,7 +1747,82 @@ object LlmOps {
         .orderBy("cell", "rank")
     })
 
+  /** Fill-in-the-middle transform (#85, TextAnalysis.fimTransform):
+    * PSM reorder of one md5-drawn span per transformed doc — the
+    * infilling pretraining objective. Zero-shuffle narrow projection;
+    * input-sorted for the narrow-projection reason (d_intradoc_dedup
+    * note). Oracle replays the draws and cuts verbatim (conv hex→int
+    * ≡ CAST('0x'||h AS BIGINT)).
+    */
+  private val fimQ = GraftQuery(
+    "d_fim",
+    Some(s"""WITH c AS (SELECT doc_id, text, length(text) AS n,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim_a'), 1, 6) AS BIGINT)
+          % (length(text) + 1) AS c1,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim_b'), 1, 6) AS BIGINT)
+          % (length(text) + 1) AS c2,
+        substr(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 8)
+          < '${Sampling.hexCut(0.5)}' AS fim_applied
+      FROM documents),
+      s AS (SELECT doc_id, fim_applied, least(c1, c2) AS lo,
+        greatest(c1, c2) AS hi, text, n FROM c)
+      SELECT doc_id, fim_applied, lo AS cut_lo, hi AS cut_hi,
+        CASE WHEN fim_applied THEN
+            '<fim_prefix>' || substr(text, 1, CAST(lo AS INT))
+            || '<fim_suffix>' || substr(text, CAST(hi + 1 AS INT), CAST(n AS INT))
+            || '<fim_middle>' || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+          ELSE text END AS fim_text
+      FROM s ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.fimTransform(
+        Tables(s, dir).documents.orderBy("doc_id"), rate = 0.5))
+
+  /** Hard-negative mining (#86, Similarity.hardNegatives): per probe,
+    * the k most-confusable differently-labeled vectors below the
+    * near-dup ceiling. Oracle-backed — thresholds and ordering run on
+    * the floor(cos·1e6+0.5) grid both engines compute identically;
+    * ties in the heap's (score desc, id asc) order equal the oracle's
+    * neighbor_id tiebreak because the packed id is monotone in vec_id.
+    */
+  private val hardNegativesQ = GraftQuery(
+    "d_hard_negatives",
+    Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      p AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+      pairs AS (SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+          n.label AS neg_label,
+          floor(list_inner_product(p.v, n.v) / (p.nrm * n.nrm) * 1e6 + 0.5) AS grid
+        FROM p JOIN n ON p.vec_id <> n.vec_id AND p.label <> n.label),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY grid DESC, neighbor_id) AS rank
+        FROM pairs WHERE grid < 900000)
+      SELECT probe_id, rank, neighbor_id, neg_label, grid / 1e6 AS cos6
+      FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank"""),
+    (s, dir) => Similarity.hardNegatives(Tables(s, dir).embeddings,
+        col("vec_id") % 10 === 0, k = 5)
+      .orderBy("probe_id", "rank"))
+
+  /** Compression-ratio quality signal (#87): deflate length over raw
+    * UTF-8 length — templated/repetitive docs compress far below
+    * natural text (the whole-document complement to d_repetition's
+    * n-gram rules; a standard web-corpus filter feature). The zlib
+    * encoder's byte choices are engine-specific → rows-only; gated by
+    * round-trip and monotonicity property specs in LlmOpsSpec. ppm is
+    * an exact integer DIV. No orderBy: rows-only, and range sampling
+    * would run the deflate twice.
+    */
+  private val compressRatioQ = GraftQuery(
+    "d_compress_ratio",
+    None,
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("raw_len"),
+        graft.plans.native.deflateLen(col("text")).cast("long").as("deflate_len"))
+      .withColumn("ratio_ppm",
+        expr("deflate_len * 1000000 DIV raw_len")))
+
   val queries: Seq[GraftQuery] = Seq(
+    fimQ, hardNegativesQ, compressRatioQ,
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact, knnGraphQ,

@@ -37,6 +37,65 @@ object Similarity {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Hard-negative mining for retrieval/embedding training (the
+    * DPR/contrastive curation step between "have embeddings" and
+    * "train a retriever"): for each probe, the k highest-cosine
+    * corpus vectors that are (a) labeled DIFFERENTLY from the probe
+    * (presumed non-relevant — random negatives are too easy, these
+    * are the confusable ones the loss needs) and (b) below a
+    * near-duplicate cosine ceiling (a same-content vector with a
+    * different label is a mislabel, not a negative). Ordering and
+    * the ceiling both run on the floor(cos·1e6 + 0.5) grid — integer
+    * -valued doubles both engines compute identically — so the
+    * DuckDB oracle replays selection-for-selection.
+    *
+    * Scale shape: the thin probe set broadcasts (probes ≪ corpus is
+    * the op's premise), the corpus streams through ONE scan, and the
+    * per-probe cut is the bounded-heap aggregate (map-side partial
+    * heaps; the shuffle carries ≤ tasks×probes×k entries) — never a
+    * probes×corpus rank-window sort. The negative's label rides
+    * INSIDE the heap id (vec_id·16 + label) so no corpus re-join is
+    * needed to recover it; for many-probe regimes swap the candidate
+    * scan for [[graft.sources.IvfIndex]] probes — the exclusion and
+    * heap stages are unchanged.
+    */
+  def hardNegatives(emb: DataFrame, probeFilter: Column, k: Int = 5,
+      dupCutMicro: Long = 900000L): DataFrame = {
+    val base = emb.select(col("vec_id"), col("label"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    val probes = base.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("label").as("label_p"),
+        col("embedding").as("emb_p"), col("nrm").as("nrm_p"))
+    // labels must fit the 4-bit pack; the test schema's are 0..9 and
+    // the premise (contrastive class/domain labels) is small-k
+    val packed = col("vec_id") * 16 + col("label").cast("long")
+    val cands = broadcast(probes)
+      .join(base, col("probe_id") =!= col("vec_id")
+        && col("label_p") =!= col("label"))
+      .select(col("probe_id"),
+        // cast: Catalyst floor() is LongType, the heap score is Double
+        // (and DuckDB's floor() is DOUBLE — the cast IS the parity)
+        gridKey(VectorFns.dot(col("emb_p"), col("embedding"))
+          / (col("nrm_p") * col("nrm"))).cast("double").as("grid"),
+        packed.as("packed"))
+    // the dup ceiling rides INSIDE the heap score (-Inf sinks below
+    // every finite grid; padding rows drop after the explode) rather
+    // than as a pre-heap filter — a filter on grid is pushed into the
+    // join CONDITION, where the float dot evaluates a second time for
+    // the projection (the whole candidate scan paid the dot twice)
+    val eligible = when(col("grid") < lit(dupCutMicro.toDouble), col("grid"))
+      .otherwise(lit(Double.NegativeInfinity))
+    cands.groupBy("probe_id")
+      .agg(graft.plans.BoundedTopK.boundedTopK(
+        eligible, col("packed"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .filter(col("col.score") =!= lit(Double.NegativeInfinity))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+        shiftright(col("col.id"), 4).as("neighbor_id"),
+        (col("col.id").bitwiseAND(15L)).cast("int").as("neg_label"),
+        (col("col.score") / 1e6).as("cos6"))
+  }
+
   /** Maximal-marginal-relevance diversification (Carbonell &
     * Goldstein 1998) of a dense top-N retrieval: greedily select k of
     * the N candidates by score = λ·rel(c) − μ·max_{s∈selected}

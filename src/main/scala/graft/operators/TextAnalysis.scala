@@ -404,4 +404,45 @@ object TextAnalysis {
         col("sc.n_masked").as("n_masked"),
         col("sc.corrupted").as("corrupted"),
         col("sc.targets").as("targets"))
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022): for a
+    * `rate` fraction of documents, split the text at two
+    * deterministic character cuts and re-emit it in PSM order —
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` — the pretraining
+    * objective that teaches infilling with no architecture change
+    * (the autoregressive loss on the moved middle IS the infill
+    * loss). Complements [[spanCorrupt]]: T5-style denoising masks
+    * many short spans; FIM moves ONE contiguous span to the end.
+    *
+    * The rate draw is the [[Sampling.holdoutSplit]] md5-prefix idiom;
+    * each cut position is an independent 6-hex-digit md5 draw mod
+    * (len+1), so cuts land uniformly in [0, len], either may be the
+    * empty split, and the transform is deterministic,
+    * partitioning-invariant and exactly replayable in SQL (`conv`
+    * hex→int twins DuckDB's `CAST('0x'||h AS BIGINT)`).
+    *
+    * Scale shape: ONE codegen'd narrow projection of builtin
+    * md5/conv/substring Columns — zero shuffles at any corpus size.
+    */
+  def fimTransform(docs: DataFrame, rate: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val text = col(textCol)
+    val len = length(text)
+    def cutAt(salt: String): Column =
+      (conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+        1, 6), 16, 10).cast("long") % (len + 1).cast("long")).cast("int")
+    val applied =
+      substring(md5(concat(col(idCol).cast("string"), lit(":fim"))), 1, 8) <
+        lit(Sampling.hexCut(rate))
+    val c1 = cutAt(":fim_a")
+    val c2 = cutAt(":fim_b")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val psm = concat(lit("<fim_prefix>"), text.substr(lit(1), lo),
+      lit("<fim_suffix>"), text.substr(hi + 1, len),
+      lit("<fim_middle>"), text.substr(lo + 1, hi - lo))
+    docs.select(col(idCol).as("doc_id"), applied.as("fim_applied"),
+      lo.cast("long").as("cut_lo"), hi.cast("long").as("cut_hi"),
+      when(applied, psm).otherwise(text).as("fim_text"))
+  }
 }

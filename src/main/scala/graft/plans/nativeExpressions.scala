@@ -306,6 +306,30 @@ object NativeImpl {
     count
   }
 
+  private val deflaterLocal = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+  }
+  private val deflateBufLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16 * 1024)
+  }
+
+  /** See [[native.DeflateLen]]: deflated byte length of the text's
+    * UTF-8 bytes at zlib's default level — a pure function of the
+    * byte content (thread-local Deflater reset per call, one reused
+    * output buffer; the compressed bytes are counted and discarded).
+    */
+  def deflateLen(text: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val d = deflaterLocal.get()
+    val buf = deflateBufLocal.get()
+    d.reset()
+    d.setInput(text.getBytes)
+    d.finish()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
   /** See [[native.WinnowingFingerprints]]. */
   def winnowing(text: org.apache.spark.unsafe.types.UTF8String,
       k: Int, w: Int): ArrayData = {
@@ -1047,6 +1071,29 @@ object native {
       copy(child = c)
   }
 
+  /** Deflated byte length of the UTF-8 text at zlib's default level —
+    * the compression-ratio quality signal (near-random text ≈ 1,
+    * templated/repetitive text ≪ 1; the cheap whole-document
+    * complement to the n-gram repetition rules, and a standard web
+    * -corpus filter feature). Engine-specific byte count (the zlib
+    * encoder's choices are not SQL-replayable) → rows-only, gated by
+    * round-trip/monotonicity property specs.
+    */
+  case class DeflateLen(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.deflateLen(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text =>
+        s"${ev.value} = graft.plans.NativeImpl.deflateLen($text);")
+
+    override protected def withNewChildInternal(c: Expression): DeflateLen =
+      copy(child = c)
+  }
+
   /** Count of regex matches — same java.util.regex find() sequence as
     * size(regexp_extract_all(text, p, 0)) (which the oracles mirror in
     * DuckDB), without materializing an array of match strings per row
@@ -1526,6 +1573,9 @@ object native {
 
   def byteClassCount(text: Column, ranges: Seq[(Char, Char)]): Column =
     column(ByteClassCount(expression(text), ranges))
+
+  def deflateLen(text: Column): Column =
+    column(DeflateLen(expression(text)))
 
   def bpeishTokenCount(text: Column): Column =
     column(BpeishTokenCount(expression(text)))

@@ -518,4 +518,96 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(2)).sum > 0, "rate 0.4 masked nothing")
   }
+
+  test("fim: PSM reorder round-trips to the original text, cuts in bounds") {
+    val out = TextAnalysis.fimTransform(docs, rate = 0.5).collect()
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var applied = 0
+    out.foreach { r =>
+      val (id, app, lo, hi, t) = (r.getLong(0), r.getBoolean(1),
+        r.getLong(2), r.getLong(3), r.getString(4))
+      val src = orig(id)
+      assert(0 <= lo && lo <= hi && hi <= src.length, s"doc $id cuts $lo..$hi")
+      if (!app) assert(t == src, s"doc $id untouched row changed")
+      else {
+        applied += 1
+        assert(t.startsWith("<fim_prefix>"), s"doc $id: $t")
+        val afterPre = t.stripPrefix("<fim_prefix>")
+        val Array(pre, rest) = afterPre.split("<fim_suffix>", 2)
+        val Array(suf, mid) = rest.split("<fim_middle>", 2)
+        assert(pre + mid + suf == src, s"doc $id does not reassemble")
+        assert(pre == src.substring(0, lo.toInt) &&
+          mid == src.substring(lo.toInt, hi.toInt), s"doc $id cut mismatch")
+      }
+    }
+    // the md5 draw at rate 0.5 should transform roughly half
+    assert(applied > out.length / 4 && applied < out.length * 3 / 4,
+      s"$applied of ${out.length} transformed at rate 0.5")
+  }
+
+  test("hard negatives: differently-labeled, below the dup ceiling, label recovered") {
+    val emb = Tables(spark, sf).embeddings
+    // the 4-bit label pack's precondition on this schema
+    val maxLabel = emb.agg(max("label")).head.getInt(0)
+    assert(maxLabel < 16, s"label pack needs labels < 16, saw $maxLabel")
+    val probeLabels = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val allLabels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegatives(emb, col("vec_id") % 10 === 0, k = 5)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (probe, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"probe $probe ranks")
+      // cos6 non-increasing with rank
+      val cs = sorted.map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"probe $probe order")
+      sorted.foreach { r =>
+        val (nid, nlab, c) = (r.getLong(2), r.getInt(3), r.getDouble(4))
+        assert(allLabels(nid) == nlab, s"probe $probe neighbor $nid label")
+        assert(nlab != probeLabels(probe), s"probe $probe same-label negative")
+        assert(c < 0.9, s"probe $probe near-dup $nid survived the ceiling: $c")
+      }
+    }
+  }
+
+  test("deflate length: inflate round-trips, repetition compresses, query is consistent") {
+    // the native expression against a hand-driven Inflater round-trip
+    val s = "the quick brown fox jumps over the lazy dog 0123456789"
+    val bytes = s.getBytes("UTF-8")
+    val d = new java.util.zip.Deflater()
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](4096)
+    val n = d.deflate(buf); d.end()
+    val got = graft.plans.NativeImpl.deflateLen(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(got == n, s"deflateLen $got vs Deflater $n")
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(buf, 0, n)
+    val back = new Array[Byte](bytes.length + 16)
+    val m = inf.inflate(back); inf.end()
+    assert(m == bytes.length && back.take(m).toSeq == bytes.toSeq, "round trip")
+
+    import spark.implicits._
+    val rep = ("spam " * 200).trim
+    val mixed = (1 to 200).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val two = Seq((1L, rep), (2L, mixed)).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.plans.native.deflateLen(col("text"))
+        .cast("double").as("dl"), length(col("text")).cast("double").as("rl"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1) / r.getDouble(2)).toMap
+    assert(two(1L) < two(2L) / 2,
+      s"repetitive ${two(1L)} should compress far below mixed ${two(2L)}")
+
+    // the registered query's ppm is the exact integer DIV of its columns
+    val q = SparkEntry.queries("d_compress_ratio")(spark, sf).collect()
+    assert(q.length == docs.count())
+    q.foreach { r =>
+      val (raw, dl, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(raw > 0 && dl > 0 && ppm == dl * 1000000L / raw)
+    }
+  }
 }
