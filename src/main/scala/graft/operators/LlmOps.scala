@@ -1492,6 +1492,45 @@ object LlmOps {
         window = 3, topPairs = 100, minCount = 5)
       .orderBy(col("pmi").desc, col("a"), col("b")))
 
+  /** One TextRank iteration as a materialized CTE (the Bpe oracle
+    * pattern: MATERIALIZED is load-bearing — every iteration reads
+    * the previous score table, and inlined CTEs grow the plan
+    * per iteration). All-integer update ⇒ bit-exact replay.
+    */
+  private def textRankIterSql(k: Int): String =
+    s""",
+      s$k AS MATERIALIZED (SELECT e.dst AS word,
+          CAST(150000 + SUM((85 * e.w * s.q) // (100 * wt.wsum)) AS BIGINT) AS q
+        FROM e JOIN s${k - 1} s ON e.src = s.word JOIN wt ON e.src = wt.src
+        GROUP BY e.dst)"""
+
+  /** TextRank keywords (#88, Retrieval.textRank): weighted PageRank
+    * over the d_cooccur edge set, 8 all-integer iterations — the
+    * first ITERATIVE GRAPH algorithm in the registry with an exact
+    * SQL twin (integer micro-unit scores make every iteration
+    * order-independent; the oracle unrolls them as materialized
+    * CTEs, merge-for-merge like d_bpe_train).
+    */
+  private val textRankQ = GraftQuery(
+    "d_textrank",
+    Some(s"""WITH m AS (SELECT string_split(lower(text), ' ') AS ws,
+        len(string_split(lower(text), ' ')) AS n FROM documents),
+      pr AS (SELECT least(ws[CAST(i AS INT)], ws[CAST(i + d AS INT)]) AS a,
+          greatest(ws[CAST(i AS INT)], ws[CAST(i + d AS INT)]) AS b
+        FROM m, unnest([1, 2, 3]) AS dd(d),
+          unnest(generate_series(1, CAST(n - d AS INT))) AS t(i)),
+      pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pr
+        GROUP BY a, b HAVING COUNT(*) >= 5),
+      e AS (SELECT a AS src, b AS dst, c_ab AS w FROM pc
+        UNION ALL SELECT b AS src, a AS dst, c_ab AS w FROM pc),
+      wt AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM e GROUP BY src),
+      s0 AS MATERIALIZED (SELECT src AS word, CAST(1000000 AS BIGINT) AS q
+        FROM wt)${(1 to 8).map(textRankIterSql).mkString}
+      SELECT word, q AS score_micro, q / 1e6 AS score
+      FROM s8 ORDER BY score_micro DESC, word LIMIT 50"""),
+    (s, dir) => Retrieval.textRank(Tables(s, dir).documents,
+      window = 3, minCount = 5, iters = 8, topK = 50))
+
   // ------------------------------------------------- BPE tokenizer
 
   /** DuckDB twin of one Bpe.learn iteration: pair counts → argmax
@@ -1802,6 +1841,22 @@ object LlmOps {
         col("vec_id") % 10 === 0, k = 5)
       .orderBy("probe_id", "rank"))
 
+  /** Many-probe hard negatives (#86 scale path): IVF-index candidates
+    * (the SAME session-scoped index d_ann_topk builds — one fit
+    * serves both queries per process) + bounded label-exclusion
+    * re-rank. Rows-only (IVF recall < 1); recall and invariants gated
+    * vs d_hard_negatives in LlmOpsSpec.
+    */
+  private val hardNegativesIvfQ = GraftQuery(
+    "d_hard_negatives_ivf",
+    None,
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
+      Similarity.hardNegativesIvf(emb, col("vec_id") % 10 === 0, idx, k = 5)
+        .orderBy("probe_id", "rank")
+    })
+
   /** Compression-ratio quality signal (#87): deflate length over raw
     * UTF-8 length — templated/repetitive docs compress far below
     * natural text (the whole-document complement to d_repetition's
@@ -1822,7 +1877,7 @@ object LlmOps {
         expr("deflate_len * 1000000 DIV raw_len")))
 
   val queries: Seq[GraftQuery] = Seq(
-    fimQ, hardNegativesQ, compressRatioQ,
+    fimQ, hardNegativesQ, hardNegativesIvfQ, compressRatioQ,
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact, knnGraphQ,
@@ -1840,7 +1895,7 @@ object LlmOps {
     substrDedupQ,
     bm25Q, rrfHybridQ, rarityQ, curriculumQ, tfidfQ, bigramLmQ,
     bpeTrainQ, bpeVocabQ, bpeEncodeQ,
-    invertedIndexQ, cooccurQ, spanCorruptQ,
+    invertedIndexQ, cooccurQ, textRankQ, spanCorruptQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier, embedPcaQ,
     mmrDiversifyQ)
 }

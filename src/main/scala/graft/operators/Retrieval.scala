@@ -408,18 +408,28 @@ object Retrieval {
     * unigram counts carry shuffle_hash hints (the d_tfidf AQE trap:
     * never let the corpus-derived side become the broadcast build).
     */
-  def cooccurrencePmi(docs: DataFrame, window: Int = 3,
-      topPairs: Int = 100, minCount: Long = 5, textCol: String = "text")
-      : DataFrame = {
+  /** Unordered windowed co-occurrence counts (a ≤ b, c_ab) — the
+    * edge builder shared by [[cooccurrencePmi]] and [[textRank]].
+    * See cooccurrencePmi's scaladoc for why pair generation is a
+    * narrow gram explode, not a positional self-join.
+    */
+  private def windowPairCounts(docs: DataFrame, window: Int,
+      textCol: String): DataFrame = {
     val grams = (2 to window + 1).map(k =>
       graft.plans.native.wordNgrams(lower(col(textCol)), k))
-    val pairs = docs
+    docs
       .select(explode(concat(grams: _*)).as("g"))
       .select(least(substring_index(col("g"), " ", 1),
           substring_index(col("g"), " ", -1)).as("a"),
         greatest(substring_index(col("g"), " ", 1),
           substring_index(col("g"), " ", -1)).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+  }
+
+  def cooccurrencePmi(docs: DataFrame, window: Int = 3,
+      topPairs: Int = 100, minCount: Long = 5, textCol: String = "text")
+      : DataFrame = {
+    val pairs = windowPairCounts(docs, window, textCol)
     val uni = docs.select(explode(TextFns.words(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
     val tot = uni.agg(sum(col("c_w")).as("n_tokens"))
@@ -436,5 +446,60 @@ object Retrieval {
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         col("pmi"))
       .orderBy(col("pmi").desc, col("a"), col("b")).limit(topPairs)
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) run
+    * corpus-scale: weighted PageRank over the windowed co-occurrence
+    * graph ([[windowPairCounts]], the d_cooccur edge set at
+    * `minCount`), fixed `iters` iterations at damping 0.85, top
+    * `topK` words by final score — the unsupervised keyword/topic
+    * signal a curation pipeline reads next to d_tfidf (corpus-global
+    * where tf-idf is per-document).
+    *
+    * ALL-INTEGER iteration (the d_unigram_rarity quantization rule,
+    * applied to an iterative graph algorithm): scores live in
+    * micro-units (q₀ = 1 000 000), each edge contributes
+    * (85·w·q_src) DIV (100·W_src), and the update is
+    * q' = 150 000 + Σ contributions — integer sums are
+    * order-independent, so every iteration is bit-exact across
+    * partitionings AND engines, and the DuckDB oracle replays the
+    * whole run as an unrolled materialized-CTE chain (the Bpe.learn
+    * oracle pattern; floating PageRank would diverge in summation
+    * order). Overflow bound: 85·w·q < 2⁶³ needs w·q < 10¹⁷ —
+    * corpus-safe (w is an edge count, q ≤ graph-size·10⁶).
+    *
+    * Scale shape: ONE corpus pass builds the edges; every iteration
+    * is vocab-sized (edges ⋈ scores, groupBy dst — the Bpe loop
+    * shape), barriered per iteration so the plan stays constant-size
+    * (lineage doubles per merge without it), with the edge frame
+    * persisted + eagerly counted once (the lazily-persisted-race
+    * rule).
+    */
+  def textRank(docs: DataFrame, window: Int = 3, minCount: Long = 5,
+      iters: Int = 8, topK: Int = 50, textCol: String = "text"): DataFrame = {
+    def barrier(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val pc = windowPairCounts(docs, window, textCol)
+      .filter(col("c_ab") >= minCount)
+    val edges = pc.select(col("a").as("src"), col("b").as("dst"),
+        col("c_ab").as("w"))
+      .unionAll(pc.select(col("b").as("src"), col("a").as("dst"),
+        col("c_ab").as("w")))
+    val wt = edges.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val ew = edges.join(wt, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ew.count(): Unit // eager: AQE's concurrent branches race a lazy persist
+    var s = wt.select(col("src").as("word"), lit(1000000L).as("q"))
+    for (_ <- 1 to iters)
+      s = barrier(ew.join(s, ew("src") === s("word"))
+        .select(col("dst"), expr("85 * w * q DIV (100 * wsum)").as("contrib"))
+        .groupBy("dst").agg((lit(150000L) + sum(col("contrib"))).as("q"))
+        .select(col("dst").as("word"), col("q")))
+    val out = s.orderBy(col("q").desc, col("word")).limit(topK)
+      .select(col("word"), col("q").as("score_micro"),
+        (col("q") / lit(1e6)).as("score"))
+    ew.unpersist()
+    out
   }
 }

@@ -96,6 +96,46 @@ object Similarity {
         (col("col.score") / 1e6).as("cos6"))
   }
 
+  /** Many-probe scale path for [[hardNegatives]]: candidates come
+    * from the persisted IVF index (build once, probe per batch — the
+    * d_ann_topk amortization) with a widened cut `m = 4k + 16` so the
+    * label exclusion still finds k differently-labeled survivors
+    * (labels are roughly balanced by the op's premise; recall vs the
+    * exact form is spec-gated). The index is label-free, so the
+    * bounded candidate set re-joins the corpus ONCE (broadcast build
+    * side = candidates) to recover labels and exact cosines; the
+    * exclusion, ceiling and final cut all run on probes×m rows.
+    * Approximate (IVF recall < 1) → rows-only.
+    */
+  def hardNegativesIvf(emb: DataFrame, probeFilter: Column, indexDir: String,
+      k: Int = 5, nProbe: Int = 8, dupCutMicro: Long = 900000L): DataFrame = {
+    val spark = emb.sparkSession
+    val m = 4 * k + 16
+    val candPairs = graft.sources.IvfIndex.topK(spark, indexDir,
+        emb.filter(probeFilter), k = m, nProbe = nProbe)
+      .select(col("probe_id"), col("neighbor_id"))
+    val pframe = emb.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("label").as("label_p"),
+        col("embedding").as("emb_p"), VectorFns.norm(col("embedding")).as("nrm_p"))
+    val withProbe = candPairs.join(broadcast(pframe), Seq("probe_id"))
+    val nframe = emb.select(col("vec_id"), col("label"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    // corpus streams once; the bounded candidate set is the build side
+    val scored = nframe.join(broadcast(withProbe),
+        nframe("vec_id") === withProbe("neighbor_id"))
+      .withColumn("grid",
+        gridKey(VectorFns.dot(col("emb_p"), col("embedding"))
+          / (col("nrm_p") * col("nrm"))).cast("double"))
+      .filter(col("label_p") =!= col("label")
+        && col("grid") < lit(dupCutMicro.toDouble))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("grid").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("label").as("neg_label"), (col("grid") / 1e6).as("cos6"))
+  }
+
   /** Maximal-marginal-relevance diversification (Carbonell &
     * Goldstein 1998) of a dense top-N retrieval: greedily select k of
     * the N candidates by score = λ·rel(c) − μ·max_{s∈selected}

@@ -575,6 +575,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf hard negatives: real recall of the exact set, same invariants") {
+    val emb = Tables(spark, sf).embeddings
+    val exact = Similarity.hardNegatives(emb, col("vec_id") % 10 === 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$sf#embeddings-hnspec")
+    val ivfRows = Similarity.hardNegativesIvf(emb, col("vec_id") % 10 === 0,
+      idx, k = 5).collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivfRows.foreach { r =>
+      val (probe, nid, nlab, c) = (r.getLong(0), r.getLong(2), r.getInt(3),
+        r.getDouble(4))
+      assert(labels(nid) == nlab && nlab != labels(probe),
+        s"probe $probe neighbor $nid label")
+      assert(c < 0.9, s"probe $probe dup ceiling: $c")
+    }
+    val ivf = ivfRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ivf hard-negative recall $recall over ${exact.size}")
+  }
+
   test("deflate length: inflate round-trips, repetition compresses, query is consistent") {
     // the native expression against a hand-driven Inflater round-trip
     val s = "the quick brown fox jumps over the lazy dog 0123456789"

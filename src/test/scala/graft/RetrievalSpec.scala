@@ -266,6 +266,44 @@ class RetrievalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("textrank replays the integer PageRank loop exactly, hub outranks leaf") {
+    import spark.implicits._
+    // planted star: "hub" co-occurs with every spoke, spokes only
+    // with the hub and their chain neighbor — hub must rank first
+    val lines = (1 to 6).map(i => s"hub w$i hub w$i hub w$i hub w$i hub w$i")
+    val d = lines.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Retrieval.textRank(d, window = 2, minCount = 2, iters = 5,
+      topK = 10).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // local reference: identical integer arithmetic over the same edges
+    val tokss = lines.map(_.split(" ").toSeq)
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (toks <- tokss; d0 <- 1 to 2; i <- 0 until toks.length - d0) {
+      val (x, y) = (toks(i), toks(i + d0))
+      val key = if (x <= y) (x, y) else (y, x)
+      pc(key) = pc.getOrElse(key, 0L) + 1
+    }
+    val edges = pc.toSeq.filter(_._2 >= 2)
+      .flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+    val wsum = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var q = wsum.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5)
+      q = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> (150000L + es.map { case (src, _, w) =>
+          85L * w * q(src) / (100L * wsum(src))
+        }.sum)
+      }
+    val want = q.toSeq.sortBy { case (w, s) => (-s, w) }.take(10)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.head._1 == "hub")
+
+    // partitioning invariance: integer sums are order-independent
+    val re = Retrieval.textRank(d.repartition(7), window = 2, minCount = 2,
+      iters = 5, topK = 10).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(re == got)
+  }
+
   test("rarity on the corpus: every token instance weighted, sums positive") {
     val out = Retrieval.rarity(docs)
     val bad = out.filter(col("rarity_sum") <= 0 || col("n_tokens") <= 0).count()
