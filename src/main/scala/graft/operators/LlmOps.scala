@@ -440,6 +440,129 @@ object LlmOps {
       .select("doc_id", "component", "split")
       .orderBy("doc_id"))
 
+  /** Quality-keyed family representative (#89): rewrite policy for a
+    * deduplicated corpus that keeps the BEST member of each duplicate
+    * family, not the arbitrary min-id — what production rewrites
+    * actually do (near-dup families often pair a clean copy with a
+    * boilerplate-wrapped one; min-id keeps whichever crawled first).
+    * Composition of two oracle-proven pieces (the d_leakage_split
+    * rule): componentsOf's CC labeling ∘ d_quality's score, argmax
+    * per family by (quality_score desc, doc_id). Scale shape: the CC
+    * pipeline + ONE component-partitioned window over (doc_id,
+    * score) pairs. ORACLE-BACKED end to end.
+    */
+  private val familyKeepQ = GraftQuery(
+    "d_family_keep",
+    Some {
+      val stopSql = langScoreSql(TextAnalysis.StopSet)
+      s"""WITH RECURSIVE ws AS (SELECT doc_id, md5(text) AS h,
+        string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, h,
+        list_distinct(list_transform(
+          generate_series(1, CAST(greatest(len(w) - 2, 1) AS INT)),
+          i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS s
+        FROM ws),
+      rep AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM sh),
+      exact_edges AS (SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id),
+      reps AS (SELECT doc_id, s FROM rep WHERE doc_id = rep_id),
+      near_edges AS (SELECT x.doc_id AS a, y.doc_id AS b
+        FROM reps x JOIN reps y ON x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.s, y.s))) >= 0.8),
+      edges AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges),
+      und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      r(src, dst) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT r.src, u.b FROM r JOIN und u ON r.dst = u.a),
+      reach AS (SELECT src, MIN(dst) AS component FROM r GROUP BY src),
+      qm AS (SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct,
+        $stopSql AS n_stop
+        FROM documents),
+      qs AS (SELECT doc_id,
+        CASE WHEN n_tokens < 5 THEN 0.0 ELSE round(
+          (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.4 ELSE 0.2 END)
+          + (CASE WHEN (CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens) BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+          + (CASE WHEN (CAST(n_punct AS DOUBLE) / n_chars) <= 0.1 THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN n_stop > 0 THEN 0.1 ELSE 0.0 END), 4) END AS quality_score
+        FROM qm),
+      rk AS (SELECT q.doc_id, rc.component, q.quality_score,
+          ROW_NUMBER() OVER (PARTITION BY rc.component
+            ORDER BY q.quality_score DESC, q.doc_id) AS rn
+        FROM qs q JOIN reach rc ON q.doc_id = rc.src)
+      SELECT doc_id, component, quality_score, (rn = 1) AS kept
+      FROM rk ORDER BY doc_id"""
+    },
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val scored = docs.select(
+        col("doc_id") +: TextAnalysis.quality(col("text")): _*)
+        .select("doc_id", "quality_score")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      DedupPipeline.componentsOf(docs).join(scored, Seq("doc_id"))
+        .withColumn("kept", row_number().over(w) === 1)
+        .select("doc_id", "component", "quality_score", "kept")
+        .orderBy("doc_id")
+    })
+
+  /** Token-budget selection (#90): keep the highest-quality prefix of
+    * the corpus under a TOKEN budget — the "select the best N tokens
+    * for annealing/mid-training" op. The budget splits evenly across
+    * 16 md5-char shards (the d_pack sharding rule) so the running
+    * token sum parallelizes: per-shard window, never one global
+    * unpartitioned cumsum. Deterministic (score + id ordering, hash
+    * sharding) and ORACLE-BACKED.
+    */
+  private val tokenBudgetQ = GraftQuery(
+    "d_token_budget",
+    Some {
+      val stopSql = langScoreSql(TextAnalysis.StopSet)
+      s"""WITH qm AS (SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct,
+        $stopSql AS n_stop
+        FROM documents),
+      qs AS (SELECT doc_id, n_tokens,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        CASE WHEN n_tokens < 5 THEN 0.0 ELSE round(
+          (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.4 ELSE 0.2 END)
+          + (CASE WHEN (CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens) BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+          + (CASE WHEN (CAST(n_punct AS DOUBLE) / n_chars) <= 0.1 THEN 0.2 ELSE 0.0 END)
+          + (CASE WHEN n_stop > 0 THEN 0.1 ELSE 0.0 END), 4) END AS quality_score
+        FROM qm),
+      c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+          ORDER BY quality_score DESC, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM qs)
+      SELECT doc_id, shard, n_tokens, quality_score, cum_tokens,
+        (cum_tokens <= 512) AS kept
+      FROM c ORDER BY doc_id"""
+    },
+    (s, dir) => {
+      val scored = Tables(s, dir).documents.select(
+        col("doc_id") +: TextAnalysis.quality(col("text")): _*)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .withColumn("shard",
+          substring(md5(col("doc_id").cast("string")), 1, 1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      scored
+        .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+        .withColumn("kept", col("cum_tokens") <= lit(512L))
+        .select("doc_id", "shard", "n_tokens", "quality_score",
+          "cum_tokens", "kept")
+        .orderBy("doc_id")
+    })
+
   /** Duplicate-family size distribution — the dedup report an
     * operator actually reads before committing a corpus rewrite (how
     * much is duplicated, in how large families). Same edge set + CC
@@ -1885,7 +2008,7 @@ object LlmOps {
     langIdQ, qualityQ, qualityClassifierQ, gopherQ, tokenCountQ,
     fingerprintQ, editDistance,
     dedupCorpus,
-    dupFamilies, leakageSplitQ,
+    dupFamilies, leakageSplitQ, familyKeepQ, tokenBudgetQ,
     consistentSample, contamination, contaminationExact, bloomContam,
     mediaFeatures, mediaFrames,
     repetition, topNgrams, chunk, domainStats, mixSampleQ, temperatureMixQ,

@@ -597,6 +597,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"ivf hard-negative recall $recall over ${exact.size}")
   }
 
+  test("family keep: one best-quality representative per family, singletons kept") {
+    val rows = SparkEntry.queries("d_family_keep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val fams = rows.groupBy(_._2)
+    assert(fams.exists(_._2.length > 1), "test data should contain dup families")
+    fams.foreach { case (comp, ms) =>
+      val kept = ms.filter(_._4)
+      assert(kept.length == 1, s"family $comp kept ${kept.length}")
+      // the kept member is the (quality desc, id asc) argmax
+      val want = ms.minBy { case (id, _, q, _) => (-q, id) }
+      assert(kept.head == want, s"family $comp kept ${kept.head}, want $want")
+    }
+  }
+
+  test("token budget: per-shard greedy prefix, budget respected and maximal") {
+    val rows = SparkEntry.queries("d_token_budget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (shard, ds) =>
+      val order = ds.sortBy { case (id, _, _, q, _, _) => (-q, id) }
+      // cum_tokens replays the ordered running sum
+      var cum = 0L
+      order.foreach { case (id, _, nt, _, c, kept) =>
+        cum += nt
+        assert(c == cum, s"shard $shard doc $id cum $c want $cum")
+        assert(kept == (cum <= 512L), s"shard $shard doc $id kept")
+      }
+      // kept is a PREFIX of the order (greedy under the budget)
+      val firstDrop = order.indexWhere(!_._6)
+      if (firstDrop >= 0)
+        assert(order.drop(firstDrop).forall(!_._6), s"shard $shard not a prefix")
+    }
+  }
+
   test("deflate length: inflate round-trips, repetition compresses, query is consistent") {
     // the native expression against a hand-driven Inflater round-trip
     val s = "the quick brown fox jumps over the lazy dog 0123456789"
