@@ -128,6 +128,25 @@ object ClusterCheck {
     require(pca1 == pca2,
       s"pca fit must be reproducible across cluster runs: $pca1 vs $pca2")
     println(s"[cluster] pca checksum stable across runs: $pca1")
+    // textrank's all-integer iteration claims order-independence —
+    // that must survive real RPC shuffle partitioning too
+    val tr1 = time("d_textrank (run 1)") {
+      checksum(graft.SparkEntry.queries("d_textrank")(spark, dir))
+    }
+    val tr2 = time("d_textrank (run 2)") {
+      checksum(graft.SparkEntry.queries("d_textrank")(spark, dir))
+    }
+    require(tr1 == tr2,
+      s"textrank must be reproducible across cluster runs: $tr1 vs $tr2")
+    println(s"[cluster] textrank checksum stable across runs: $tr1")
+    time("d_hard_negatives_ivf") {
+      graft.SparkEntry.queries("d_hard_negatives_ivf")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("d_family_keep") {
+      graft.SparkEntry.queries("d_family_keep")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // ---- 2+3: kill an executor mid-CC-loop, labels must match --
     val killer = new Thread(() => {
