@@ -480,8 +480,18 @@ object Retrieval {
     def barrier(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    // persist the FILTERED pair counts: pc fans out into both union
+    // branches of the edge set AND the degree aggregate (4 consumers
+    // of the corpus gram-explode otherwise — ReuseExchange does not
+    // recover it across AQE's independently replanned branches;
+    // StageProfile at 256× showed the explode+count stage TWICE,
+    // 30.1 s + 18.1 s of a 61 s wall). The cached frame is the
+    // minCount-filtered pair table — bounded by vocab², tiny next to
+    // the corpus.
     val pc = windowPairCounts(docs, window, textCol)
       .filter(col("c_ab") >= minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pc.count(): Unit // eager: AQE's concurrent branches race a lazy persist
     val edges = pc.select(col("a").as("src"), col("b").as("dst"),
         col("c_ab").as("w"))
       .unionAll(pc.select(col("b").as("src"), col("a").as("dst"),
@@ -489,7 +499,7 @@ object Retrieval {
     val wt = edges.groupBy("src").agg(sum(col("w")).as("wsum"))
     val ew = edges.join(wt, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ew.count(): Unit // eager: AQE's concurrent branches race a lazy persist
+    ew.count(): Unit
     var s = wt.select(col("src").as("word"), lit(1000000L).as("q"))
     for (_ <- 1 to iters)
       s = barrier(ew.join(s, ew("src") === s("word"))
@@ -499,6 +509,7 @@ object Retrieval {
     val out = s.orderBy(col("q").desc, col("word")).limit(topK)
       .select(col("word"), col("q").as("score_micro"),
         (col("q") / lit(1e6)).as("score"))
+    pc.unpersist()
     ew.unpersist()
     out
   }
