@@ -1980,6 +1980,35 @@ object LlmOps {
         .orderBy("probe_id", "rank")
     })
 
+  /** Margin-based alignment mining (#91, Similarity.marginAlign):
+    * best-over-second-best ratio margin — the LASER/CCMatrix pair
+    * mining criterion. ORACLE-BACKED: ranking on the cos grid, the
+    * margin one IEEE division of two integer-valued doubles.
+    */
+  private val marginAlignQ = GraftQuery(
+    "d_margin_align",
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      p AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+      t AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+      pairs AS (SELECT p.vec_id AS probe_id, t.vec_id AS match_id,
+          floor(list_inner_product(p.v, t.v) / (p.nrm * t.nrm) * 1e6 + 0.5) AS grid
+        FROM p JOIN t ON p.vec_id <> t.vec_id),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY grid DESC, match_id) AS rn FROM pairs),
+      tw AS (SELECT probe_id,
+          MAX(CASE WHEN rn = 1 THEN match_id END) AS match_id,
+          MAX(CASE WHEN rn = 1 THEN grid END) AS g1,
+          MAX(CASE WHEN rn = 2 THEN grid END) AS g2
+        FROM rk WHERE rn <= 2 GROUP BY probe_id HAVING COUNT(*) = 2)
+      SELECT probe_id, match_id, g1 / 1e6 AS cos6, g1 / g2 AS margin
+      FROM tw WHERE g2 > 0 AND g1 / g2 >= 1.02
+      ORDER BY probe_id"""),
+    (s, dir) => Similarity.marginAlign(Tables(s, dir).embeddings,
+        col("vec_id") % 10 === 0, col("vec_id") % 2 === 1, marginMin = 1.02)
+      .orderBy("probe_id"))
+
   /** Compression-ratio quality signal (#87): deflate length over raw
     * UTF-8 length — templated/repetitive docs compress far below
     * natural text (the whole-document complement to d_repetition's
@@ -2000,7 +2029,7 @@ object LlmOps {
         expr("deflate_len * 1000000 DIV raw_len")))
 
   val queries: Seq[GraftQuery] = Seq(
-    fimQ, hardNegativesQ, hardNegativesIvfQ, compressRatioQ,
+    fimQ, hardNegativesQ, hardNegativesIvfQ, compressRatioQ, marginAlignQ,
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact, knnGraphQ,

@@ -96,6 +96,54 @@ object Similarity {
         (col("col.score") / 1e6).as("cos6"))
   }
 
+  /** Margin-based alignment mining (the LASER/CCMatrix bitext
+    * criterion, Artetxe & Schwenk 2019, ratio form): for each probe
+    * on side A, its best side-B match qualifies only if
+    * cos(best) / cos(second-best) ≥ `marginMin` — absolute
+    * thresholds admit hubs (vectors near everything); the margin
+    * demands the best match be DISTINCTLY better than the
+    * runner-up. The pair-mining step that turns two monolingual /
+    * two-modality embedding pools into training pairs.
+    *
+    * Determinism: ranking runs on the floor(cos·1e6+0.5) grid; the
+    * margin is ONE IEEE division of two integer-valued doubles —
+    * bit-identical cross-engine, so the op is ORACLE-BACKED
+    * including the margin values. Scale shape: the thin probe side
+    * broadcasts, side B streams through one scan, the per-probe
+    * top-2 is the bounded-heap aggregate; for corpus-sized probe
+    * pools route candidates through [[graft.sources.IvfIndex]] as
+    * [[hardNegativesIvf]] does.
+    */
+  def marginAlign(emb: DataFrame, probeFilter: Column, targetFilter: Column,
+      marginMin: Double = 1.02): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    val probes = base.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
+        col("nrm").as("nrm_p"))
+    val targets = base.filter(targetFilter)
+    val cands = broadcast(probes)
+      .join(targets, col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"),
+        gridKey(VectorFns.dot(col("emb_p"), col("embedding"))
+          / (col("nrm_p") * col("nrm"))).cast("double").as("grid"),
+        col("vec_id"))
+    val top2 = cands.groupBy("probe_id")
+      .agg(graft.plans.BoundedTopK.boundedTopK(
+        col("grid"), col("vec_id"), 2).as("top"))
+      .filter(size(col("top")) === 2)
+    top2.select(col("probe_id"),
+        col("top")(0).getField("id").as("match_id"),
+        col("top")(0).getField("score").as("g1"),
+        col("top")(1).getField("score").as("g2"))
+      // the runner-up grid must be positive: a ratio over a
+      // non-positive score is not a confidence margin
+      .filter(col("g2") > 0 && col("g1") / col("g2") >= lit(marginMin))
+      .select(col("probe_id"), col("match_id"),
+        (col("g1") / 1e6).as("cos6"),
+        (col("g1") / col("g2")).as("margin"))
+  }
+
   /** Many-probe scale path for [[hardNegatives]]: candidates come
     * from the persisted IVF index (build once, probe per batch — the
     * d_ann_topk amortization) with a widened cut `m = 4k + 16` so the

@@ -633,6 +633,51 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("margin align: replays local brute force; hubs with tied matches rejected") {
+    // planted: probe 0 has a distinctly-best target, probe 1 sits
+    // equidistant between both targets (a hub) -> margin 1.0, dropped
+    import spark.implicits._
+    val planted = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.6f, 0.8f)),
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.marginAlign(planted, col("vec_id") < 10,
+      col("vec_id") >= 10, marginMin = 1.02).collect()
+    assert(p.map(_.getLong(0)).toSet == Set(0L), s"planted: ${p.toSeq}")
+    assert(p.head.getLong(1) == 10L)
+
+    // sf data: exact agreement with a local replay of the grid loop
+    val emb = Tables(spark, sf).embeddings
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      acc
+    }
+    def grid(a: Array[Float], b: Array[Float]): Double =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1e6 + 0.5)
+    val probes = vecs.keys.filter(_ % 10 == 0).toSeq.sorted
+    val targets = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+    val want = probes.flatMap { pid =>
+      val ranked = targets.filter(_ != pid)
+        .map(t => (grid(vecs(pid), vecs(t)), t))
+        .sortBy { case (g, t) => (-g, t) }
+      if (ranked.length < 2) None
+      else {
+        val (g1, m) = ranked(0); val g2 = ranked(1)._1
+        if (g2 > 0 && g1 / g2 >= 1.02) Some((pid, m, g1 / g2)) else None
+      }
+    }.toSet
+    val got = SparkEntry.queries("d_margin_align")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got == want, s"got ${got.size} vs want ${want.size}")
+    assert(want.nonEmpty, "margin criterion should admit some pairs")
+  }
+
   test("deflate length: inflate round-trips, repetition compresses, query is consistent") {
     // the native expression against a hand-driven Inflater round-trip
     val s = "the quick brown fox jumps over the lazy dog 0123456789"
