@@ -41,7 +41,7 @@ object Dedup {
     * (64 MB budget at the 8 GB heap ≥ the 64× md5/band builds) while
     * small executors degrade to sort-merge, which spills.
     */
-  private def buildBudgetBytes(df: DataFrame): Long =
+  private[graft] def buildBudgetBytes(df: DataFrame): Long =
     executorMemBytes(df.sparkSession.sparkContext) / 128
 
   /** Per-executor heap bytes, best effort across masters. */

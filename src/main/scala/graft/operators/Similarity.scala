@@ -165,12 +165,22 @@ object Similarity {
     val pframe = emb.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("label").as("label_p"),
         col("embedding").as("emb_p"), VectorFns.norm(col("embedding")).as("nrm_p"))
-    val withProbe = candPairs.join(broadcast(pframe), Seq("probe_id"))
     val nframe = emb.select(col("vec_id"), col("label"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
-    // corpus streams once; the bounded candidate set is the build side
-    val scored = nframe.join(broadcast(withProbe),
-        nframe("vec_id") === withProbe("neighbor_id"))
+    // bounded sides are shuffle_hash BUILDS, never broadcasts: the
+    // candidate set and the probe frame are "bounded" relative to the
+    // corpus but grow with the probe batch — at the 1024× blow-up
+    // (512k probes × m candidates, probe rows carrying float
+    // vectors) a broadcast of either OOMs the driver-side exchange.
+    // A shuffled hash build holds only per-partition slices; AQE's
+    // runtime broadcast conversion still upgrades genuinely small
+    // batches (candPairs is checkpoint-materialized by topK, so its
+    // stats are accurate).
+    val withNbr = nframe.join(candPairs.hint("shuffle_hash"),
+        nframe("vec_id") === candPairs("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("label"),
+        col("embedding"), col("nrm"))
+    val scored = withNbr.join(pframe.hint("shuffle_hash"), Seq("probe_id"))
       .withColumn("grid",
         gridKey(VectorFns.dot(col("emb_p"), col("embedding"))
           / (col("nrm_p") * col("nrm"))).cast("double"))
@@ -1158,6 +1168,77 @@ object Similarity {
       }
       override def hasNext: Boolean = { advance(); out.hasNext }
       override def next(): (Long, Long) = { advance(); out.next() }
+    }
+
+  /** Probe-vs-codes top-m scan over sorted cell runs (the IvfIndex
+    * big-probe path — [[cellRunTopM]]'s shape with two row kinds):
+    * each run holds one cell's CODE rows (tag 0, sorted first) then
+    * its PROBE rows (tag 1); codes buffer in primitive arrays, each
+    * probe ranks the buffered cell by the SQ8 integer-dot cosine —
+    * (qcos desc, id asc), the BoundedTopK total order — and emits
+    * its per-cell top-m (probe, id, qcos) survivors. The
+    * probes×cellSize candidate space never crosses an operator
+    * boundary (the ~1 µs/row TypedImperativeAggregate tax measured
+    * as 392 s of the 475 s 1024× wall); only probes×nProbe×m
+    * survivor rows leave the loop, and a cheap global per-probe heap
+    * downstream reduces them to EXACTLY the broadcast path's
+    * survivor set (per-cell top-m retains every global-top-m
+    * member).
+    */
+  private[graft] def probeCellRunTopM(
+      it: Iterator[(Long, Int, Long, Array[Byte], Double, Double)],
+      m: Int): Iterator[(Long, Long, Double)] =
+    new Iterator[(Long, Long, Double)] {
+      private val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      private val codes = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      private val qs = new scala.collection.mutable.ArrayBuffer[Double]()
+      private val nrms = new scala.collection.mutable.ArrayBuffer[Double]()
+      private val out = new scala.collection.mutable.Queue[(Long, Long, Double)]()
+      private var runCell = Long.MinValue
+      private val bs = new Array[Double](m); private val bi = new Array[Long](m)
+
+      private def scanProbe(pid: Long, code: Array[Byte], pq: Double,
+          pn: Double): Unit = {
+        val n = ids.length
+        var sz = 0
+        var j = 0
+        while (j < n) {
+          if (ids(j) != pid) {
+            val b = codes(j)
+            val dd = math.min(code.length, b.length)
+            var acc = 0L; var x = 0
+            while (x < dd) { acc += code(x).toLong * b(x).toLong; x += 1 }
+            val q = pq * qs(j) * acc.toDouble / (pn * nrms(j))
+            val id = ids(j)
+            if (sz < m || q > bs(sz - 1)
+                || (q == bs(sz - 1) && id < bi(sz - 1))) {
+              var p = if (sz < m) sz else m - 1
+              while (p > 0 && (q > bs(p - 1)
+                  || (q == bs(p - 1) && id < bi(p - 1)))) {
+                bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
+              }
+              bs(p) = q; bi(p) = id
+              if (sz < m) sz += 1
+            }
+          }
+          j += 1
+        }
+        var e = 0
+        while (e < sz) { out += ((pid, bi(e), bs(e))); e += 1 }
+      }
+      private def clearRun(): Unit = {
+        ids.clear(); codes.clear(); qs.clear(); nrms.clear()
+      }
+      private def advance(): Unit = {
+        while (out.isEmpty && it.hasNext) {
+          val (c, tag, id, code, q, nr) = it.next()
+          if (c != runCell) { clearRun(); runCell = c }
+          if (tag == 0) { ids += id; codes += code; qs += q; nrms += nr }
+          else scanProbe(id, code, q, nr)
+        }
+      }
+      override def hasNext: Boolean = { advance(); out.nonEmpty }
+      override def next(): (Long, Long, Double) = { advance(); out.dequeue() }
     }
 
   /** Cluster-level corpus report — the curation view behind

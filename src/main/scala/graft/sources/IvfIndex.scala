@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Estimated in-memory bytes of one probeCells row (id 8 + sq8
+    * code ≈ dim + qs 8 + nrm 8 + cell 4 + object overhead), used by
+    * the topK probe-side broadcast gate. Conservative at 64-dim.
+    */
+  private val ProbeCellRowBytes = 200L
+
   /** The centroid table, collected driver-side in cell order — cells
     * rows (≤ maxCells, thousands), a constant-size fetch at any
     * corpus scale; feeds the native per-probe cell selection.
@@ -193,15 +199,79 @@ object IvfIndex {
     val codes = spark.read.parquet(s"$dir/codes.parquet")
       .filter(col("cell").isin(cellSet.map(Integer.valueOf).toSeq: _*))
     val m = k + 16 // SQ8 rank-jitter margin, as ivfTopK
-    val survivors = codes.join(broadcast(probeCells), Seq("cell"))
-      .filter(col("probe_id") =!= col("vec_id"))
-      .withColumn("qcos",
-        col("qs_p") * col("qs")
-          * graft.plans.native.byteDot(col("code_p"), col("code")).cast("double")
-          / (col("nrm_p") * col("nrm")))
-      .groupBy("probe_id")
-      .agg(graft.plans.BoundedTopK.boundedTopK(col("qcos"), col("vec_id"), m).as("tops"))
-      .select(col("probe_id"), explode(col("tops.id")).as("vec_id"))
+    // probe-side join strategy is SIZE-GATED: the broadcast is the
+    // thin-probe fast path (probes ≪ corpus, the IVF premise — and
+    // left to AQE the tiny probe shuffle coalesces to ONE partition
+    // and gets STREAMED, see ivfScan), but a corpus-scale probe
+    // batch (ScaleCheck blows probes with the corpus: 512k probes ×
+    // nProbe ≈ 700 MB of code rows at 1024×) OOMs the driver-side
+    // BroadcastExchange — past the build budget the same equi-join
+    // runs as a shuffled hash join with the probe side as build
+    // (per-partition slices of the probe set, spill-free because
+    // bounded per partition). Results identical either way; the
+    // probeCells count is free here (persisted + just materialized
+    // by the cellSet collect).
+    val probeBytes = probeCells.count() * ProbeCellRowBytes
+    // test hook (the minhash fatCache pattern): "broadcast"/"kernel"
+    // pins the path so the parity spec can run both at spec scale
+    val forced = sys.props.get("graft.ivf.probePath")
+    val thinProbe = forced match {
+      case Some("broadcast") => true
+      case Some("kernel") => false
+      case _ =>
+        probeBytes < graft.operators.Dedup.buildBudgetBytes(probeCells)
+    }
+    val survivors =
+      if (thinProbe)
+        // thin-probe fast path (probes ≪ corpus, the IVF premise):
+        // broadcast the probe cells — left to AQE the tiny probe
+        // shuffle coalesces to ONE partition and gets STREAMED (see
+        // ivfScan); the scan runs across the code partitions with
+        // map-side partial heaps
+        codes.join(broadcast(probeCells), Seq("cell"))
+          .filter(col("probe_id") =!= col("vec_id"))
+          .withColumn("qcos",
+            col("qs_p") * col("qs")
+              * graft.plans.native.byteDot(col("code_p"), col("code")).cast("double")
+              / (col("nrm_p") * col("nrm")))
+          .groupBy("probe_id")
+          .agg(graft.plans.BoundedTopK.boundedTopK(col("qcos"), col("vec_id"), m)
+            .as("tops"))
+          .select(col("probe_id"), explode(col("tops.id")).as("vec_id"))
+      else {
+        // big-probe path (a corpus-scale batch — ScaleCheck blows
+        // probes with the corpus: 512k probes × nProbe ≈ 700 MB of
+        // code rows at 1024×, an OOM for the driver-side
+        // BroadcastExchange; and the join+aggregate form pays the
+        // ~1 µs/row TypedImperativeAggregate boundary on EVERY
+        // probes×cellSize candidate row — 392 s of a 475 s wall):
+        // the sorted cell-run kernel (Similarity.probeCellRunTopM,
+        // the knnGraph pattern with two row kinds). One pinned-width
+        // exchange co-locates each cell's codes and probes, codes
+        // buffer in primitive arrays, each probe scans its cell
+        // in-loop, and only probes×nProbe×m survivor rows cross an
+        // operator boundary; the global per-probe heap then reduces
+        // them to EXACTLY the broadcast path's survivor set (qcos
+        // replayed operand-for-operand, per-cell top-m retains every
+        // global-top-m member).
+        import spark.implicits._
+        val tagged = codes
+          .select(col("cell").cast("long"), lit(0).as("tag"), col("vec_id"),
+            col("code"), col("qs"), col("nrm"))
+          .unionAll(probeCells.select(col("cell").cast("long"),
+            lit(1).as("tag"), col("probe_id"), col("code_p"), col("qs_p"),
+            col("nrm_p")))
+          .as[(Long, Int, Long, Array[Byte], Double, Double)]
+        tagged
+          .repartition(spark.sessionState.conf.numShufflePartitions, col("cell"))
+          .sortWithinPartitions("cell", "tag")
+          .mapPartitions(it => graft.operators.Similarity.probeCellRunTopM(it, m))
+          .toDF("probe_id", "vec_id", "qcos")
+          .groupBy("probe_id")
+          .agg(graft.plans.BoundedTopK.boundedTopK(col("qcos"), col("vec_id"), m)
+            .as("tops"))
+          .select(col("probe_id"), explode(col("tops.id")).as("vec_id"))
+      }
     val reranked = survivors
       .join(probes.select(col("probe_id"), col("emb_p"), col("nrm_p")), Seq("probe_id"))
       .join(spark.read.parquet(s"$dir/codes.parquet")

@@ -21,6 +21,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed.sameElements(direct))
   }
 
+  test("big-probe kernel scan returns the broadcast path's rows bit-for-bit") {
+    val emb = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb, dir, nCells = 8)
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+    def run(): Array[String] =
+      IvfIndex.topK(spark, dir, probes, k = 5, nProbe = 4)
+        .collect().map(_.toString).sorted
+    val viaBroadcast = try {
+      sys.props("graft.ivf.probePath") = "broadcast"; run()
+    } finally sys.props.remove("graft.ivf.probePath")
+    val viaKernel = try {
+      sys.props("graft.ivf.probePath") = "kernel"; run()
+    } finally sys.props.remove("graft.ivf.probePath")
+    assert(viaBroadcast.nonEmpty && viaBroadcast.sameElements(viaKernel),
+      s"broadcast ${viaBroadcast.length} rows vs kernel ${viaKernel.length}")
+  }
+
   test("compact merges append-era small files; probes bit-identical before/after") {
     val emb = Tables(spark, sf).embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
