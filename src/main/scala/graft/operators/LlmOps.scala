@@ -1536,6 +1536,81 @@ object LlmOps {
     (s, dir) => Retrieval.bigramFluency(Tables(s, dir).documents)
       .orderBy("doc_id"))
 
+  /** CCNet-style perplexity bucketing (Retrieval.perplexityBucket):
+    * per-language bigram LM trained on the Gopher-rule-clean slice,
+    * rational 1/p surprisal scores over all docs with deterministic
+    * integer smoothing for unseen events, type-1 tercile cuts into
+    * head/middle/tail on the coarsened score grid. The oracle
+    * replays the whole chain — keep flag, per-lang counts, smoothed
+    * left joins, grid, per-lang cum-sum boundaries — in integer
+    * arithmetic, so the bucket labels hash-match exactly.
+    */
+  private val perplexityBucketQ = GraftQuery(
+    "d_perplexity_bucket",
+    Some {
+      val stopSql = langScoreSql(TextAnalysis.StopSet)
+      s"""WITH m AS (SELECT doc_id, lang, text,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_words,
+        ${occSql("text", "#")} + ${occSql("text", "...")} AS n_symbol,
+        len(list_filter(string_split(text, ' '),
+          w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        $stopSql AS n_stop
+        FROM documents),
+      k AS (SELECT doc_id, lang, text,
+        ((n_words BETWEEN 10 AND 100000)
+          AND ((CAST(n_chars - n_words + 1 AS DOUBLE) / n_words) BETWEEN 2 AND 10)
+          AND ((CAST(n_symbol AS DOUBLE) / n_words) <= 0.1)
+          AND ((CAST(n_alpha AS DOUBLE) / n_words) >= 0.8)
+          AND (n_stop >= 2)) AS keep
+        FROM m),
+      w AS (SELECT doc_id, lang, keep, string_split(lower(text), ' ') AS ws,
+        len(string_split(lower(text), ' ')) AS n FROM k),
+      b AS (SELECT doc_id, lang, keep,
+          ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS bg
+        FROM w, unnest(generate_series(1, CAST(n - 1 AS INT))) AS t(i)
+        WHERE n >= 2),
+      dt AS (SELECT lang, doc_id, keep, bg, COUNT(*) AS tf
+        FROM b GROUP BY lang, doc_id, keep, bg),
+      cf AS (SELECT lang, bg, CAST(SUM(tf) AS BIGINT) AS cf
+        FROM dt WHERE keep GROUP BY lang, bg),
+      cx AS (SELECT lang, split_part(bg, ' ', 1) AS w1,
+          CAST(SUM(cf) AS BIGINT) AS cf_ctx FROM cf GROUP BY lang, w1),
+      tt AS (SELECT lang, CAST(SUM(cf) AS BIGINT) AS c_tot
+        FROM cf GROUP BY lang),
+      s AS (SELECT dt.lang AS lang, doc_id, tf,
+          tf * ((coalesce(cf_ctx, c_tot, CAST(1 AS BIGINT))
+            * CAST(1000000 AS BIGINT)) // coalesce(cf, CAST(1 AS BIGINT)))
+            AS score
+        FROM dt
+        LEFT JOIN cf ON dt.lang = cf.lang AND dt.bg = cf.bg
+        LEFT JOIN cx ON dt.lang = cx.lang
+          AND split_part(dt.bg, ' ', 1) = cx.w1
+        LEFT JOIN tt ON dt.lang = tt.lang),
+      d AS (SELECT lang, doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+          CAST(SUM(score) AS BIGINT) AS surprisal,
+          CAST(SUM(score) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS ppl_proxy
+        FROM s GROUP BY lang, doc_id),
+      g AS (SELECT *,
+          least(ppl_proxy, CAST(100000000000 AS BIGINT)) // 1000000 AS gd
+        FROM d),
+      hc AS (SELECT lang, v, CAST(SUM(cnt) OVER (PARTITION BY lang
+            ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM (SELECT lang, gd AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM g GROUP BY lang, gd)),
+      nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY lang),
+      bd AS (SELECT hc.lang AS lang,
+          MIN(CASE WHEN cum >= (1 * n + 2) // 3 THEN v END) AS b33,
+          MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS b67
+        FROM hc JOIN nl ON hc.lang = nl.lang GROUP BY hc.lang)
+      SELECT doc_id, g.lang AS lang, n_bigrams, surprisal, ppl_proxy,
+        CASE WHEN gd <= b33 THEN 'head' WHEN gd <= b67 THEN 'middle'
+          ELSE 'tail' END AS bucket
+      FROM g JOIN bd ON g.lang = bd.lang ORDER BY doc_id"""
+    },
+    (s, dir) => Retrieval.perplexityBucket(Tables(s, dir).documents)
+      .orderBy("doc_id"))
+
   /** T5-style span corruption (TextAnalysis.spanCorrupt): denoising
     * training-target construction. Masking is an md5-prefix draw per
     * (doc, span) — the d_split idiom — so the oracle rebuilds the
@@ -2046,6 +2121,7 @@ object LlmOps {
     splitQ, packQ, incrDedup, intraDedupQ, segmentDedup, boilerplateQ,
     substrDedupQ,
     bm25Q, rrfHybridQ, rarityQ, curriculumQ, tfidfQ, bigramLmQ,
+    perplexityBucketQ,
     bpeTrainQ, bpeVocabQ, bpeEncodeQ,
     invertedIndexQ, cooccurQ, textRankQ, spanCorruptQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier, embedPcaQ,

@@ -359,6 +359,85 @@ object Retrieval {
       .withColumn("ppl_proxy", expr("surprisal div n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3,
+    * reference's corpus-curation family): per LANGUAGE, train the
+    * bigram LM on the CLEAN slice (docs passing every Gopher rule —
+    * the paper trains on Wikipedia; the rule-clean slice is this
+    * corpus's in-distribution analog), score EVERY document with the
+    * same rational 1/p surprisal as [[bigramFluency]], then cut each
+    * language's score distribution at type-1 terciles into
+    * head/middle/tail — the paper's bucket layout, where `head` is
+    * the lowest-perplexity (most target-like) third.
+    *
+    * Determinism (oracle-exact end to end): counts are integers,
+    * per-bigram scores are `tf · (cf_ctx·10⁶ div cf)`, and unseen
+    * events smooth deterministically — an unseen bigram under a seen
+    * context scores as a count-1 event (`div coalesce(cf, 1)`), an
+    * unseen context falls back to the language's total bigram count
+    * (`coalesce(cf_ctx, c_tot, 1)` — the maximally-surprising
+    * context). Bucket boundaries are all-integer type-1 quantiles
+    * ([[Quantiles.typeOneBoundaries]]'s form, partitioned by lang)
+    * over the 10⁶-coarsened, 10¹¹-capped score grid — the bounded
+    * histogram contract: ≤ 10⁵ cells per language regardless of
+    * corpus size, so the per-lang cum-sum window never sees corpus
+    * rows.
+    *
+    * Scale shape: one corpus explode per LM side (train counts are
+    * the clean subset, scoring streams all docs — the two subtrees
+    * differ by the keep filter, so no exchange reuse is available;
+    * two linear passes, the bigramFluency trade). Vocab-sized count
+    * tables ride shuffle_hash LEFT-join builds back onto the corpus
+    * frame (the d_tfidf AQE trap); the per-doc scored frame is
+    * barriered with an eager localCheckpoint before fanning out to
+    * its three consumers (histogram, per-lang counts, final bucket
+    * join — the textrank multi-consumer rule, and it is a
+    * one-row-per-doc frame, the class the cache budget allows).
+    */
+  def perplexityBucket(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      col(textCol).as("text"),
+      TextAnalysis.gopherRules(col(textCol)).last.as("keep"))
+    val docBg = base.select(col("lang"), col("doc_id"), col("keep"),
+        explode(graft.plans.native.wordNgrams(lower(col("text")), 2)).as("bg"))
+      .groupBy("lang", "doc_id", "keep", "bg").agg(count(lit(1)).as("tf"))
+    val cf = docBg.filter(col("keep")).groupBy("lang", "bg")
+      .agg(sum(col("tf")).as("cf"))
+    val ctx = cf.groupBy(col("lang"), substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cf")).as("cf_ctx"))
+    val tot = cf.groupBy("lang").agg(sum(col("cf")).as("c_tot"))
+    val scored = docBg
+      .join(cf.hint("shuffle_hash"), Seq("lang", "bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx.hint("shuffle_hash"), Seq("lang", "w1"), "left")
+      .join(broadcast(tot), Seq("lang"), "left")
+      .withColumn("score", col("tf")
+        * expr("(coalesce(cf_ctx, c_tot, CAST(1 AS BIGINT))" +
+          " * CAST(1000000 AS BIGINT)) div coalesce(cf, CAST(1 AS BIGINT))"))
+      .groupBy("lang", "doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("score")).as("surprisal"))
+      .withColumn("ppl_proxy", expr("surprisal div n_bigrams"))
+      .withColumn("gd",
+        expr("least(ppl_proxy, CAST(100000000000 AS BIGINT)) div 1000000"))
+      .localCheckpoint() // eager: three consumers below, one-row-per-doc
+    val cumW = Window.partitionBy("lang").orderBy("gd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = scored.groupBy("lang", "gd").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+    val nl = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    val bounds = hist.join(broadcast(nl), Seq("lang"))
+      .groupBy("lang").agg(
+        min(when(col("cum") >= expr("(1 * n + 2) div 3"), col("gd"))).as("b33"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("gd"))).as("b67"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("surprisal"),
+        col("ppl_proxy"),
+        when(col("gd") <= col("b33"), lit("head"))
+          .when(col("gd") <= col("b67"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Inverted index build — the retrieval-infrastructure twin of
     * [[bm25]]: per term, document frequency, total term frequency,
     * and a BOUNDED posting-list sample (the `postingCap` smallest

@@ -304,6 +304,35 @@ class RetrievalSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("perplexityBucket: garbage lands in tail, thresholds are per-language, smoothing is defined") {
+    import spark.implicits._
+    val fluent = "the cat is in the house and the dog is in the barn of the town to a degree"
+    val rows =
+      (1L to 9L).map(i => (i, fluent, "en")) ++          // clean, fluent
+      Seq((10L, "qwxz1 vbnm2 asdf3 zxcv4 qret5 uiop6 hjkl7 wert8", "en")) ++ // unseen transitions
+      (11L to 16L).map(i => (i, fluent, "fr")) ++        // all identical → all head
+      Seq((20L, "aa bb", "de"), (21L, "cc dd", "de"))    // no clean de docs → total fallback
+    val d = rows.toDF("doc_id", "text", "lang")
+    val out = Retrieval.perplexityBucket(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getString(5))).toMap
+    // en: the 9 fluent docs share every transition (low 1/p) → head;
+    // the garbage doc's transitions are all unseen-context events
+    // (clean-total fallback) → distinctly above both tercile cuts
+    (1L to 9L).foreach(i => assert(out(i)._2 == "head", s"doc $i: ${out(i)}"))
+    assert(out(10L)._2 == "tail", s"garbage: ${out(10L)}")
+    assert(out(10L)._1 > out(1L)._1, "garbage must out-surprise fluent")
+    // fr never sees the garbage doc: its terciles are its own, and a
+    // uniform language is entirely head
+    (11L to 16L).foreach(i => assert(out(i)._2 == "head", s"fr $i: ${out(i)}"))
+    // de has no Gopher-clean training docs: every bigram scores the
+    // deterministic count-1 fallback, 1·10⁶ per occurrence
+    assert(out(20L)._1 == 1000000L && out(21L)._1 == 1000000L, s"${out(20L)} ${out(21L)}")
+    // partitioning invariance
+    val out7 = Retrieval.perplexityBucket(d.repartition(7))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getString(5))).toMap
+    assert(out7 == out)
+  }
+
   test("rarity on the corpus: every token instance weighted, sums positive") {
     val out = Retrieval.rarity(docs)
     val bad = out.filter(col("rarity_sum") <= 0 || col("n_tokens") <= 0).count()
