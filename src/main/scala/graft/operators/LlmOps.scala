@@ -2084,6 +2084,24 @@ object LlmOps {
         col("vec_id") % 10 === 0, col("vec_id") % 2 === 1, marginMin = 1.02)
       .orderBy("probe_id"))
 
+  /** Global-mining margin alignment (#91 scale path): the CCMatrix
+    * regime runs every side-A sentence as a probe, so the exact scan
+    * is quadratic; candidates come from the SAME session-scoped IVF
+    * index as d_ann_topk / d_hard_negatives_ivf (one fit per
+    * process). Rows-only (IVF recall < 1); agreement vs
+    * d_margin_align gated in LlmOpsSpec.
+    */
+  private val marginAlignIvfQ = GraftQuery(
+    "d_margin_align_ivf",
+    None,
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
+      Similarity.marginAlignIvf(emb, col("vec_id") % 10 === 0,
+          col("vec_id") % 2 === 1, idx, marginMin = 1.02)
+        .orderBy("probe_id")
+    })
+
   /** Compression-ratio quality signal (#87): deflate length over raw
     * UTF-8 length — templated/repetitive docs compress far below
     * natural text (the whole-document complement to d_repetition's
@@ -2105,6 +2123,7 @@ object LlmOps {
 
   val queries: Seq[GraftQuery] = Seq(
     fimQ, hardNegativesQ, hardNegativesIvfQ, compressRatioQ, marginAlignQ,
+    marginAlignIvfQ,
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact, knnGraphQ,

@@ -128,7 +128,54 @@ object Similarity {
         gridKey(VectorFns.dot(col("emb_p"), col("embedding"))
           / (col("nrm_p") * col("nrm"))).cast("double").as("grid"),
         col("vec_id"))
-    val top2 = cands.groupBy("probe_id")
+    marginFromTop2(cands, marginMin)
+  }
+
+  /** Many-probe scale path for [[marginAlign]] (the CCMatrix regime —
+    * global mining runs EVERY side-A sentence as a probe, so the
+    * probe pool is corpus-sized and the brute-force scan is
+    * quadratic): best/second-best candidates come from the persisted
+    * IVF index (the session-scoped build d_ann_topk amortizes),
+    * widened to `m` so the top-2 among TARGETS survives the
+    * index's target-blind cut; the bounded candidate set re-joins
+    * the target frame once (shuffle_hash build — the bounded-side
+    * rule) to drop non-targets and recover exact grid scores, and
+    * the margin runs on the same top-2 total order as the exact
+    * form. Approximate (IVF recall < 1, and a probe whose top-2
+    * targets straddle an unprobed cell can differ) → rows-only;
+    * agreement vs [[marginAlign]] is spec-gated.
+    */
+  def marginAlignIvf(emb: DataFrame, probeFilter: Column,
+      targetFilter: Column, indexDir: String, marginMin: Double = 1.02,
+      nProbe: Int = 8, m: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    val candPairs = graft.sources.IvfIndex.topK(spark, indexDir,
+        emb.filter(probeFilter), k = m, nProbe = nProbe)
+      .select(col("probe_id"), col("neighbor_id"))
+    val targets = emb.filter(targetFilter)
+      .select(col("vec_id"), col("embedding"),
+        VectorFns.norm(col("embedding")).as("nrm"))
+    val pframe = emb.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
+        VectorFns.norm(col("embedding")).as("nrm_p"))
+    val withNbr = targets.join(candPairs.hint("shuffle_hash"),
+        targets("vec_id") === candPairs("neighbor_id"))
+      .select(col("probe_id"), col("vec_id"), col("embedding"), col("nrm"))
+    val scored = withNbr.join(pframe.hint("shuffle_hash"), Seq("probe_id"))
+      .select(col("probe_id"),
+        gridKey(VectorFns.dot(col("emb_p"), col("embedding"))
+          / (col("nrm_p") * col("nrm"))).cast("double").as("grid"),
+        col("vec_id"))
+    marginFromTop2(scored, marginMin)
+  }
+
+  /** Shared tail of [[marginAlign]] / [[marginAlignIvf]]: per-probe
+    * bounded top-2 over (grid, vec_id) rows, then the ratio-margin
+    * cut — identical total order and IEEE division on both paths.
+    */
+  private def marginFromTop2(scored: DataFrame,
+      marginMin: Double): DataFrame = {
+    val top2 = scored.groupBy("probe_id")
       .agg(graft.plans.BoundedTopK.boundedTopK(
         col("grid"), col("vec_id"), 2).as("top"))
       .filter(size(col("top")) === 2)

@@ -597,6 +597,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"ivf hard-negative recall $recall over ${exact.size}")
   }
 
+  test("ivf margin alignment: agreement with the exact pairs, same margin floor") {
+    val emb = Tables(spark, sf).embeddings
+    val exact = Similarity.marginAlign(emb, col("vec_id") % 10 === 0,
+        col("vec_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$sf#embeddings-maspec")
+    val ivfRows = Similarity.marginAlignIvf(emb, col("vec_id") % 10 === 0,
+      col("vec_id") % 2 === 1, idx).collect()
+    // invariants hold on every emitted pair regardless of recall
+    ivfRows.foreach { r =>
+      assert(r.getLong(1) % 2 == 1, s"non-target match: $r")
+      assert(r.getDouble(3) >= 1.02, s"margin floor: $r")
+    }
+    val ivf = ivfRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ivf margin-align recall $recall over ${exact.size}")
+  }
+
   test("family keep: one best-quality representative per family, singletons kept") {
     val rows = SparkEntry.queries("d_family_keep")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
