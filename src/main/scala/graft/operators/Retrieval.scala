@@ -393,9 +393,16 @@ object Retrieval {
     * join — the textrank multi-consumer rule, and it is a
     * one-row-per-doc frame, the class the cache budget allows).
     */
-  def perplexityBucket(docs: DataFrame, textCol: String = "text",
+  /** LM-scoring stage of [[perplexityBucket]], exposed for plan
+    * auditing (the bucket assignment runs over an eager
+    * localCheckpoint of this frame, so the registered query's
+    * executedPlan cannot show these joins): per-language clean-slice
+    * bigram counts LEFT-joined back onto every document's bigrams
+    * with deterministic integer smoothing, reduced to one scored row
+    * per document.
+    */
+  def perplexityScores(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       col(textCol).as("text"),
       TextAnalysis.gopherRules(col(textCol)).last.as("keep"))
@@ -407,7 +414,7 @@ object Retrieval {
     val ctx = cf.groupBy(col("lang"), substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cf")).as("cf_ctx"))
     val tot = cf.groupBy("lang").agg(sum(col("cf")).as("c_tot"))
-    val scored = docBg
+    docBg
       .join(cf.hint("shuffle_hash"), Seq("lang", "bg"), "left")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(ctx.hint("shuffle_hash"), Seq("lang", "w1"), "left")
@@ -420,6 +427,12 @@ object Retrieval {
       .withColumn("ppl_proxy", expr("surprisal div n_bigrams"))
       .withColumn("gd",
         expr("least(ppl_proxy, CAST(100000000000 AS BIGINT)) div 1000000"))
+  }
+
+  def perplexityBucket(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = perplexityScores(docs, textCol, idCol, langCol)
       .localCheckpoint() // eager: three consumers below, one-row-per-doc
     val cumW = Window.partitionBy("lang").orderBy("gd")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -137,6 +137,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("perplexity bucket joins LM counts hash-based; boundaries broadcast back") {
+    // the scoring stage runs behind an eager localCheckpoint, so the
+    // registered frame's executedPlan cannot show it — audit it
+    // directly (the mmrCandidates pattern)
+    val s = operators.Retrieval.perplexityScores(Tables(spark, sf).documents)
+    s.collect()
+    val sp = s.queryExecution.executedPlan.toString
+    val finalPlan = sp.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ShuffledHashJoin"), sp)
+    assert(!sp.contains("CartesianProduct"), sp)
+    assert(sp.contains("partial_"), sp)
+    // the registered query: per-lang tercile boundaries are a bounded
+    // broadcast back onto the checkpointed scored frame
+    val p = planOf("d_perplexity_bucket")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("quantization stats aggregate map-side and broadcast back") {
     val p = planOf("d_vec_quantize")
     assert(p.contains("partial_min") || p.contains("partial_"), p)
