@@ -385,13 +385,28 @@ object Retrieval {
     * Scale shape: one corpus explode per LM side (train counts are
     * the clean subset, scoring streams all docs — the two subtrees
     * differ by the keep filter, so no exchange reuse is available;
-    * two linear passes, the bigramFluency trade). Vocab-sized count
-    * tables ride shuffle_hash LEFT-join builds back onto the corpus
-    * frame (the d_tfidf AQE trap); the per-doc scored frame is
-    * barriered with an eager localCheckpoint before fanning out to
-    * its three consumers (histogram, per-lang counts, final bucket
-    * join — the textrank multi-consumer rule, and it is a
-    * one-row-per-doc frame, the class the cache budget allows).
+    * two linear passes, the bigramFluency trade). NO per-(doc, bg)
+    * tf intermediate on either side — Σ over occurrence rows of
+    * surprisal(bg) ≡ Σ over distinct bigrams of tf·surprisal(bg)
+    * (identical integers; the oracle keeps its tf formulation), and
+    * the doc-keyed pre-aggregation was the op's measured 256× wall:
+    * four stages spilling 8-10 GB each (the per-partition group
+    * count is corpus×doc-length, so the hash agg always spills at
+    * blow-up scale) for a dedup that saves almost nothing when tf≈1.
+    * Train counts instead collapse map-side on the VOCAB-sized
+    * (lang, bg) key straight off the explode; the scoring side ships
+    * raw occurrence rows into the LM joins and aggregates per doc
+    * once, after. The vocab-sized count table persists across its
+    * three consumers (join build, ctx, tot — the textrank
+    * multi-consumer rule; eager count against the AQE branch race),
+    * released by [[perplexityBucket]] once the scored frame
+    * materializes. Count tables ride shuffle_hash LEFT-join builds
+    * back onto the corpus frame (the d_tfidf AQE trap); the per-doc
+    * scored frame is barriered with an eager localCheckpoint before
+    * fanning out to its three consumers (histogram, per-lang counts,
+    * final bucket join — one-row-per-doc, the class the cache budget
+    * allows). Measured at the blow-up: 64× 29.8 → 19.2 s, 256×
+    * 141.7 → 44.8 s e2e (the 4.75× ratio drops to 2.3× — sublinear).
     */
   /** LM-scoring stage of [[perplexityBucket]], exposed for plan
     * auditing (the bucket assignment runs over an eager
@@ -402,38 +417,56 @@ object Retrieval {
     * per document.
     */
   def perplexityScores(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame =
+    perplexityScoresWithLm(docs, textCol, idCol, langCol)._1
+
+  /** [[perplexityScores]] plus the persisted LM count frame, so
+    * [[perplexityBucket]] can release the cache once the scored frame
+    * materializes. Repeated standalone calls retire the previous
+    * call's cache (the minhashLsh lifecycle).
+    */
+  private[this] var lastLm: Option[DataFrame] = None
+  private def perplexityScoresWithLm(docs: DataFrame, textCol: String,
+      idCol: String, langCol: String): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       col(textCol).as("text"),
       TextAnalysis.gopherRules(col(textCol)).last.as("keep"))
-    val docBg = base.select(col("lang"), col("doc_id"), col("keep"),
-        explode(graft.plans.native.wordNgrams(lower(col("text")), 2)).as("bg"))
-      .groupBy("lang", "doc_id", "keep", "bg").agg(count(lit(1)).as("tf"))
-    val cf = docBg.filter(col("keep")).groupBy("lang", "bg")
-      .agg(sum(col("tf")).as("cf"))
+    def occ(f: DataFrame) = f.select(col("lang"), col("doc_id"),
+      explode(graft.plans.native.wordNgrams(lower(col("text")), 2)).as("bg"))
+    val cf = occ(base.filter(col("keep"))).groupBy("lang", "bg")
+      .agg(count(lit(1)).as("cf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      lastLm.foreach(_.unpersist(blocking = false)); lastLm = Some(cf)
+    }
+    cf.count() // eager: AQE starts the three consumer branches concurrently
     val ctx = cf.groupBy(col("lang"), substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cf")).as("cf_ctx"))
     val tot = cf.groupBy("lang").agg(sum(col("cf")).as("c_tot"))
-    docBg
+    val scored = occ(base)
       .join(cf.hint("shuffle_hash"), Seq("lang", "bg"), "left")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(ctx.hint("shuffle_hash"), Seq("lang", "w1"), "left")
       .join(broadcast(tot), Seq("lang"), "left")
-      .withColumn("score", col("tf")
-        * expr("(coalesce(cf_ctx, c_tot, CAST(1 AS BIGINT))" +
+      .withColumn("score",
+        expr("(coalesce(cf_ctx, c_tot, CAST(1 AS BIGINT))" +
           " * CAST(1000000 AS BIGINT)) div coalesce(cf, CAST(1 AS BIGINT))"))
       .groupBy("lang", "doc_id")
-      .agg(sum(col("tf")).as("n_bigrams"), sum(col("score")).as("surprisal"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("score")).as("surprisal"))
       .withColumn("ppl_proxy", expr("surprisal div n_bigrams"))
       .withColumn("gd",
         expr("least(ppl_proxy, CAST(100000000000 AS BIGINT)) div 1000000"))
+    (scored, cf)
   }
 
   def perplexityBucket(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = perplexityScores(docs, textCol, idCol, langCol)
+    val (scores, lm) = perplexityScoresWithLm(docs, textCol, idCol, langCol)
+    val scored = scores
       .localCheckpoint() // eager: three consumers below, one-row-per-doc
+    lm.unpersist(blocking = false) // checkpoint materialized — LM cache done
+    synchronized { if (lastLm.exists(_ eq lm)) lastLm = None }
     val cumW = Window.partitionBy("lang").orderBy("gd")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hist = scored.groupBy("lang", "gd").agg(count(lit(1)).as("cnt"))
