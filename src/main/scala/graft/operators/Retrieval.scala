@@ -426,7 +426,7 @@ object Retrieval {
     * call's cache (the minhashLsh lifecycle).
     */
   private[this] var lastLm: Option[DataFrame] = None
-  private def perplexityScoresWithLm(docs: DataFrame, textCol: String,
+  private[graft] def perplexityScoresWithLm(docs: DataFrame, textCol: String,
       idCol: String, langCol: String): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       col(textCol).as("text"),
@@ -459,23 +459,41 @@ object Retrieval {
     (scored, cf)
   }
 
-  def perplexityBucket(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+  /** Per-language type-1 tercile boundaries (b33, b67) of a scored
+    * frame's coarse grid — the histogram is ≤10⁵ cells per language
+    * by the gd cap, so the cum-sum window never sees corpus rows.
+    * Shared by [[perplexityBucket]] and the streaming model fit
+    * ([[graft.streaming.StreamingQuality.fit]]).
+    */
+  private[graft] def perplexityBoundaries(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (scores, lm) = perplexityScoresWithLm(docs, textCol, idCol, langCol)
-    val scored = scores
-      .localCheckpoint() // eager: three consumers below, one-row-per-doc
-    lm.unpersist(blocking = false) // checkpoint materialized — LM cache done
-    synchronized { if (lastLm.exists(_ eq lm)) lastLm = None }
     val cumW = Window.partitionBy("lang").orderBy("gd")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hist = scored.groupBy("lang", "gd").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(cumW))
     val nl = scored.groupBy("lang").agg(count(lit(1)).as("n"))
-    val bounds = hist.join(broadcast(nl), Seq("lang"))
+    hist.join(broadcast(nl), Seq("lang"))
       .groupBy("lang").agg(
         min(when(col("cum") >= expr("(1 * n + 2) div 3"), col("gd"))).as("b33"),
         min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("gd"))).as("b67"))
+  }
+
+  /** Release the LM count cache once its consumers are done (the
+    * scored frame is materialized) — shared teardown for
+    * [[perplexityBucket]] and the streaming fit.
+    */
+  private[graft] def releasePerplexityLm(lm: DataFrame): Unit = {
+    lm.unpersist(blocking = false)
+    synchronized { if (lastLm.exists(_ eq lm)) lastLm = None }
+  }
+
+  def perplexityBucket(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val (scores, lm) = perplexityScoresWithLm(docs, textCol, idCol, langCol)
+    val scored = scores
+      .localCheckpoint() // eager: three consumers below, one-row-per-doc
+    releasePerplexityLm(lm) // checkpoint materialized — LM cache done
+    val bounds = perplexityBoundaries(scored)
     scored.join(broadcast(bounds), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("surprisal"),
         col("ppl_proxy"),

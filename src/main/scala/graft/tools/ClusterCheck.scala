@@ -147,6 +147,23 @@ object ClusterCheck {
       graft.SparkEntry.queries("d_family_keep")(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    // perplexity bucketing: the persisted-LM lifecycle (persist →
+    // three consumers → release at the checkpoint) plus the
+    // all-integer scoring must both hold over real RPC partitioning
+    // — run twice, checksums must match bit-for-bit
+    val ppl1 = time("d_perplexity_bucket (run 1)") {
+      checksum(graft.SparkEntry.queries("d_perplexity_bucket")(spark, dir))
+    }
+    val ppl2 = time("d_perplexity_bucket (run 2)") {
+      checksum(graft.SparkEntry.queries("d_perplexity_bucket")(spark, dir))
+    }
+    require(ppl1 == ppl2,
+      s"perplexity buckets must be reproducible across cluster runs: $ppl1 vs $ppl2")
+    println(s"[cluster] perplexity checksum stable across runs: $ppl1")
+    time("d_margin_align_ivf") {
+      graft.SparkEntry.queries("d_margin_align_ivf")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // ---- 2+3: kill an executor mid-CC-loop, labels must match --
     val killer = new Thread(() => {
