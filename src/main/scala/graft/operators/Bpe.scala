@@ -120,12 +120,41 @@ object Bpe {
     (chosen.result(), syms)
   }
 
+  /** Session-scoped learned-tokenizer cache, shared by the four BPE
+    * registry entries (train/vocab/encode/fertility re-ran the same
+    * 8-merge training per call — the RarityCache rationale, §15.7).
+    * Keyed by corpus dir; a new key retires the previous entry. The
+    * cached frames are barrier outputs (checkpoint/localCheckpoint),
+    * already materialized — nothing to unpersist on retirement, the
+    * blocks free when the frames are collected.
+    */
+  object LearnCache {
+    private val ref = new java.util.concurrent.atomic.AtomicReference[
+      (String, (Seq[DataFrame], DataFrame))](null)
+
+    def learnFor(docs: => DataFrame, key: String,
+        merges: Int = Merges): (Seq[DataFrame], DataFrame) = synchronized {
+      val cur = ref.get()
+      if (cur != null && cur._1 == key) cur._2
+      else {
+        val r = learn(docs, merges)
+        ref.set((key, r))
+        r
+      }
+    }
+
+    private[graft] def reset(): Unit = synchronized { ref.set(null) }
+  }
+
   /** The learned merge list: (rank, left_sym, right_sym, pair_freq)
     * in application order — the artifact a tokenizer ships.
     */
   def trainReport(docs: DataFrame, merges: Int = Merges,
-      textCol: String = "text"): DataFrame = {
-    val picked = learn(docs, merges, textCol)._1
+      textCol: String = "text"): DataFrame =
+    trainReportFrom(docs, learn(docs, merges, textCol)._1)
+
+  private[graft] def trainReportFrom(docs: DataFrame,
+      picked: Seq[DataFrame]): DataFrame = {
     if (picked.isEmpty)
       // no mergeable pair anywhere (all words single-symbol) — empty
       // merge list with the artifact schema
@@ -146,9 +175,11 @@ object Bpe {
     * window runs over the aggregated symbol table, never the corpus.
     */
   def vocabReport(docs: DataFrame, merges: Int = Merges,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    vocabReportFrom(learn(docs, merges, textCol)._2)
+
+  private[graft] def vocabReportFrom(syms: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (_, syms) = learn(docs, merges, textCol)
     syms.groupBy("sym").agg(sum(col("freq")).as("sym_freq"))
       .withColumn("token_id", row_number()
         .over(Window.orderBy(col("sym_freq").desc, col("sym")))
@@ -168,8 +199,11 @@ object Bpe {
     * shuffle_hash at the 64× blow-up.
     */
   def encodeStats(docs: DataFrame, merges: Int = Merges,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    encodeStatsFrom(docs, learn(docs, merges, textCol)._2, textCol, idCol)
+
+  private[graft] def encodeStatsFrom(docs: DataFrame, syms: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val (_, syms) = learn(docs, merges, textCol)
     val wt = syms.groupBy("word").agg(count(lit(1)).as("n_sym"))
     val dw = docs
       .select(col(idCol).as("doc_id"),
@@ -181,5 +215,42 @@ object Bpe {
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * length(col("word"))).as("n_chars"),
         sum(col("n") * col("n_sym")).as("n_tokens"))
+  }
+
+  /** Per-language tokenizer fertility under the learned merges —
+    * the standard multilingual-tokenizer evaluation (tokens per word
+    * and characters per token by language; a language the vocabulary
+    * under-serves shows high fertility, meaning its documents consume
+    * disproportionate sequence length at training). All integers
+    * (ppm ratios are exact integer DIVs of exact counts) → the oracle
+    * replays training merge-for-merge and the per-language sums.
+    *
+    * Scale shape: ONE corpus explode collapsed map-side to
+    * (lang, word) — per-language-vocabulary-sized, so the exchange
+    * and the symbols-per-word join never carry corpus rows; the
+    * output is one row per language.
+    */
+  def fertility(docs: DataFrame, merges: Int = Merges,
+      textCol: String = "text", langCol: String = "lang"): DataFrame =
+    fertilityFrom(docs, learn(docs, merges, textCol)._2, textCol, langCol)
+
+  private[graft] def fertilityFrom(docs: DataFrame, syms: DataFrame,
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val wt = syms.groupBy("word").agg(count(lit(1)).as("n_sym"))
+    val lw = docs
+      .select(col(langCol).as("lang"),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    lw.join(wt, Seq("word"))
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * length(col("word"))).as("n_chars"),
+        sum(col("n") * col("n_sym")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("n_tokens * CAST(1000000 AS BIGINT) div n_words")
+          .as("fertility_ppm"),
+        expr("n_chars * CAST(1000000 AS BIGINT) div n_tokens")
+          .as("chars_per_token_ppm"))
   }
 }

@@ -1788,7 +1788,9 @@ object LlmOps {
       (1 to Bpe.Merges).map(k =>
         s"SELECT $k AS rank, l AS left_sym, r AS right_sym, c AS pair_freq FROM m$k")
         .mkString(" UNION ALL ") + " ORDER BY rank"),
-    (s, dir) => Bpe.trainReport(Tables(s, dir).documents).orderBy("rank"))
+    (s, dir) => Bpe.trainReportFrom(Tables(s, dir).documents,
+      Bpe.LearnCache.learnFor(Tables(s, dir).documents, dir)._1)
+      .orderBy("rank"))
 
   /** BPE vocabulary artifact (Bpe.vocabReport): distinct final
     * symbols with token-weighted corpus counts and deterministic ids
@@ -1802,7 +1804,9 @@ object LlmOps {
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY sym_freq DESC, sym) AS INT)
       AS token_id, sym, sym_freq
   FROM v ORDER BY token_id"""),
-    (s, dir) => Bpe.vocabReport(Tables(s, dir).documents).orderBy("token_id"))
+    (s, dir) => Bpe.vocabReportFrom(
+      Bpe.LearnCache.learnFor(Tables(s, dir).documents, dir)._2)
+      .orderBy("token_id"))
 
   /** BPE ENCODING under the learned merges (Bpe.encodeStats):
     * per-document word/char/BPE-token counts. Encoding happens on the
@@ -1821,7 +1825,35 @@ object LlmOps {
     CAST(SUM(n * length(word)) AS BIGINT) AS n_chars,
     CAST(SUM(n * n_sym) AS BIGINT) AS n_tokens
   FROM dw JOIN wt USING (word) GROUP BY doc_id ORDER BY doc_id"""),
-    (s, dir) => Bpe.encodeStats(Tables(s, dir).documents).orderBy("doc_id"))
+    (s, dir) => Bpe.encodeStatsFrom(Tables(s, dir).documents,
+      Bpe.LearnCache.learnFor(Tables(s, dir).documents, dir)._2)
+      .orderBy("doc_id"))
+
+  /** Per-language tokenizer fertility (Bpe.fertility): tokens/word
+    * and chars/token by language under the learned merges — the
+    * multilingual-tokenizer evaluation step. Exact integer ppm
+    * ratios; the oracle replays training merge-for-merge (the
+    * d_bpe_encode chain) then the per-language sums.
+    */
+  private val tokenizerFertilityQ = GraftQuery(
+    "d_tokenizer_fertility",
+    Some(bpeChainSql + s""",
+  wt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+    FROM s${Bpe.Merges} GROUP BY word),
+  lw AS (SELECT lang, w AS word, CAST(COUNT(*) AS BIGINT) AS n FROM
+    (SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY lang, w)
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words,
+    CAST(SUM(n * length(word)) AS BIGINT) AS n_chars,
+    CAST(SUM(n * n_sym) AS BIGINT) AS n_tokens,
+    (CAST(SUM(n * n_sym) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
+      AS fertility_ppm,
+    (CAST(SUM(n * length(word)) AS BIGINT) * 1000000)
+      // (CAST(SUM(n * n_sym) AS BIGINT)) AS chars_per_token_ppm
+  FROM lw JOIN wt USING (word) GROUP BY lang ORDER BY lang"""),
+    (s, dir) => Bpe.fertilityFrom(Tables(s, dir).documents,
+      Bpe.LearnCache.learnFor(Tables(s, dir).documents, dir)._2)
+      .orderBy("lang"))
 
   /** Scalar quantization of the embedding column
     * (Similarity.scalarQuantize): per-dimension global stats →
@@ -2141,7 +2173,7 @@ object LlmOps {
     substrDedupQ,
     bm25Q, rrfHybridQ, rarityQ, curriculumQ, tfidfQ, bigramLmQ,
     perplexityBucketQ,
-    bpeTrainQ, bpeVocabQ, bpeEncodeQ,
+    bpeTrainQ, bpeVocabQ, bpeEncodeQ, tokenizerFertilityQ,
     invertedIndexQ, cooccurQ, textRankQ, spanCorruptQ,
     vecQuantize, semDedup, importanceQ, lenHist, embedOutlier, embedPcaQ,
     mmrDiversifyQ)

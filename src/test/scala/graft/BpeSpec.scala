@@ -127,4 +127,47 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == Seq((1, "y", "y", 2L), (2, "z", "z", 2L)))
   }
+
+  test("LearnCache: cached reports equal direct, key change retires") {
+    Bpe.LearnCache.reset()
+    val docs = Tables(spark, sf).documents
+    val direct = Bpe.trainReport(docs).orderBy("rank").collect().toSeq
+    val cached = Bpe.trainReportFrom(docs,
+      Bpe.LearnCache.learnFor(docs, "k1")._1).orderBy("rank").collect().toSeq
+    assert(cached == direct)
+    // same key: the SAME learned frames come back (no re-train)
+    val again = Bpe.LearnCache.learnFor(
+      sys.error("must not re-learn on a warm key"), "k1")
+    assert(again._2 eq Bpe.LearnCache.learnFor(docs, "k1")._2)
+    // new key: retrain on the new corpus, results still correct
+    val texts = Seq("ab ab", "ab cd")
+    val viaCache = Bpe.vocabReportFrom(
+      Bpe.LearnCache.learnFor(docsDf(texts), "k2")._2)
+      .orderBy("token_id").collect().toSeq
+    val directSmall = Bpe.vocabReport(docsDf(texts))
+      .orderBy("token_id").collect().toSeq
+    assert(viaCache == directSmall)
+    Bpe.LearnCache.reset()
+  }
+
+  test("fertility: per-language integer ratios from the encode stats") {
+    import spark.implicits._
+    // en words merge fully (one token each after 2 merges of a+b,
+    // ab+c); zz words stay 2 symbols (y,y wins no merges here)
+    val docs = Seq((1L, "en", "abc abc abc abc"), (2L, "qq", "xy xy"))
+      .toDF("doc_id", "lang", "text")
+    val got = Bpe.fertility(docs, merges = 2)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // merges learned on the whole corpus: (a,b) freq 4, then (ab,c)
+    // freq 4 → "abc" is 1 token; "xy" remains x,y = 2 tokens
+    assert(got == Seq(
+      ("en", 4L, 12L, 4L, 1000000L, 3000000L),
+      ("qq", 2L, 4L, 4L, 2000000L, 1000000L)))
+    // fertility is per-word-weighted: matches n_tokens*1e6 div n_words
+    got.foreach { case (_, w, c, t, f, cpt) =>
+      assert(f == t * 1000000L / w); assert(cpt == c * 1000000L / t)
+    }
+  }
 }
