@@ -145,9 +145,24 @@ object Similarity {
     * targets straddle an unprobed cell can differ) → rows-only;
     * agreement vs [[marginAlign]] is spec-gated.
     */
+  /** Margin-mining precision beats ANN-recall economy here: a plain
+    * ANN miss returns a slightly-worse neighbor, but a margin-op miss
+    * EMITS A WRONG PAIR as confidently-aligned (the mined pair trains
+    * the model) — measured on the sf corpus at the ANN defaults
+    * (nProbe=8): a probe whose true best sat outside the probed cells
+    * shipped the runner-up as its partner. So this op doubles the
+    * probe width (nProbe=16 — 2× the d_ann_topk default, ~2× the
+    * candidate-scan stage) and draws k=32 candidates because the
+    * shared index ranks ALL vectors pre-target-filter (k must cover
+    * 2/target-fraction plus crowding slack). The agreement spec pins
+    * zero false partners on the test corpus and recall ≥ 0.8; an
+    * adversarial distribution can still hide the true best outside 16
+    * cells — emitted pairs remain approximate, the documented IVF
+    * trade.
+    */
   def marginAlignIvf(emb: DataFrame, probeFilter: Column,
       targetFilter: Column, indexDir: String, marginMin: Double = 1.02,
-      nProbe: Int = 8, m: Int = 16): DataFrame = {
+      nProbe: Int = 16, m: Int = 32): DataFrame = {
     val spark = emb.sparkSession
     val candPairs = graft.sources.IvfIndex.topK(spark, indexDir,
         emb.filter(probeFilter), k = m, nProbe = nProbe)

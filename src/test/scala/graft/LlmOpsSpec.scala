@@ -614,6 +614,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(exact.nonEmpty)
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.8, s"ivf margin-align recall $recall over ${exact.size}")
+    // the IVF-specific failure mode is a FALSE ADMIT: the candidate
+    // cut misses the true best (or second-best), the margin computes
+    // against a farther runner-up, and a hub slips through with the
+    // WRONG partner. Pin it: every admitted pair must name the true
+    // grid-argmax target (missing the runner-up can only DEFLATE
+    // recall, never corrupt an emitted partner)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      acc
+    }
+    def grid(a: Array[Float], b: Array[Float]): Double =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1e6 + 0.5)
+    val targets = vecs.keys.filter(_ % 2 == 1).toSeq
+    ivf.foreach { case (pid, m) =>
+      val best = targets.filter(_ != pid)
+        .map(t => (grid(vecs(pid), vecs(t)), t))
+        .minBy { case (g, t) => (-g, t) }._2
+      assert(m == best, s"ivf admitted probe $pid with partner $m, true best $best")
+    }
   }
 
   test("family keep: one best-quality representative per family, singletons kept") {
