@@ -123,27 +123,37 @@ object Bpe {
   /** Session-scoped learned-tokenizer cache, shared by the four BPE
     * registry entries (train/vocab/encode/fertility re-ran the same
     * 8-merge training per call — the RarityCache rationale, §15.7).
-    * Keyed by corpus dir; a new key retires the previous entry. The
-    * cached frames are barrier outputs (checkpoint/localCheckpoint),
-    * already materialized — nothing to unpersist on retirement, the
-    * blocks free when the frames are collected.
+    * Keyed by corpus dir, most-recently-used bound of
+    * [[AnnIndexCache.MaxLive]]-style breadth 4: a multi-corpus driver
+    * alternating between snapshots (the SoakCheck A→B→A pattern)
+    * otherwise retrains on every flip. The cached frames are barrier
+    * outputs (checkpoint/localCheckpoint), already materialized —
+    * nothing to unpersist on eviction, the blocks free when the
+    * frames are collected.
     */
   object LearnCache {
-    private val ref = new java.util.concurrent.atomic.AtomicReference[
-      (String, (Seq[DataFrame], DataFrame))](null)
+    private[graft] val MaxLive = 4
+    // access-ordered: iteration starts at the least-recently-used key
+    private val built = new java.util.LinkedHashMap[
+      String, (Seq[DataFrame], DataFrame)](16, 0.75f, true)
 
     def learnFor(docs: => DataFrame, key: String,
-        merges: Int = Merges): (Seq[DataFrame], DataFrame) = synchronized {
-      val cur = ref.get()
-      if (cur != null && cur._1 == key) cur._2
-      else {
-        val r = learn(docs, merges)
-        ref.set((key, r))
-        r
+        merges: Int = Merges): (Seq[DataFrame], DataFrame) =
+      built.synchronized {
+        val have = built.get(key)
+        if (have != null) have
+        else {
+          val r = learn(docs, merges)
+          built.put(key, r)
+          while (built.size > MaxLive) {
+            val it = built.entrySet().iterator()
+            it.next(); it.remove()
+          }
+          r
+        }
       }
-    }
 
-    private[graft] def reset(): Unit = synchronized { ref.set(null) }
+    private[graft] def reset(): Unit = built.synchronized(built.clear())
   }
 
   /** The learned merge list: (rank, left_sym, right_sym, pair_freq)

@@ -147,6 +147,18 @@ class BpeSpec extends SparkSpec {
     val directSmall = Bpe.vocabReport(docsDf(texts))
       .orderBy("token_id").collect().toSeq
     assert(viaCache == directSmall)
+    // breadth: a second corpus must NOT evict the first (the SoakCheck
+    // A→B→A flip retrained every leg under the one-slot cache)
+    assert(again._2 eq Bpe.LearnCache.learnFor(
+      sys.error("k1 must survive k2"), "k1")._2)
+    // ...but past MaxLive distinct keys the least-recently-used keys
+    // (k1 then k2 — k1 was touched before this re-touch of k2) are
+    // evicted and retrain on next use
+    val k2Frames = Bpe.LearnCache.learnFor(docsDf(texts), "k2")._2
+    (3 to Bpe.LearnCache.MaxLive + 2).foreach { i =>
+      Bpe.LearnCache.learnFor(docsDf(texts), s"k$i")
+    }
+    assert(!(k2Frames eq Bpe.LearnCache.learnFor(docsDf(texts), "k2")._2))
     Bpe.LearnCache.reset()
   }
 
