@@ -2153,9 +2153,61 @@ object LlmOps {
       .withColumn("ratio_ppm",
         expr("deflate_len * 1000000 DIV raw_len")))
 
+  /** Semantic decontamination (#95, Similarity.semanticDecontam): the
+    * embedding rung of the decontamination ladder — per candidate
+    * vector, its best benchmark match and a contaminated flag at the
+    * 0.40 grid cosine (≈ the corpus's p99 cross-similarity; the
+    * planted-copy spec pins the flag itself). The benchmark is the
+    * capped smallest-id slice — fixed-size by premise, so the scan is
+    * corpus-linear. ORACLE-BACKED (grid argmax ∘ ROW_NUMBER twin).
+    */
+  private val semanticDecontamQ = GraftQuery(
+    "d_semantic_decontam",
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      b AS (SELECT * FROM n WHERE vec_id % 20 = 0 ORDER BY vec_id LIMIT 256),
+      t AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+      pairs AS (SELECT t.vec_id, b.vec_id AS bench_id,
+          floor(list_inner_product(t.v, b.v) / (t.nrm * b.nrm) * 1e6 + 0.5) AS grid
+        FROM t JOIN b ON t.vec_id <> b.vec_id),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY grid DESC, bench_id) AS rn FROM pairs)
+      SELECT vec_id, bench_id, grid / 1e6 AS cos6, grid >= 400000 AS contaminated
+      FROM rk WHERE rn = 1 ORDER BY vec_id"""),
+    (s, dir) => Similarity.semanticDecontam(Tables(s, dir).embeddings,
+        col("vec_id") % 20 =!= 0, col("vec_id") % 20 === 0)
+      .orderBy("vec_id"))
+
+  /** Corpus drift report (#96, TextAnalysis.corpusDrift): per-term
+    * ppm deltas between two deterministic snapshot halves plus the
+    * corpus L1 distance — the ingest-monitoring report run before a
+    * new crawl joins the training mix. All-integer → ORACLE-BACKED.
+    */
+  private val corpusDriftQ = GraftQuery(
+    "d_corpus_drift",
+    Some(s"""WITH occ AS (SELECT
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hexCut(0.5)}' AS in_a,
+        unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      vc AS (SELECT term,
+          CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+          CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        FROM occ GROUP BY term),
+      t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+          CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM vc),
+      p AS (SELECT term, cnt_a, cnt_b,
+          cnt_a * CAST(1000000 AS BIGINT) // greatest(tot_a, 1) AS ppm_a,
+          cnt_b * CAST(1000000 AS BIGINT) // greatest(tot_b, 1) AS ppm_b
+        FROM vc, t),
+      d AS (SELECT *, abs(ppm_a - ppm_b) AS d_ppm FROM p),
+      s AS (SELECT CAST(SUM(d_ppm) AS BIGINT) AS l1_ppm FROM d)
+      SELECT term, cnt_a, cnt_b, ppm_a, ppm_b, d_ppm, l1_ppm
+      FROM d, s ORDER BY d_ppm DESC, term LIMIT 50"""),
+    (s, dir) => TextAnalysis.corpusDrift(Tables(s, dir).documents))
+
   val queries: Seq[GraftQuery] = Seq(
     fimQ, hardNegativesQ, hardNegativesIvfQ, compressRatioQ, marginAlignQ,
-    marginAlignIvfQ,
+    marginAlignIvfQ, semanticDecontamQ, corpusDriftQ,
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact, knnGraphQ,

@@ -96,6 +96,50 @@ object Similarity {
         (col("col.score") / 1e6).as("cos6"))
   }
 
+  /** Embedding-level decontamination screen — the SEMANTIC rung of
+    * the decontamination ladder (after d_contamination_exact's string
+    * n-grams, d_contamination's winnowing and d_bloom_decontam's
+    * membership sketch): for every candidate vector, its
+    * highest-cosine BENCHMARK vector and a contaminated flag at
+    * `tauMicro` on the floor(cos·1e6+0.5) grid. Catches the
+    * paraphrase/near-translation overlap a string join cannot — the
+    * reason eval-hygiene pipelines run an embedding screen on top of
+    * the n-gram one.
+    *
+    * The benchmark side is capped to a FIXED size (the `benchCap`
+    * smallest qualifying vec_ids — TakeOrderedAndProject,
+    * deterministic): a benchmark suite does not grow with the
+    * training corpus, so the op is corpus-LINEAR by premise — one
+    * corpus scan against a broadcast constant, the same premise as
+    * d_bloom_decontam's inlined filter. The per-candidate argmax is a
+    * plain struct MAX (map-side partial, narrow shuffle — no heap, no
+    * window); ties at equal grid break to the smaller bench_id
+    * (struct max over (grid, −bench_id) ≡ the oracle's
+    * ROW_NUMBER(grid DESC, bench_id)). ORACLE-BACKED end to end: grid
+    * ranking plus one IEEE division for cos6.
+    */
+  def semanticDecontam(emb: DataFrame, candFilter: Column,
+      benchFilter: Column, benchCap: Int = 256,
+      tauMicro: Long = 400000L): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    val bench = base.filter(benchFilter).orderBy("vec_id").limit(benchCap)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b"))
+    broadcast(bench)
+      .join(base.filter(candFilter), col("bench_id") =!= col("vec_id"))
+      .select(col("vec_id"),
+        struct(
+          gridKey(VectorFns.dot(col("embedding"), col("emb_b"))
+            / (col("nrm") * col("nrm_b"))).cast("double").as("grid"),
+          (-col("bench_id")).as("nb")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("sc"))
+      .select(col("vec_id"),
+        (-col("sc.nb")).as("bench_id"),
+        (col("sc.grid") / 1e6).as("cos6"),
+        (col("sc.grid") >= lit(tauMicro.toDouble)).as("contaminated"))
+  }
+
   /** Margin-based alignment mining (the LASER/CCMatrix bitext
     * criterion, Artetxe & Schwenk 2019, ratio form): for each probe
     * on side A, its best side-B match qualifies only if

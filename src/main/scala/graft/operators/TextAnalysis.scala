@@ -168,6 +168,57 @@ object TextAnalysis {
       .select("bucket", "lo_word", "n_docs", "n_tokens", "cum_docs", "cum_share")
   }
 
+  /** Corpus drift report between two snapshot slices — the ingest
+    * monitoring step ("did today's crawl shift the token
+    * distribution?") run before a new snapshot joins the training
+    * mix: per-term counts and ppm shares in slice A vs slice B, the
+    * per-term ppm delta, and the corpus-level L1 distance
+    * Σ|ppmA − ppmB| (= 2·TVD in ppm — the rational stand-in for a KL
+    * drift score, which needs transcendental logs; L1 bounds KL from
+    * below via Pinsker and is exact-integer cross-engine). Output:
+    * the `topK` biggest movers by (|Δppm| desc, term), each row
+    * carrying the corpus L1 total.
+    *
+    * The two "snapshots" are a deterministic md5-hex draw on the id
+    * (the d_split idiom) so the report is reproducible on any engine;
+    * a real deployment passes snapshot membership as the flag column
+    * via `sideA`.
+    *
+    * Scale shape: ONE corpus explode collapsed map-side straight to
+    * per-term conditional sums — the (term) key is vocab-sized, so no
+    * exchange ever carries corpus rows; the count table is barriered
+    * (localCheckpoint, bounded by vocab size) before its consumers
+    * (totals, L1 aggregate, top-K cut) so the corpus pass runs once.
+    * Totals and the L1 scalar ride back as broadcasts; the top-K cut
+    * is TakeOrderedAndProject. All-integer → ORACLE-BACKED.
+    */
+  def corpusDrift(docs: DataFrame, topK: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id",
+      sideA: Option[Column] = None): DataFrame = {
+    val inA = sideA.getOrElse(
+      substring(md5(col(idCol).cast("string")), 1, 8)
+        < lit(Sampling.hexCut(0.5)))
+    val vc = docs
+      .select(inA.as("in_a"),
+        explode(TextFns.words(lower(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cnt_b"))
+      .localCheckpoint()
+    val tots = vc.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    val ppm = vc.crossJoin(broadcast(tots))
+      .withColumn("ppm_a",
+        expr("cnt_a * CAST(1000000 AS BIGINT) div greatest(tot_a, CAST(1 AS BIGINT))"))
+      .withColumn("ppm_b",
+        expr("cnt_b * CAST(1000000 AS BIGINT) div greatest(tot_b, CAST(1 AS BIGINT))"))
+      .withColumn("d_ppm", abs(col("ppm_a") - col("ppm_b")))
+    val l1 = ppm.agg(sum("d_ppm").as("l1_ppm"))
+    ppm.crossJoin(broadcast(l1))
+      .orderBy(col("d_ppm").desc, col("term"))
+      .limit(topK)
+      .select("term", "cnt_a", "cnt_b", "ppm_a", "ppm_b", "d_ppm", "l1_ppm")
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * hash char k-grams, take the min hash of each sliding window of w
     * — the distinct mins are the document's fingerprints. Returned

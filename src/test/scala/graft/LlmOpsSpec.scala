@@ -757,4 +757,91 @@ class LlmOpsSpec extends SparkSpec {
       assert(raw > 0 && dl > 0 && ppm == dl * 1000000L / raw)
     }
   }
+
+  test("semantic decontam: planted copy flagged, argmax exact, ties to smaller bench id") {
+    import spark.implicits._
+    val emb = Tables(spark, sf).embeddings
+    // plant a candidate that IS a benchmark vector (grid cos = 1e6) —
+    // the paraphrase-overlap case the op exists for — plus a tie probe
+    // equidistant from two identical benchmark vectors
+    val bvec = emb.filter(col("vec_id") % 20 === 0).orderBy("vec_id")
+      .select("embedding").head.getSeq[Float](0).toArray
+    val planted = Seq(
+      (9000001L, bvec, 0),            // exact copy of the lowest bench vec
+      (9000020L, bvec, 0))            // %20==0 → a second, identical bench vec
+      .toDF("vec_id", "embedding", "label")
+    val all = emb.unionByName(planted)
+    val out = Similarity.semanticDecontam(all,
+      col("vec_id") % 20 =!= 0, col("vec_id") % 20 === 0)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    // every candidate reports exactly one best benchmark row
+    assert(got.size == all.filter(col("vec_id") % 20 =!= 0).count())
+    val (bid, c, flag) = got(9000001L)
+    assert(c == 1.0 && flag, s"planted copy must flag at cos 1: ($bid, $c, $flag)")
+    // two identical bench vecs tie at grid 1e6 → the SMALLER bench id wins
+    val benchIds = all.filter(col("vec_id") % 20 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(bid == benchIds.head, s"tie must break to smallest bench id, got $bid")
+    // the argmax replays brute force on the grid for a sample of candidates
+    val bench = all.filter(col("vec_id") % 20 === 0).orderBy("vec_id").limit(256)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def grid(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+    }
+    all.filter(col("vec_id") % 20 =!= 0).orderBy("vec_id").limit(20)
+      .select("vec_id", "embedding").collect().foreach { r =>
+        val (vid, v) = (r.getLong(0), r.getSeq[Float](1).toArray)
+        val best = bench.filter(_._1 != vid).map { case (b, bv) => (grid(v, bv), b) }
+          .maxBy { case (g, b) => (g, -b) }
+        assert(got(vid) == ((best._2, best._1 / 1e6, best._1 >= 400000L)),
+          s"argmax mismatch for $vid: got ${got(vid)}, want $best")
+      }
+    // partitioning invariance
+    val re = Similarity.semanticDecontam(all.repartition(7),
+      col("vec_id") % 20 =!= 0, col("vec_id") % 20 === 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(re == got)
+  }
+
+  test("corpus drift: exact ppm deltas and L1 under a controlled side split") {
+    import spark.implicits._
+    // controlled sides: A = docs 1,2 (6 tokens), B = doc 3 (4 tokens)
+    val d = Seq(
+      (1L, "x x y z aa bb"),
+      (2L, "q q q r"),
+      (3L, "x x y r")).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusDrift(d, topK = 50,
+        sideA = Some(col("doc_id") <= 2))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // A: x2 y1 z1 aa1 bb1 q3 r1 (tot 10); B: x2 y1 r1 (tot 4)
+    assert(out("q") == ((3L, 0L, 300000L, 0L, 300000L, out("q")._6)))
+    assert(out("x") == ((2L, 2L, 200000L, 500000L, 300000L, out("x")._6)))
+    assert(out("r") == ((1L, 1L, 100000L, 250000L, 150000L, out("r")._6)))
+    // L1 = Σ d_ppm over ALL terms, constant on every row
+    val expL1 = Seq(
+      math.abs(200000L - 500000L), // x
+      math.abs(100000L - 250000L), // y
+      100000L,                     // z (A only)
+      100000L, 100000L,            // aa, bb
+      300000L,                     // q
+      math.abs(100000L - 250000L)  // r
+    ).sum
+    assert(out.values.map(_._6).toSet == Set(expL1), out.toString)
+    // default md5 split: deterministic and partitioning-invariant on
+    // the sf corpus
+    val a = TextAnalysis.corpusDrift(docs).collect().toSeq
+    val b = TextAnalysis.corpusDrift(docs.repartition(7)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
