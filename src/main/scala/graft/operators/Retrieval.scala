@@ -443,14 +443,60 @@ object Retrieval {
     val ctx = cf.groupBy(col("lang"), substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cf")).as("cf_ctx"))
     val tot = cf.groupBy("lang").agg(sum(col("cf")).as("c_tot"))
-    val scored = occ(base)
-      .join(cf.hint("shuffle_hash"), Seq("lang", "bg"), "left")
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(ctx.hint("shuffle_hash"), Seq("lang", "w1"), "left")
-      .join(broadcast(tot), Seq("lang"), "left")
-      .withColumn("score",
-        expr("(coalesce(cf_ctx, c_tot, CAST(1 AS BIGINT))" +
-          " * CAST(1000000 AS BIGINT)) div coalesce(cf, CAST(1 AS BIGINT))"))
+    val smoothed =
+      expr("(coalesce(cf_ctx, c_tot, CAST(1 AS BIGINT))" +
+        " * CAST(1000000 AS BIGINT)) div coalesce(cf, CAST(1 AS BIGINT))")
+    // Two plan shapes, identical integers (pinned in RetrievalSpec):
+    //  - "occ": occurrence rows carry both LM joins — TWO corpus-row
+    //    exchanges (by (lang,bg) then (lang,w1)), narrow rows.
+    //  - "scoretable": the smoothed score is assembled per DISTINCT
+    //    (lang, bg) of the scoring corpus on the vocab side (the ctx
+    //    fallback hits exactly when w1 is seen, so smoothing is
+    //    row-for-row the same), then joined back in ONE corpus-row
+    //    exchange — at the cost of one extra corpus explode (the
+    //    distinct's map pass).
+    // Same-harness A/B (StageProfile, 8 CPUs / 8 GB, §15.23): the
+    // trade flips with the memory regime. 256× (68M occurrence rows):
+    // occ 107.6 s → scoretable 76.4 s (−29% — the saved exchange fits
+    // memory and exchange COUNT dominates). 1024× (272M rows, the
+    // 8 GB spill regime): occ 303.7 s → scoretable 373.4 s (+23% —
+    // both forms spill, and the extra linear pass plus the distinct's
+    // partial agg ADD spill instead of saving it). Vocab:occurrence
+    // ratio is 3.4% at BOTH factors, so the flip is the spill knee,
+    // not vocabulary shape. Gate on estimated occurrence-shuffle
+    // volume vs the shared cache-budget form (occ shuffle ≈ 4× the
+    // parquet scan bytes — 722 MB of 1024× documents → the measured
+    // 2.8 GB exchange); derived plans propagate inflated sizes, which
+    // errs toward occ — the spill-safe narrow-row form.
+    val estOccShuffle = {
+      val s = docs.queryExecution.optimizedPlan.stats.sizeInBytes * 4
+      if (s.isValidLong) s.toLong else Long.MaxValue
+    }
+    val path = sys.props.get("graft.perplexity.path")
+      .orElse(sys.env.get("GRAFT_PERPLEXITY_PATH"))
+      .getOrElse(
+        if (estOccShuffle < Dedup.cacheBudgetBytes(docs)) "scoretable"
+        else "occ")
+    val scoredRows = path match {
+      case "occ" =>
+        occ(base)
+          .join(cf.hint("shuffle_hash"), Seq("lang", "bg"), "left")
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(ctx.hint("shuffle_hash"), Seq("lang", "w1"), "left")
+          .join(broadcast(tot), Seq("lang"), "left")
+          .withColumn("score", smoothed)
+      case _ =>
+        val st = occ(base).select("lang", "bg").distinct()
+          .join(cf.hint("shuffle_hash"), Seq("lang", "bg"), "left")
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(ctx.hint("shuffle_hash"), Seq("lang", "w1"), "left")
+          .join(broadcast(tot), Seq("lang"), "left")
+          .withColumn("score", smoothed)
+          .select("lang", "bg", "score")
+        // st covers every (lang, bg) the scoring side ships — inner
+        occ(base).join(st.hint("shuffle_hash"), Seq("lang", "bg"))
+    }
+    val scored = scoredRows
       .groupBy("lang", "doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("score")).as("surprisal"))
       .withColumn("ppl_proxy", expr("surprisal div n_bigrams"))

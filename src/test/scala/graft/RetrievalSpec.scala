@@ -333,6 +333,31 @@ class RetrievalSpec extends SparkSpec {
     assert(out7 == out)
   }
 
+  test("perplexity scoring: the occ and scoretable plan shapes are row-identical") {
+    // the score-table form assembles smoothing per distinct (lang, bg)
+    // on the vocab side; every smoothing branch (seen bigram / unseen
+    // bigram under seen context / unseen context / no clean slice)
+    // must survive the factoring — the sf corpus plus the planted rows
+    // below exercise all four
+    import spark.implicits._
+    val planted = Seq(
+      (9000001L, "the cat is in the house and the dog is here now", "en"),
+      (9000002L, "qwxz1 vbnm2 asdf3 zxcv4 qret5 uiop6 hjkl7 wert8", "en"),
+      (9000003L, "aa bb cc dd", "zz"), (9000004L, "ee ff gg hh", "zz"))
+      .toDF("doc_id", "text", "lang")
+    val d = Tables(spark, sf).documents.select("doc_id", "text", "lang")
+      .unionByName(planted)
+    def run(path: String): Seq[(Long, String, Long, Long)] = {
+      sys.props("graft.perplexity.path") = path
+      try Retrieval.perplexityScores(d).orderBy("doc_id")
+        .collect().map(r => (r.getLong(1), r.getString(0),
+          r.getLong(2), r.getLong(3))).toSeq
+      finally sys.props.remove("graft.perplexity.path"): Unit
+    }
+    val st = run("scoretable")
+    assert(st.nonEmpty && st == run("occ"))
+  }
+
   test("rarity on the corpus: every token instance weighted, sums positive") {
     val out = Retrieval.rarity(docs)
     val bad = out.filter(col("rarity_sum") <= 0 || col("n_tokens") <= 0).count()
