@@ -2205,9 +2205,123 @@ object LlmOps {
       FROM d, s ORDER BY d_ppm DESC, term LIMIT 50"""),
     (s, dir) => TextAnalysis.corpusDrift(Tables(s, dir).documents))
 
+  /** Curation ledger (#98): the per-document audit trail a
+    * data-governance review asks for — WHY is each document in or out
+    * of the training set? One row per doc with every stage's verdict:
+    * benchmark membership (eval sources are excluded from training),
+    * the Gopher rule battery, PII presence (redacted, not dropped —
+    * the flag records that the scrub touched it), exact-dup
+    * keep-first, duplicate-FAMILY representative (the CC component —
+    * exact + verified-near edges), n-gram contamination vs the
+    * benchmark source, and the AND'd final keep. The Dolma/RefinedWeb
+    * "removal ledger" artifact, and the d_leakage_split precedent
+    * taken to its conclusion: every piece is an oracle-proven
+    * fragment (gopher CASE ∘ md5 window ∘ recursive-CC fixpoint ∘
+    * 8-gram LEFT join ∘ regex flags), so the COMPOSITION is
+    * ORACLE-BACKED end to end.
+    */
+  private val curationLedgerQ = GraftQuery(
+    "d_curation_ledger",
+    Some {
+      val stopSql = langScoreSql(TextAnalysis.StopSet)
+      import TextAnalysis.{PiiEmail, PiiPhone, PiiIpv4}
+      s"""WITH RECURSIVE ws AS (SELECT doc_id, md5(text) AS h,
+        string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, h,
+        list_distinct(list_transform(
+          generate_series(1, CAST(greatest(len(w) - 2, 1) AS INT)),
+          i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS s
+        FROM ws),
+      rep AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM sh),
+      exact_edges AS (SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id),
+      reps AS (SELECT doc_id, s FROM rep WHERE doc_id = rep_id),
+      near_edges AS (SELECT x.doc_id AS a, y.doc_id AS b
+        FROM reps x JOIN reps y ON x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.s, y.s))) >= 0.8),
+      edges AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges),
+      und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      r(src, dst) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT r.src, u.b FROM r JOIN und u ON r.dst = u.a),
+      reach AS (SELECT src, MIN(dst) AS component FROM r GROUP BY src),
+      gm AS (SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_words,
+        ${occSql("text", "#")} + ${occSql("text", "...")} AS n_symbol,
+        len(list_filter(string_split(text, ' '),
+          w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        $stopSql AS n_stop
+        FROM documents),
+      gk AS (SELECT doc_id, ((n_words BETWEEN 10 AND 100000)
+          AND ((CAST(n_chars - n_words + 1 AS DOUBLE) / n_words) BETWEEN 2 AND 10)
+          AND ((CAST(n_symbol AS DOUBLE) / n_words) <= 0.1)
+          AND ((CAST(n_alpha AS DOUBLE) / n_words) >= 0.8)
+          AND (n_stop >= 2)) AS gopher_keep
+        FROM gm),
+      ex AS (SELECT doc_id,
+          doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
+        FROM documents),
+      sp AS (SELECT doc_id, source, string_split(text, ' ') AS cw
+        FROM documents),
+      cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(cw) - 7, 1)),
+          i -> array_to_string(cw[i:least(i+7, len(cw))], ' ')))) AS ng
+        FROM sp WHERE source <> 'src0'),
+      bgr AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(cw) - 7, 1)),
+          i -> array_to_string(cw[i:least(i+7, len(cw))], ' ')))) AS ng
+        FROM sp WHERE source = 'src0'),
+      cr AS (SELECT cg.doc_id,
+          (CAST(COUNT(bgr.ng) AS DOUBLE) / COUNT(*)) > 0.5 AS contaminated
+        FROM cg LEFT JOIN bgr ON cg.ng = bgr.ng GROUP BY cg.doc_id),
+      pii AS (SELECT doc_id,
+          (regexp_matches(text, '$PiiEmail') OR regexp_matches(text, '$PiiPhone')
+            OR regexp_matches(text, '$PiiIpv4')) AS pii_found
+        FROM documents)
+      SELECT d.doc_id, (d.source = 'src0') AS is_benchmark,
+        gk.gopher_keep, pii.pii_found, ex.exact_dup,
+        reach.component, (d.doc_id <> reach.component) AS dedup_drop,
+        coalesce(cr.contaminated, false) AS contaminated,
+        ((d.source <> 'src0') AND gk.gopher_keep
+          AND d.doc_id = reach.component
+          AND NOT coalesce(cr.contaminated, false)) AS keep
+      FROM documents d
+      JOIN gk USING (doc_id) JOIN ex USING (doc_id) JOIN pii USING (doc_id)
+      JOIN reach ON d.doc_id = reach.src
+      LEFT JOIN cr ON d.doc_id = cr.doc_id
+      ORDER BY doc_id"""
+    },
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val exactW = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text")))
+      val flags = docs.select(
+        col("doc_id"), col("source"),
+        (col("source") === "src0").as("is_benchmark"),
+        TextAnalysis.gopherRules(col("text")).last.as("gopher_keep"),
+        (TextAnalysis.piiCounts(col("text")).last > 0).as("pii_found"),
+        (col("doc_id") =!= min(col("doc_id")).over(exactW)).as("exact_dup"))
+      val comp = DedupPipeline.componentsOf(docs)
+      val contam = TextAnalysis.ngramContamination(
+          candidates = docs.filter(col("source") =!= "src0"),
+          benchmark = docs.filter(col("source") === "src0"))
+        .select(col("doc_id"), (col("overlap_ratio") > 0.5).as("contam0"))
+      flags.join(comp, "doc_id")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("contam0"), lit(false)))
+        .withColumn("dedup_drop", col("doc_id") =!= col("component"))
+        .withColumn("keep", !col("is_benchmark") && col("gopher_keep")
+          && !col("dedup_drop") && !col("contaminated"))
+        .select("doc_id", "is_benchmark", "gopher_keep", "pii_found",
+          "exact_dup", "component", "dedup_drop", "contaminated", "keep")
+        .orderBy("doc_id")
+    })
+
   val queries: Seq[GraftQuery] = Seq(
     fimQ, hardNegativesQ, hardNegativesIvfQ, compressRatioQ, marginAlignQ,
-    marginAlignIvfQ, semanticDecontamQ, corpusDriftQ,
+    marginAlignIvfQ, semanticDecontamQ, corpusDriftQ, curationLedgerQ,
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact, knnGraphQ,

@@ -813,6 +813,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("curation ledger: every flag agrees with its source op, keep is the conjunction") {
+    val ledger = SparkEntry.queries("d_curation_ledger")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getLong(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8))).toMap
+    assert(ledger.size == docs.count())
+    // flags replay their source ops
+    val gopher = docs.select(col("doc_id"),
+        TextAnalysis.gopherRules(col("text")).last).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val comp = graft.operators.DedupPipeline.componentsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bench = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "src0")).toMap
+    val contam = TextAnalysis.ngramContamination(
+        candidates = docs.filter(col("source") =!= "src0"),
+        benchmark = docs.filter(col("source") === "src0")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3) > 0.5)).toMap
+    ledger.foreach { case (id,
+        (isB, gk, _, _, component, drop, cont, keep)) =>
+      assert(isB == bench(id), s"doc $id benchmark flag")
+      assert(gk == gopher(id), s"doc $id gopher flag")
+      assert(component == comp(id) && drop == (id != comp(id)),
+        s"doc $id family")
+      assert(cont == contam.getOrElse(id, false), s"doc $id contamination")
+      assert(keep == (!isB && gk && !drop && !cont), s"doc $id keep")
+    }
+    // at least one doc passes and at least one fails each gate class
+    assert(ledger.values.exists(_._8) && ledger.values.exists(!_._8))
+    assert(ledger.values.exists(_._6), "corpus has planted dup families")
+  }
+
   test("corpus drift: exact ppm deltas and L1 under a controlled side split") {
     import spark.implicits._
     // controlled sides: A = docs 1,2 (6 tokens), B = doc 3 (4 tokens)
