@@ -109,33 +109,40 @@ object Similarity {
     * The benchmark side is capped to a FIXED size (the `benchCap`
     * smallest qualifying vec_ids — TakeOrderedAndProject,
     * deterministic): a benchmark suite does not grow with the
-    * training corpus, so the op is corpus-LINEAR by premise — one
-    * corpus scan against a broadcast constant, the same premise as
-    * d_bloom_decontam's inlined filter. The per-candidate argmax is a
-    * plain struct MAX (map-side partial, narrow shuffle — no heap, no
-    * window); ties at equal grid break to the smaller bench_id
-    * (struct max over (grid, −bench_id) ≡ the oracle's
+    * training corpus, so it is collected once as a plan constant (the
+    * d_bloom_decontam inlined-filter premise, embedding-shaped) and
+    * the whole screen is ONE zero-shuffle narrow projection via a
+    * native per-row argmax ([[graft.plans.native.benchArgmax]] — the
+    * MatVecProject rule). The first form aggregated candidates×bench
+    * join rows through max(struct(grid, −id)): a STRUCT aggregation
+    * buffer is not hash-aggregable, the plan fell to SortAggregate,
+    * and every candidate row was sorted per partition (6.7 GB spill /
+    * 20.5 s of a 28 s wall at the 256× blow-up — measured, replaced).
+    * Ties at equal grid break to the smaller bench_id (≡ the oracle's
     * ROW_NUMBER(grid DESC, bench_id)). ORACLE-BACKED end to end: grid
     * ranking plus one IEEE division for cos6.
     */
   def semanticDecontam(emb: DataFrame, candFilter: Column,
       benchFilter: Column, benchCap: Int = 256,
       tauMicro: Long = 400000L): DataFrame = {
-    val base = emb.select(col("vec_id"), col("embedding"),
-      VectorFns.norm(col("embedding")).as("nrm"))
-    val bench = base.filter(benchFilter).orderBy("vec_id").limit(benchCap)
-      .select(col("vec_id").as("bench_id"), col("embedding").as("emb_b"),
-        col("nrm").as("nrm_b"))
-    broadcast(bench)
-      .join(base.filter(candFilter), col("bench_id") =!= col("vec_id"))
+    // ≤ benchCap rows — the bounded model-artifact fetch
+    val bench = emb.filter(benchFilter).orderBy("vec_id").limit(benchCap)
+      .select("vec_id", "embedding").collect()
+    val dim = bench.headOption.map(_.getSeq[Float](1).length).getOrElse(0)
+    val flat = new Array[Float](bench.length * dim)
+    val ids = new Array[Long](bench.length)
+    bench.zipWithIndex.foreach { case (r, b) =>
+      ids(b) = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      var i = 0
+      while (i < math.min(dim, v.length)) { flat(b * dim + i) = v(i); i += 1 }
+    }
+    emb.filter(candFilter)
+      .select(col("vec_id"), graft.plans.native.benchArgmax(
+        col("embedding"), col("vec_id"), flat, ids, dim).as("sc"))
+      .filter(col("sc.bench_id") >= 0)
       .select(col("vec_id"),
-        struct(
-          gridKey(VectorFns.dot(col("embedding"), col("emb_b"))
-            / (col("nrm") * col("nrm_b"))).cast("double").as("grid"),
-          (-col("bench_id")).as("nb")).as("sc"))
-      .groupBy("vec_id").agg(max(col("sc")).as("sc"))
-      .select(col("vec_id"),
-        (-col("sc.nb")).as("bench_id"),
+        col("sc.bench_id").as("bench_id"),
         (col("sc.grid") / 1e6).as("cos6"),
         (col("sc.grid") >= lit(tauMicro.toDouble)).as("contaminated"))
   }

@@ -455,6 +455,43 @@ object NativeImpl {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** See [[native.BenchArgmax]]. Best benchmark match of one
+    * candidate vector: grid = floor(cos·1e6 + 0.5) with the float-dot
+    * fold and the norms-multiplied-first division replayed
+    * operand-for-operand (Catalyst parity), selection (grid desc,
+    * id asc) — the oracle's ROW_NUMBER order. Benchmark entries whose
+    * id equals `selfId` are skipped (a vector on both sides is not
+    * its own contamination). Returns (−Inf, −1) when nothing
+    * qualifies (empty benchmark) — the caller filters on id ≥ 0.
+    */
+  def benchArgmax(v: ArrayData, bench: Array[Float], bn: Array[Double],
+      ids: Array[Long], dim: Int, selfId: Long): InternalRow = {
+    val d = math.min(dim, v.numElements())
+    var pp = 0.0
+    var i = 0
+    while (i < d) { val x = v.getFloat(i).toDouble; pp += x * x; i += 1 }
+    val nrm = math.sqrt(pp)
+    var bestG = Double.NegativeInfinity
+    var bestId = -1L
+    var b = 0
+    val n = ids.length
+    while (b < n) {
+      if (ids(b) != selfId) {
+        var acc = 0.0; var j = 0; val off = b * dim
+        while (j < d) {
+          acc += v.getFloat(j).toDouble * bench(off + j).toDouble; j += 1
+        }
+        val g = math.floor(acc / (nrm * bn(b)) * 1e6 + 0.5)
+        if (bestId < 0 || g > bestG || (g == bestG && ids(b) < bestId)) {
+          bestG = g; bestId = ids(b)
+        }
+      }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestG, bestId))
+  }
+
   /** See [[native.IvfCellSelect]]. Returns the probe's `nProbe`
     * nearest cell ids ordered by (dist2 asc, cell asc) — the exact
     * ordering of the former crossJoin + row_number form. When
@@ -1351,6 +1388,46 @@ object native {
       copy(child = c)
   }
 
+  /** Semantic-decontam argmax (round-7 continuation): per candidate
+    * row, (grid cosine, bench id) of its best match among ≤benchCap
+    * BENCHMARK vectors carried as plan constants — the benchmark is
+    * fixed-size by the op's premise, so the whole screen is ONE
+    * zero-shuffle narrow projection (the MatVecProject rule). The
+    * previous shape aggregated candidates×bench join rows through
+    * max(struct(grid, −id)) — a STRUCT buffer is not hash-aggregable
+    * and the plan fell to SortAggregate, sorting every candidate row
+    * per partition (measured 6.7 GB spill / 20.5 s of a 28 s wall at
+    * the 256× blow-up). Ties break to the smaller bench id; rows with
+    * no qualifying benchmark entry return bench_id −1 (filtered by
+    * the caller).
+    */
+  case class BenchArgmax(left: Expression, right: Expression,
+      bench: Array[Float], benchIds: Array[Long], dim: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("grid", DoubleType, nullable = false),
+      StructField("bench_id", LongType, nullable = false)))
+
+    @transient private lazy val bn =
+      NativeImpl.selfDots(bench, dim).map(math.sqrt)
+
+    override protected def nullSafeEval(vec: Any, id: Any): Any =
+      NativeImpl.benchArgmax(vec.asInstanceOf[ArrayData], bench, bn,
+        benchIds, dim, id.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (arr, id) => {
+        val bRef = ctx.addReferenceObj("baBench", bench, "float[]")
+        val bnRef = ctx.addReferenceObj("baNorms", bn, "double[]")
+        val idRef = ctx.addReferenceObj("baIds", benchIds, "long[]")
+        s"${ev.value} = graft.plans.NativeImpl.benchArgmax($arr, " +
+          s"$bRef, $bnRef, $idRef, $dim, $id);"
+      })
+
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): BenchArgmax = copy(left = l, right = r)
+  }
+
   case class IvfCellSelect(child: Expression, cents: Array[Float],
       supers: Array[Float], cellSuper: Array[Int], dim: Int,
       nSuper: Int, nProbe: Int) extends UnaryExpression {
@@ -1603,6 +1680,10 @@ object native {
   def matVecProject(vec: Column, mat: Array[Double],
       offsets: Array[Double], dim: Int): Column =
     column(MatVecProject(expression(vec), mat, offsets, dim))
+
+  def benchArgmax(vec: Column, id: Column, bench: Array[Float],
+      benchIds: Array[Long], dim: Int): Column =
+    column(BenchArgmax(expression(vec), expression(id), bench, benchIds, dim))
 
   def labelPropPredict(vec: Column, cents: Array[Float],
       supers: Array[Float], cellSuper: Array[Int], dim: Int, nSuper: Int,

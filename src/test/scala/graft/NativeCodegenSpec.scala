@@ -44,7 +44,9 @@ class NativeCodegenSpec extends SparkSpec {
           Array.empty[Float], Array.empty[Int], 4, 2, 2).as("ics"),
         native.ivfCellSelect(col("vec"), icsCents,
           Array(0.25f, 0.25f, 0f, 0f, 0f, 0f, 0.5f, 0.25f),
-          Array(0, 0, 1), 4, 1, 2).as("icc"))
+          Array(0, 0, 1), 4, 1, 2).as("icc"),
+        native.benchArgmax(col("vec"), lit(7L), icsCents,
+          Array(1L, 7L, 9L), 4).as("ba"))
   }
 
   // 3 centroids × dim 4, row-major (exhaustive + coarse IvfCellSelect)

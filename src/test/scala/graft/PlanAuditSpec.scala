@@ -287,6 +287,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalPlan.contains("*(1)"), p)
   }
 
+  test("semantic decontam is a zero-shuffle projection over the inlined benchmark") {
+    // the benchmark rides the plan as a constant (the bloom premise);
+    // no join, no aggregate — in particular NOT the max(struct) form,
+    // whose struct buffer is not hash-aggregable and fell to
+    // SortAggregate (sorted every candidate row; 6.7 GB spill at 256×)
+    val p = planOf("d_semantic_decontam")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join") && !finalPlan.contains("Aggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).isEmpty, p)
+    assert(finalPlan.contains("*(1)"), p) // codegen span
+  }
+
   test("bigram LM reuses the doc-bigram exchange and never broadcasts the corpus side") {
     val p = planOf("d_bigram_lm")
     // cf derives from tf so its subtree reuses docBg's shuffle
