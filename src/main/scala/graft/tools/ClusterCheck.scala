@@ -164,6 +164,22 @@ object ClusterCheck {
       graft.SparkEntry.queries("d_margin_align_ivf")(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    // round-7 continuation ops: corpus drift's integer L1 claims
+    // order-independence, the decontam argmax is a struct MAX over
+    // RPC-partitioned partials, and the ledger composes the CC with
+    // four flag layers — each must checksum-match across runs
+    Seq("d_corpus_drift", "d_semantic_decontam", "d_curation_ledger")
+      .foreach { q =>
+        val c1 = time(s"$q (run 1)") {
+          checksum(graft.SparkEntry.queries(q)(spark, dir))
+        }
+        val c2 = time(s"$q (run 2)") {
+          checksum(graft.SparkEntry.queries(q)(spark, dir))
+        }
+        require(c1 == c2,
+          s"$q must be reproducible across cluster runs: $c1 vs $c2")
+        println(s"[cluster] $q checksum stable across runs: $c1")
+      }
 
     // ---- 2+3: kill an executor mid-CC-loop, labels must match --
     val killer = new Thread(() => {
