@@ -363,10 +363,25 @@ object TextAnalysis {
     * it is the right pre-filter before the exact [[contamination]]
     * pass over the flagged slice.
     */
-  def bloomContamination(candidates: DataFrame, benchmark: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id",
-      k: Int = 20, w: Int = 8,
-      expectedItems: Long = 0L, numBits: Long = 0L): DataFrame = {
+  /** Catalyst's internal bloom-membership test as a Column (Spark
+    * uses BloomFilterMightContain for runtime join filters; no SQL
+    * registration) — shared by the batch op and the streaming intake
+    * gate so both test the SAME filter binary identically.
+    */
+  private[graft] def bloomMightContain(bf: Column, v: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim.{column, expression}
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(bf), expression(v)))
+  }
+
+  /** Build the benchmark fingerprint bloom and return the serialized
+    * filter — the OFFLINE-fit decontamination artifact a streaming
+    * intake broadcasts (the StreamingQuality model rule), and the
+    * constant [[bloomContamination]] inlines.
+    */
+  def benchmarkBloomBytes(benchmark: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 20, w: Int = 8,
+      expectedItems: Long = 0L, numBits: Long = 0L): Array[Byte] = {
     def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
       explode(graft.plans.native.winnowing(col(textCol), k, w)).as("fp"))
     // auto-sizing (expectedItems = 0): count the benchmark fingerprint
@@ -389,25 +404,31 @@ object TextAnalysis {
         java.lang.Long.highestOneBit(math.max(10L * items, 1024L) * 2 - 1),
         org.apache.spark.sql.internal.SQLConf.get.getConf(
           org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS))
-    // BloomFilterAggregate/MightContain are catalyst-internal (Spark
-    // uses them for runtime join filters, no SQL registration) — build
-    // them through the shim
     import org.apache.spark.sql.graftshim.GraftShim.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.Literal
     val bfAgg = column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         expression(col("fp")), Literal(items), Literal(bits))
         .toAggregateExpression())
-    def mightContain(bf: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
-      column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        expression(bf), expression(v)))
+    fps(benchmark).agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  def bloomContamination(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 20, w: Int = 8,
+      expectedItems: Long = 0L, numBits: Long = 0L): DataFrame = {
+    def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(graft.plans.native.winnowing(col(textCol), k, w)).as("fp"))
+    def mightContain(bf: Column, v: Column) = bloomMightContain(bf, v)
     // might_contain requires a CONSTANT bloom: build it distributed,
     // fetch the one ~numBits/8-byte binary, and inline it as a
     // literal (exactly how Spark's runtime join-filter injection
     // ships its blooms) — the candidates side then filters with zero
     // joins and zero shuffles of the benchmark set
-    val bfBytes = fps(benchmark).agg(bfAgg.as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val bfBytes = benchmarkBloomBytes(benchmark, textCol, idCol, k, w,
+      expectedItems, numBits)
+    import org.apache.spark.sql.graftshim.GraftShim.column
+    import org.apache.spark.sql.catalyst.expressions.Literal
     val bfLit = column(Literal.create(bfBytes,
       org.apache.spark.sql.types.BinaryType))
     // exploded rows are already distinct per doc (winnowing returns

@@ -1,55 +1,103 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 import graft.operators.TextAnalysis
 
 /** Streaming corpus intake (SURVEY.md §2.4) — the continuous-ingestion
-  * twin of the batch prep pipeline: quality gate → PII scrub →
-  * normalized exact dedup, as ONE streaming graph over documents
-  * arriving with an event-time column.
+  * twin of the batch prep pipeline: quality gate → decontamination
+  * gate → PII scrub → normalized exact dedup, as ONE streaming graph
+  * over documents arriving with an event-time column.
   *
   * Everything before the dedup is stateless Column arithmetic (the
   * same TextAnalysis/TextFns expressions the batch ops use, so stream
   * and batch admit byte-identical documents); the only state is the
   * dedup key set, bounded by the watermark horizon — memory scales
   * with (arrival rate × allowed lateness), not stream length.
+  *
+  * The decontamination gate is the d_bloom_decontam scale path run
+  * in-stream: the benchmark fingerprint bloom is fit OFFLINE
+  * ([[graft.operators.TextAnalysis.benchmarkBloomBytes]] — the
+  * StreamingQuality model rule: a fixed artifact ships to every
+  * worker) and inlined as a literal; each arriving doc's winnowing
+  * fingerprints are membership-tested per row (a higher-order filter
+  * over the ≤len/w fingerprint array — no explode, no aggregation, no
+  * state), and docs whose maybe-overlap ratio exceeds `maxOverlap`
+  * are rejected before they can enter the corpus. One-sided error,
+  * inherited from the bloom: a contaminated doc is NEVER admitted;
+  * ~1% of clean docs may be over-rejected at the filter's designed FP
+  * rate — the right side of that trade for eval hygiene.
   */
 object StreamingIntake {
 
-  /** docs needs (doc_id, ts, text). Returns admitted documents with
-    * the scrubbed text, dedup key and quality score.
+  /** Per-row maybe-overlap ratio of the winnowing fingerprints
+    * against an inlined benchmark bloom — shared by the stream and
+    * the batch twin so the gate is identical by construction.
     */
-  def intake(docs: DataFrame, minQuality: Double = 0.5,
-      delay: String = "10 minutes"): DataFrame =
-    docs
+  private def contamRatio(text: Column, bfBytes: Array[Byte],
+      fpK: Int, fpW: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim.column
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bfLit = column(Literal.create(bfBytes,
+      org.apache.spark.sql.types.BinaryType))
+    val fps = graft.plans.native.winnowing(text, fpK, fpW)
+    val hits = size(filter(fps,
+      fp => TextAnalysis.bloomMightContain(bfLit, fp)))
+    // a doc too short to fingerprint cannot match the benchmark
+    hits.cast("double") / greatest(size(fps), lit(1)).cast("double")
+  }
+
+  private def prepared(docs: DataFrame, minQuality: Double,
+      benchBloom: Option[Array[Byte]], maxOverlap: Double,
+      fpK: Int, fpW: Int): DataFrame = {
+    val q = docs
       .select(Seq(col("doc_id"), col("ts"), col("text"))
         ++ TextAnalysis.quality(col("text")): _*)
       .filter(col("quality_score") >= minQuality)
+    val gated = benchBloom match {
+      case Some(bytes) => q
+        .withColumn("contam_ratio",
+          round(contamRatio(col("text"), bytes, fpK, fpW), 6))
+        .filter(col("contam_ratio") <= maxOverlap)
+      case None => q
+    }
+    gated
       // scrub before hashing: two docs differing only in their PII
       // spans are the same document after redaction
       .withColumn("clean_text", TextAnalysis.piiRedact(col("text")))
       .withColumn("dedup_key", md5(TextFns.normalize(col("clean_text"))))
+  }
+
+  private def outCols(benchBloom: Option[Array[Byte]]): Seq[String] =
+    Seq("doc_id", "ts", "clean_text", "dedup_key", "quality_score") ++
+      benchBloom.map(_ => "contam_ratio")
+
+  /** docs needs (doc_id, ts, text). Returns admitted documents with
+    * the scrubbed text, dedup key and quality score (plus the
+    * maybe-overlap ratio when a benchmark bloom is supplied).
+    */
+  def intake(docs: DataFrame, minQuality: Double = 0.5,
+      delay: String = "10 minutes",
+      benchBloom: Option[Array[Byte]] = None, maxOverlap: Double = 0.5,
+      fpK: Int = 20, fpW: Int = 8): DataFrame =
+    prepared(docs, minQuality, benchBloom, maxOverlap, fpK, fpW)
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("dedup_key")
-      .select("doc_id", "ts", "clean_text", "dedup_key", "quality_score")
+      .select(outCols(benchBloom).map(col): _*)
 
   /** Batch twin for parity tests: identical admit logic, batch dedup
     * keeps the FIRST doc per key in (ts, doc_id) order (streaming
     * keeps the first seen — same doc when the stream is in order).
     */
-  def intakeBatch(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+  def intakeBatch(docs: DataFrame, minQuality: Double = 0.5,
+      benchBloom: Option[Array[Byte]] = None, maxOverlap: Double = 0.5,
+      fpK: Int = 20, fpW: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("dedup_key").orderBy(col("ts"), col("doc_id"))
-    docs
-      .select(Seq(col("doc_id"), col("ts"), col("text"))
-        ++ TextAnalysis.quality(col("text")): _*)
-      .filter(col("quality_score") >= minQuality)
-      .withColumn("clean_text", TextAnalysis.piiRedact(col("text")))
-      .withColumn("dedup_key", md5(TextFns.normalize(col("clean_text"))))
+    prepared(docs, minQuality, benchBloom, maxOverlap, fpK, fpW)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select("doc_id", "ts", "clean_text", "dedup_key", "quality_score")
+      .select(outCols(benchBloom).map(col): _*)
   }
 }

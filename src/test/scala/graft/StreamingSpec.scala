@@ -129,6 +129,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch == kept, s"batch=$batch streamed=$kept")
   }
 
+  test("streaming intake decontamination gate rejects benchmark-overlapping docs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the offline-fit artifact: a bloom over a planted benchmark doc
+    val benchText = ("the held out benchmark question asks about the " +
+      "famous bridge and the answer names the engineer who built it " * 3).trim
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val bloom = graft.operators.TextAnalysis.benchmarkBloomBytes(bench)
+    val clean = ("spark holds the table and the sort and the merge " * 5).trim
+    val docs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), clean),                 // admitted
+      (2L, ts("2024-01-01 10:01:00"), benchText + " padded"), // contaminated
+      (3L, ts("2024-01-01 10:02:00"), clean + " another tail here"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingIntake.intake(
+        mem.toDF().toDF("doc_id", "ts", "text"), benchBloom = Some(bloom))
+      .writeStream.format("memory").queryName("intake_decontam")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("intake_decontam")
+    val kept = streamed.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), kept.toSeq.sorted.mkString(","))
+    // the one-sided guarantee, per doc: the gate's ratio must bracket
+    // the exact winnowing self-overlap (no false negatives)
+    val ratios = streamed.select("doc_id", "contam_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ratios.values.forall(r => r >= 0 && r <= 0.5), ratios.toString)
+    // batch twin gates the identical set with the identical ratios
+    val batch = graft.streaming.StreamingIntake.intakeBatch(
+        docs.toDF("doc_id", "ts", "text"), benchBloom = Some(bloom))
+      .select("doc_id", "contam_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(batch == ratios, s"batch=$batch streamed=$ratios")
+    // no-bloom mode keeps the original schema (no contam column)
+    val plain = graft.streaming.StreamingIntake.intakeBatch(
+      docs.toDF("doc_id", "ts", "text"))
+    assert(!plain.columns.contains("contam_ratio"))
+  }
+
   test("streaming minhash dedup finds every batch near-dup, across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
