@@ -386,9 +386,16 @@ object LlmOps {
       FROM documents d JOIN reach rc ON d.doc_id = rc.src
       WHERE d.doc_id = rc.component
       ORDER BY d.doc_id"""),
-    (s, dir) => DedupPipeline.dedupedCorpus(Tables(s, dir).documents)
-      .select("doc_id", "component", "lang", "source")
-      .orderBy("doc_id"))
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      // the kept view over the session-cached labels (ComponentsCache
+      // — five registry queries share one CC per corpus per process)
+      docs.join(DedupPipeline.ComponentsCache.componentsFor(docs, dir),
+          "doc_id")
+        .filter(col("doc_id") === col("component"))
+        .select("doc_id", "component", "lang", "source")
+        .orderBy("doc_id")
+    })
 
   /** Leakage-safe holdout split (#80, round 6): train/val/test drawn
     * at the duplicate-FAMILY level — every doc in a connected dup
@@ -435,7 +442,8 @@ object LlmOps {
       FROM documents d JOIN reach rc ON d.doc_id = rc.src
       ORDER BY d.doc_id"""),
     (s, dir) => Sampling.holdoutSplit(
-        DedupPipeline.componentsOf(Tables(s, dir).documents),
+        DedupPipeline.ComponentsCache
+          .componentsFor(Tables(s, dir).documents, dir),
         "component", valFraction = 0.10, testFraction = 0.10)
       .select("doc_id", "component", "split")
       .orderBy("doc_id"))
@@ -504,7 +512,8 @@ object LlmOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("component")
         .orderBy(col("quality_score").desc, col("doc_id"))
-      DedupPipeline.componentsOf(docs).join(scored, Seq("doc_id"))
+      DedupPipeline.ComponentsCache.componentsFor(docs, dir)
+        .join(scored, Seq("doc_id"))
         .withColumn("kept", row_number().over(w) === 1)
         .select("doc_id", "component", "quality_score", "kept")
         .orderBy("doc_id")
@@ -598,7 +607,8 @@ object LlmOps {
         CAST(COUNT(*) AS BIGINT) AS n_families,
         CAST(SUM(family_size) AS BIGINT) AS n_docs
       FROM fam GROUP BY family_size ORDER BY family_size"""),
-    (s, dir) => DedupPipeline.componentsOf(Tables(s, dir).documents)
+    (s, dir) => DedupPipeline.ComponentsCache
+      .componentsFor(Tables(s, dir).documents, dir)
       .groupBy("component").agg(count(lit(1)).as("family_size"))
       .groupBy("family_size")
       .agg(count(lit(1)).as("n_families"),
@@ -2303,7 +2313,7 @@ object LlmOps {
         TextAnalysis.gopherRules(col("text")).last.as("gopher_keep"),
         (TextAnalysis.piiCounts(col("text")).last > 0).as("pii_found"),
         (col("doc_id") =!= min(col("doc_id")).over(exactW)).as("exact_dup"))
-      val comp = DedupPipeline.componentsOf(docs)
+      val comp = DedupPipeline.ComponentsCache.componentsFor(docs, dir)
       val contam = TextAnalysis.ngramContamination(
           candidates = docs.filter(col("source") =!= "src0"),
           benchmark = docs.filter(col("source") === "src0"))

@@ -222,6 +222,30 @@ class PipelineSpec extends SparkSpec {
     assert(sides == Set("train", "val", "test"), sides.toString)
   }
 
+  test("ComponentsCache: cached labels equal direct, reuse is same-frame, LRU evicts") {
+    DedupPipeline.ComponentsCache.reset()
+    val docs = Tables(spark, sf).documents
+    val direct = DedupPipeline.componentsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cached = DedupPipeline.ComponentsCache.componentsFor(docs, "cA")
+    assert(cached.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == direct)
+    // warm key: the SAME checkpointed frame comes back, no recompute
+    assert(cached eq DedupPipeline.ComponentsCache.componentsFor(
+      sys.error("must not recompute on a warm key"), "cA"))
+    // a second corpus coexists (breadth), then MaxLive+1 more evict cA
+    val small = docs.limit(50)
+    DedupPipeline.ComponentsCache.componentsFor(small, "cB")
+    assert(cached eq DedupPipeline.ComponentsCache.componentsFor(
+      sys.error("cA must survive cB"), "cA"))
+    (1 to DedupPipeline.ComponentsCache.MaxLive + 1).foreach { i =>
+      DedupPipeline.ComponentsCache.componentsFor(small, s"c$i")
+    }
+    assert(!(cached eq DedupPipeline.ComponentsCache
+      .componentsFor(docs, "cA")))
+    DedupPipeline.ComponentsCache.reset()
+  }
+
   test("label propagation: ivf path agrees with the exact vote") {
     val emb = Tables(spark, sf).embeddings
     val seed = col("vec_id") % 5 === 0
