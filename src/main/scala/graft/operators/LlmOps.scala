@@ -2215,6 +2215,56 @@ object LlmOps {
       FROM d, s ORDER BY d_ppm DESC, term LIMIT 50"""),
     (s, dir) => TextAnalysis.corpusDrift(Tables(s, dir).documents))
 
+  /** Soft dedup (#99): down-weight duplicates instead of dropping —
+    * every member of a duplicate family keeps an inverse-family-size
+    * sampling weight (weight_ppm = 10⁶ div family_size), so the
+    * family's EXPECTED sampled mass equals one document while
+    * phrasing variation inside it is preserved. The third rewrite
+    * policy of the dedup family (drop-to-min-id d_dedup_corpus,
+    * best-member d_family_keep, weighted keep-all here); composition
+    * of the CC fixpoint ∘ one component-count aggregate, so it is
+    * ORACLE-BACKED and nearly free under the shared ComponentsCache.
+    */
+  private val softDedupQ = GraftQuery(
+    "d_soft_dedup",
+    Some("""WITH RECURSIVE ws AS (SELECT doc_id, md5(text) AS h,
+        string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, h,
+        list_distinct(list_transform(
+          generate_series(1, CAST(greatest(len(w) - 2, 1) AS INT)),
+          i -> array_to_string(w[i:least(i + 2, len(w))], ' '))) AS s
+        FROM ws),
+      rep AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM sh),
+      exact_edges AS (SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id),
+      reps AS (SELECT doc_id, s FROM rep WHERE doc_id = rep_id),
+      near_edges AS (SELECT x.doc_id AS a, y.doc_id AS b
+        FROM reps x JOIN reps y ON x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.s, y.s))) >= 0.8),
+      edges AS (SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges),
+      und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      r(src, dst) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT r.src, u.b FROM r JOIN und u ON r.dst = u.a),
+      reach AS (SELECT src AS doc_id, MIN(dst) AS component FROM r GROUP BY src),
+      fam AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS family_size
+        FROM reach GROUP BY component)
+      SELECT rc.doc_id, rc.component, f.family_size,
+        CAST(1000000 AS BIGINT) // f.family_size AS weight_ppm
+      FROM reach rc JOIN fam f ON rc.component = f.component
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val comp = DedupPipeline.ComponentsCache
+        .componentsFor(Tables(s, dir).documents, dir)
+      val fam = comp.groupBy("component")
+        .agg(count(lit(1)).as("family_size"))
+      comp.join(fam.hint("shuffle_hash"), Seq("component"))
+        .select(col("doc_id"), col("component"), col("family_size"),
+          expr("CAST(1000000 AS BIGINT) div family_size").as("weight_ppm"))
+        .orderBy("doc_id")
+    })
+
   /** Curation ledger (#98): the per-document audit trail a
     * data-governance review asks for — WHY is each document in or out
     * of the training set? One row per doc with every stage's verdict:
@@ -2332,6 +2382,7 @@ object LlmOps {
   val queries: Seq[GraftQuery] = Seq(
     fimQ, hardNegativesQ, hardNegativesIvfQ, compressRatioQ, marginAlignQ,
     marginAlignIvfQ, semanticDecontamQ, corpusDriftQ, curationLedgerQ,
+    softDedupQ,
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,
     embedNearDup, embedNearDupExact, annTopK, annTopKExact, knnGraphQ,

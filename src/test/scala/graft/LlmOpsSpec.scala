@@ -845,6 +845,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(ledger.values.exists(_._6), "corpus has planted dup families")
   }
 
+  test("soft dedup: inverse-family-size weights, family mass sums to one doc") {
+    val out = SparkEntry.queries("d_soft_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.count())
+    // weights replay 1e6 div family_size; singletons keep full weight
+    out.foreach { case (id, _, n, w) =>
+      assert(n >= 1 && w == 1000000L / n, s"doc $id: n=$n w=$w")
+    }
+    assert(out.exists(_._3 == 1) && out.exists(_._3 > 1),
+      "corpus has both singletons and planted families")
+    // per family: member count × weight ≈ 1e6 (exact up to the div
+    // truncation, < family_size ppm short)
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      val mass = rows.map(_._4).sum
+      val n = rows.length
+      assert(mass <= 1000000L && mass > 1000000L - n, s"family $c mass $mass")
+    }
+    // families agree with the CC labeling
+    val comp = graft.operators.DedupPipeline.componentsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, c, _, _) => assert(c == comp(id), s"doc $id") }
+  }
+
   test("corpus drift: exact ppm deltas and L1 under a controlled side split") {
     import spark.implicits._
     // controlled sides: A = docs 1,2 (6 tokens), B = doc 3 (4 tokens)
