@@ -223,26 +223,36 @@ object Retrieval {
     * eager count prevents the AQE lazy-cache race.
     */
   object RarityCache {
-    private val ref =
-      new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)](null)
+    // most-recently-used breadth 4 (the LearnCache/ComponentsCache
+    // shape): a multi-corpus driver alternating snapshots retrained
+    // the stats every flip under the old one-slot cache. Evicted
+    // entries unpersist their storage; access-ordered map iterates
+    // least-recently-used first.
+    private[graft] val MaxLive = 4
+    private val built = new java.util.LinkedHashMap[String, DataFrame](
+      16, 0.75f, true)
 
-    def statsFor(docs: => DataFrame, key: String): DataFrame = synchronized {
-      val cur = ref.get()
-      if (cur != null && cur._1 == key) cur._2
-      else {
-        val df = rarity(docs)
-          .select(col("doc_id"), col("n_tokens"), col("rarity_sum"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        if (cur != null) cur._2.unpersist(false)
-        ref.set((key, df))
-        df
+    def statsFor(docs: => DataFrame, key: String): DataFrame =
+      built.synchronized {
+        val have = built.get(key)
+        if (have != null) have
+        else {
+          val df = rarity(docs)
+            .select(col("doc_id"), col("n_tokens"), col("rarity_sum"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          built.put(key, df)
+          while (built.size > MaxLive) {
+            val it = built.entrySet().iterator()
+            it.next().getValue.unpersist(false); it.remove()
+          }
+          df
+        }
       }
-    }
 
-    private[graft] def reset(): Unit = synchronized {
-      val cur = ref.getAndSet(null)
-      if (cur != null) cur._2.unpersist(false)
+    private[graft] def reset(): Unit = built.synchronized {
+      built.values().forEach(_.unpersist(false))
+      built.clear()
     }
   }
 

@@ -181,10 +181,18 @@ class RetrievalSpec extends SparkSpec {
     assert(cached.collect().map(_.toString).sorted.sameElements(direct))
     // same key → the SAME cached frame (no rebuild)
     assert(RarityCache.statsFor(docs, s"$sf#r1") eq cached)
-    // new key → rebuilt, old cache retired; results still correct
+    // new key → rebuilt; results still correct
     val next = RarityCache.statsFor(docs, s"$sf#r2")
     assert(!(next eq cached))
     assert(next.collect().map(_.toString).sorted.sameElements(direct))
+    // breadth: r1 survives r2 (the A→B→A flip must not retrain)...
+    assert(RarityCache.statsFor(
+      sys.error("r1 must survive r2"), s"$sf#r1") eq cached)
+    // ...but past MaxLive keys the least-recently-used (r2) evicts
+    (3 to RarityCache.MaxLive + 2).foreach { i =>
+      RarityCache.statsFor(docs.limit(20), s"$sf#r$i")
+    }
+    assert(!(RarityCache.statsFor(docs, s"$sf#r2") eq next))
     RarityCache.reset()
   }
 
