@@ -2185,9 +2185,10 @@ object LlmOps {
           ORDER BY grid DESC, bench_id) AS rn FROM pairs)
       SELECT vec_id, bench_id, grid / 1e6 AS cos6, grid >= 400000 AS contaminated
       FROM rk WHERE rn = 1 ORDER BY vec_id"""),
+    // no output orderBy: the op sorts its INPUT key before the narrow
+    // kernel (the d_fim rule) and emits in vec_id order
     (s, dir) => Similarity.semanticDecontam(Tables(s, dir).embeddings,
-        col("vec_id") % 20 =!= 0, col("vec_id") % 20 === 0)
-      .orderBy("vec_id"))
+        col("vec_id") % 20 =!= 0, col("vec_id") % 20 === 0))
 
   /** Corpus drift report (#96, TextAnalysis.corpusDrift): per-term
     * ppm deltas between two deterministic snapshot halves plus the

@@ -137,6 +137,16 @@ object Similarity {
       var i = 0
       while (i < math.min(dim, v.length)) { flat(b * dim + i) = v(i); i += 1 }
     }
+    // barrier the narrow kernel output BEFORE the total sort (the
+    // perplexity checkpoint rule): a sort directly over the
+    // exchange-free argmax projection makes RangePartitioner's
+    // sampling pass re-run the whole scan+argmax lineage (measured:
+    // two identical ~34 s stages at the 2048× blow-up), and sorting
+    // the INPUT instead shuffles the fat embedding arrays (1 GB
+    // exchange vs 68 MB of kernel output at 2048×). The eager
+    // localCheckpoint runs the kernel ONCE and the sort samples the
+    // checkpointed narrow rows. 2048×: 74.8 (double-eval) / 66.9
+    // (input-sort) / 43.3 s (this form — the kernel stage once, 34.9 s).
     emb.filter(candFilter)
       .select(col("vec_id"), graft.plans.native.benchArgmax(
         col("embedding"), col("vec_id"), flat, ids, dim).as("sc"))
@@ -145,6 +155,8 @@ object Similarity {
         col("sc.bench_id").as("bench_id"),
         (col("sc.grid") / 1e6).as("cos6"),
         (col("sc.grid") >= lit(tauMicro.toDouble)).as("contaminated"))
+      .localCheckpoint()
+      .orderBy("vec_id")
   }
 
   /** Margin-based alignment mining (the LASER/CCMatrix bitext
