@@ -39,6 +39,47 @@ class StreamingDriftSpec extends SparkSpec {
     assert(e.getMessage.contains("cap"))
   }
 
+  test("model refresh: a restarted stream under a refit reference matches that model's replay") {
+    // the deployment lifecycle (the StreamingQuality refresh rule):
+    // the monitor runs under reference A, a refit produces B, the
+    // (stateless-scoring) query restarts under B — each phase must
+    // match ITS OWN model's window replay, and the swap must change
+    // the reported drift where the references disagree
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mA = StreamingDrift.fit(Seq("a a b").toDF("text"))
+    val mB = StreamingDrift.fit(Seq("c c d").toDF("text"))
+    val rows = Seq((ts("2024-01-01 10:10:00"), "a b c"))
+    def streamUnder(m: DriftModel, name: String) = {
+      val mem = MemoryStream[(Timestamp, String)]
+      mem.addData(rows: _*)
+      val q = StreamingDrift.driftStream(
+          mem.toDF().toDF("ts", "text"), m, windowMinutes = 60,
+          delay = "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 14:00:00"), "x")); q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    }
+    val underA = streamUnder(mA, "drift_swap_a")
+    val underB = streamUnder(mB, "drift_swap_b")
+    def replay(m: DriftModel) = {
+      val toks = Seq("a", "b", "c")
+      val s = DriftState(
+        toks.filter(m.ppm.contains).groupBy(identity)
+          .map { case (k, v) => k -> v.size.toLong },
+        toks.count(t => !m.ppm.contains(t)).toLong, 3L)
+      val w = StreamingDrift.finishWindow(0L, s, m)
+      (w.n_tokens, w.oov_ppm, w.l1_ppm)
+    }
+    assert(underA == replay(mA), s"$underA vs ${replay(mA)}")
+    assert(underB == replay(mB), s"$underB vs ${replay(mB)}")
+    assert(underA != underB, "refit must change the reported drift")
+  }
+
   test("streamed drift matches a local replay across micro-batch splits; state bounded per window") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
