@@ -221,7 +221,10 @@ object Similarity {
     * zero false partners on the test corpus and recall ≥ 0.8; an
     * adversarial distribution can still hide the true best outside 16
     * cells — emitted pairs remain approximate, the documented IVF
-    * trade.
+    * trade. The planted-hub spec CONSTRUCTS that distribution (the
+    * true best just across a cell bisector): a 1-cell probe cannot
+    * emit the exact pair, and exhaustive probing recovers the exact
+    * miner row-for-row, margins included.
     */
   def marginAlignIvf(emb: DataFrame, probeFilter: Column,
       targetFilter: Column, indexDir: String, marginMin: Double = 1.02,

@@ -641,6 +641,57 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf margin alignment: planted hub-miss at nProbe=1, exhaustive probes recover exact") {
+    // the documented adversarial distribution: the probe's TRUE best
+    // target sits just across the cell bisector, so a 1-cell probe
+    // scan never sees it and the margin computes against an in-cell
+    // decoy — the false-partner failure the scaladoc warns about.
+    // Widening the probe set to every cell must recover the exact
+    // pairs row-for-row (same tail code, exhaustive candidates).
+    import spark.implicits._
+    def v(x: Double, y: Double, z: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat, 0f)
+    val rows =
+      Seq((1000L, v(1, 0, 0))) ++                     // probe, cell A center
+      Seq((1L, v(0.5, 0, 0.866)), (3L, v(0.4, 0, 0.917))) ++ // decoy targets, cell A
+      (2L to 20L by 2).map(i => (i, v(1, 0.005 * i, 0))) ++  // A fillers (non-target)
+      (101L to 119L by 2).map(i => (i, v(0.005 * (i - 101), 1, 0))) ++ // B fillers
+      Seq((999L, v(0.68, 0.733, 0)))                  // true best: barely cell B
+    val emb = rows.map { case (id, a) => (id, a, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val probeF = col("vec_id") === 1000L
+    val targetF = col("vec_id") % 2 === 1
+    val exact = Similarity.marginAlign(emb, probeF, targetF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // grounded: the exact miner pairs the probe with 999 (cos .697
+    // over decoy .5 → margin ~1.39)
+    assert(exact.length == 1 && exact.head._2 == 999L, exact.toSeq.toString)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ma-hub").toString
+    graft.sources.IvfIndex.build(emb, dir, nCells = 2)
+    // precondition on the seeded 2-means split: probe and true best
+    // must land in DIFFERENT cells, or the scenario below is vacuous
+    val cellOf = spark.read.parquet(s"$dir/codes.parquet")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf(1000L) != cellOf(999L),
+      s"planted geometry must split probe/best across cells: $cellOf")
+    // 1-cell probing: the true best is invisible; whatever comes out
+    // (a decoy partner or nothing) must NOT equal the exact pair —
+    // the trade the op documents
+    val narrow = Similarity.marginAlignIvf(emb, probeF, targetF, dir,
+        nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!narrow.exists(_ == (1000L, 999L)),
+      s"1-cell probe cannot see the cross-bisector best: ${narrow.toSeq}")
+    // exhaustive probing (both cells, m > corpus) == exact, margins too
+    val wide = Similarity.marginAlignIvf(emb, probeF, targetF, dir,
+        nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(wide.toSeq == exact.toSeq, s"wide=${wide.toSeq} exact=${exact.toSeq}")
+  }
+
   test("family keep: one best-quality representative per family, singletons kept") {
     val rows = SparkEntry.queries("d_family_keep")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
