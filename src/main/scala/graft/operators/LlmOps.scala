@@ -2176,8 +2176,9 @@ object LlmOps {
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-      b AS (SELECT * FROM n WHERE vec_id % 20 = 0 ORDER BY vec_id LIMIT 256),
-      t AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+      b AS (SELECT * FROM n WHERE vec_id % 20 = 0 AND nrm > 0
+        ORDER BY vec_id LIMIT 256),
+      t AS (SELECT * FROM n WHERE vec_id % 20 <> 0 AND nrm > 0),
       pairs AS (SELECT t.vec_id, b.vec_id AS bench_id,
           floor(list_inner_product(t.v, b.v) / (t.nrm * b.nrm) * 1e6 + 0.5) AS grid
         FROM t JOIN b ON t.vec_id <> b.vec_id),
@@ -2258,9 +2259,16 @@ object LlmOps {
     (s, dir) => {
       val comp = DedupPipeline.ComponentsCache
         .componentsFor(Tables(s, dir).documents, dir)
-      val fam = comp.groupBy("component")
-        .agg(count(lit(1)).as("family_size"))
-      comp.join(fam.hint("shuffle_hash"), Seq("component"))
+      // family_size as a window count, NOT a groupBy + self-join: on a
+      // mostly-unique corpus the per-component stats frame is
+      // corpus-sized, i.e. the non-spillable hash-BUILD class the
+      // round-5 rule bans (the d_incr_dedup OOM precedent). The window
+      // form is ONE exchange by component and WindowExec's partition
+      // buffer spills; the join form was two exchanges plus an
+      // unbounded build side.
+      val famW = org.apache.spark.sql.expressions.Window
+        .partitionBy("component")
+      comp.withColumn("family_size", count(lit(1)).over(famW))
         .select(col("doc_id"), col("component"), col("family_size"),
           expr("CAST(1000000 AS BIGINT) div family_size").as("weight_ppm"))
         .orderBy("doc_id")

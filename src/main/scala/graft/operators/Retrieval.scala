@@ -502,9 +502,18 @@ object Retrieval {
           .join(ctx.hint("shuffle_hash"), Seq("lang", "w1"), "left")
           .join(broadcast(tot), Seq("lang"), "left")
           .withColumn("score", smoothed)
-          .select("lang", "bg", "score")
-        // st covers every (lang, bg) the scoring side ships — inner
-        occ(base).join(st.hint("shuffle_hash"), Seq("lang", "bg"))
+          .select(col("lang").as("s_lang"), col("bg").as("s_bg"),
+            col("score"))
+        // st covers every (lang, bg) the scoring side ships, so the
+        // join-back is inner — but NULL-SAFE: a NULL lang survives the
+        // occ path's LEFT joins (fallback smoothing), so it must
+        // survive here too, not vanish in an equi-join. The distinct
+        // keeps (NULL, bg) as a group and its score replays the same
+        // coalesce fallback, so <=> makes the two gated plan shapes
+        // row-identical on null-lang corpora (pinned in RetrievalSpec).
+        occ(base).join(st.hint("shuffle_hash"),
+            col("lang") <=> col("s_lang") && col("bg") <=> col("s_bg"))
+          .drop("s_lang", "s_bg")
     }
     val scored = scoredRows
       .groupBy("lang", "doc_id")

@@ -125,8 +125,13 @@ object Similarity {
   def semanticDecontam(emb: DataFrame, candFilter: Column,
       benchFilter: Column, benchCap: Int = 256,
       tauMicro: Long = 400000L): DataFrame = {
-    // ≤ benchCap rows — the bounded model-artifact fetch
-    val bench = emb.filter(benchFilter).orderBy("vec_id").limit(benchCap)
+    // ≤ benchCap rows — the bounded model-artifact fetch. Zero-norm
+    // vectors are excluded BEFORE the cap (cosine against them is
+    // NaN; the kernel and the oracle both define them away, and the
+    // cap must count the same rows on both engines).
+    val bench = emb.filter(benchFilter)
+      .filter(graft.functions.VectorFns.norm(col("embedding")) > 0)
+      .orderBy("vec_id").limit(benchCap)
       .select("vec_id", "embedding").collect()
     val dim = bench.headOption.map(_.getSeq[Float](1).length).getOrElse(0)
     val flat = new Array[Float](bench.length * dim)
@@ -830,7 +835,8 @@ object Similarity {
     * equality when the scan is exhaustive.
     */
   def labelPropagate(emb: DataFrame, seedFilter: Column, k: Int = 5,
-      nCells: Int = 0, nProbe: Int = 4, trainSample: Int = 2000): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 4, trainSample: Int = 2000,
+      seedCap: Long = 262144L): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val base = emb.select(col("vec_id"), col("label"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
@@ -843,6 +849,18 @@ object Similarity {
     // (nProbe · cellSize vectors) is the direct per-probe cost
     val nSeeds = seedBase.count()
     require(nSeeds > 0, "labelPropagate needs a nonempty seed set")
+    // Loud-failure guard on the driver collect below (the
+    // StreamingQuality vocab-cap rule): the op's premise is
+    // hand-labeled ≪ corpus, and the default cap is the documented
+    // index envelope (targetCellSize 128 × maxCells 2048 = 262144
+    // seeds ≈ 260 MB of float vecs at dim 256 — broadcastable). A
+    // programmatic seed filter that matches a corpus-sized slice must
+    // fail with an actionable message, not OOM the driver.
+    require(nSeeds <= seedCap,
+      s"labelPropagate seed set has $nSeeds rows, above the seedCap " +
+        s"$seedCap — the seed index is collected to the driver and " +
+        "broadcast, so it must stay hand-labeled-sized; narrow the " +
+        "seed filter or raise seedCap deliberately")
     val cells = autoCells(nSeeds, nCells, targetCellSize = 128,
       maxCells = 2048)
     val model = fitKMeans(seedBase, cells, trainSample, initMode = "random")

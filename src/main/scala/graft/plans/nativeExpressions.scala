@@ -463,6 +463,15 @@ object NativeImpl {
     * id equals `selfId` are skipped (a vector on both sides is not
     * its own contamination). Returns (−Inf, −1) when nothing
     * qualifies (empty benchmark) — the caller filters on id ≥ 0.
+    *
+    * Zero-norm contract: cosine against a zero vector is undefined
+    * (the division is NaN, and `g > bestG` is false for NaN — a NaN
+    * entry would otherwise win or lose on ARRIVAL ORDER, while the
+    * DuckDB oracle's ORDER BY grid DESC sorts NaN first). Defined
+    * semantics instead: zero-norm BENCH entries are skipped, and a
+    * zero-norm CANDIDATE short-circuits to (−Inf, −1) — i.e. both
+    * sides behave as if zero vectors were filtered out, which is
+    * exactly what the oracle SQL does (`nrm > 0` on both slices).
     */
   def benchArgmax(v: ArrayData, bench: Array[Float], bn: Array[Double],
       ids: Array[Long], dim: Int, selfId: Long): InternalRow = {
@@ -471,12 +480,15 @@ object NativeImpl {
     var i = 0
     while (i < d) { val x = v.getFloat(i).toDouble; pp += x * x; i += 1 }
     val nrm = math.sqrt(pp)
+    if (nrm == 0.0)
+      return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](Double.NegativeInfinity, -1L))
     var bestG = Double.NegativeInfinity
     var bestId = -1L
     var b = 0
     val n = ids.length
     while (b < n) {
-      if (ids(b) != selfId) {
+      if (ids(b) != selfId && bn(b) != 0.0) {
         var acc = 0.0; var j = 0; val off = b * dim
         while (j < d) {
           acc += v.getFloat(j).toDouble * bench(off + j).toDouble; j += 1

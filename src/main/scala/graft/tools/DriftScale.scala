@@ -43,13 +43,20 @@ object DriftScale {
     println(f"[drift] fit on $fitDir: vocab=${model.ppm.size}," +
       f" ${(System.nanoTime() - tFit0) / 1e9}%.1f s")
 
+    require(nBatches % nWindows == 0,
+      s"batches=$nBatches must be a multiple of windows=$nWindows so " +
+        "event time is non-decreasing across batches")
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val docs = graft.Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
-    println(s"[drift] streaming $nDocs docs over $nWindows windows" +
-      s" in $nBatches micro-batches")
+    // the ground truth for the no-silent-drop assertion below: total
+    // tokens under the monitor's exact tokenization
+    val nTokens = docs.select(explode(graft.functions.TextFns.words(
+      lower(col("text")))).as("t")).count()
+    println(s"[drift] streaming $nDocs docs ($nTokens tokens) over" +
+      s" $nWindows windows in $nBatches micro-batches")
 
     val source = MemoryStream[(Timestamp, String)]
     val query = graft.streaming.StreamingDrift.driftStream(
@@ -60,14 +67,29 @@ object DriftScale {
 
     val t0 = System.nanoTime()
     var maxState = 0L
+    // Window index derives from the BATCH index, not doc_id: batch b
+    // feeds window b/batchesPerWindow, so event time never decreases
+    // across batches and no window is re-fed after the watermark
+    // closed it (the round-7 drive windowed by doc_id % nWindows and
+    // silently dropped the second half of the corpus as late data).
+    // Each window still merges batchesPerWindow batches — the
+    // cross-batch state-merge claim is exercised — and consecutive
+    // batches within a window occupy staggered sub-slots whose gap
+    // (slotMs/3 ≥ the 10 min delay at the defaults) keeps every row
+    // at-or-above the watermark left by the previous batch.
+    val batchesPerWindow = nBatches / nWindows
+    val windowMs = 3600000L
+    val slotMs = windowMs / batchesPerWindow
+    val spreadS = math.max(slotMs * 2 / 3 / 1000L, 1L)
     (0 until nBatches).foreach { b =>
       val tb = System.nanoTime()
+      val w = b / batchesPerWindow
+      val slot = b % batchesPerWindow
       val batch = docs.filter(pmod(col("doc_id"), lit(nBatches)) === b)
         .collect().map { r =>
           val id = r.getLong(0)
-          // spread deterministically: window by id, offset inside it
-          val ts = new Timestamp(base + (id % nWindows) * 3600000L
-            + (id % 3000L) * 1000L)
+          val ts = new Timestamp(base + w * windowMs + slot * slotMs
+            + (id % spreadS) * 1000L)
           (ts, r.getString(1))
         }
       source.addData(batch.toSeq: _*)
@@ -93,6 +115,10 @@ object DriftScale {
     }
     require(out.length == nWindows,
       s"expected $nWindows closed windows, got ${out.length}")
+    val emittedTokens = out.map(_.getLong(1)).sum
+    require(emittedTokens == nTokens,
+      s"emitted window token counts sum to $emittedTokens but the " +
+        s"corpus has $nTokens — rows were silently dropped as late")
     require(maxState <= nWindows + 1,
       s"state must be one row per in-flight window, saw $maxState")
     println(f"[drift] $nDocs docs / $secs%.1f s" +

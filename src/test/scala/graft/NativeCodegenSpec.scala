@@ -163,4 +163,27 @@ class NativeCodegenSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("benchArgmax: zero-norm vectors are defined away, not arrival-order-dependent") {
+    import spark.implicits._
+    // bench entry 0 is a ZERO vector placed FIRST: without the bn==0
+    // skip, its NaN grid would win via the bestId<0 branch and then
+    // never lose (g > NaN is false) — the winner would depend on
+    // arrival order while the DuckDB oracle sorts NaN first. Defined
+    // contract instead: zero-norm bench entries are skipped, zero-norm
+    // candidates short-circuit to the (−Inf, −1) sentinel.
+    val bench = Array(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val ids = Array(100L, 200L, 300L)
+    val df = Seq(
+      (1L, Array(1f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f)))
+      .toDF("id", "vec")
+    val out = df.select(col("id"),
+        native.benchArgmax(col("vec"), col("id"), bench, ids, 4).as("ba"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getDouble(0), r.getStruct(1).getLong(1))).toMap
+    assert(out(1L)._2 == 200L, s"zero-norm bench entry must not win: ${out(1L)}")
+    assert(out(2L) == (Double.NegativeInfinity, -1L),
+      s"zero-norm candidate must hit the sentinel: ${out(2L)}")
+  }
 }

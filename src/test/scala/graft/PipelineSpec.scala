@@ -273,6 +273,20 @@ class PipelineSpec extends SparkSpec {
     assert(agree > 0.5, s"ivf/exact label agreement $agree")
   }
 
+  test("label propagation: an over-cap seed set fails loudly before the driver collect") {
+    // the premise is hand-labeled ≪ corpus; a programmatic seed filter
+    // matching a corpus-sized slice must refuse with an actionable
+    // message (the StreamingQuality vocab-cap rule), not OOM the driver
+    val emb = Tables(spark, sf).embeddings
+    val seed = col("vec_id") % 5 === 0
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.labelPropagate(emb, seed, k = 5, nCells = 2, nProbe = 2,
+        seedCap = 3L)
+    }
+    assert(ex.getMessage.contains("seedCap"), ex.getMessage)
+    assert(ex.getMessage.contains("narrow the seed filter"), ex.getMessage)
+  }
+
   test("mmr diversification trades redundant relevance for coverage") {
     import spark.implicits._
     // probe between two tight clusters; A is nearer. Pure relevance

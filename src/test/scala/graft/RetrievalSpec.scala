@@ -351,7 +351,12 @@ class RetrievalSpec extends SparkSpec {
     val planted = Seq(
       (9000001L, "the cat is in the house and the dog is here now", "en"),
       (9000002L, "qwxz1 vbnm2 asdf3 zxcv4 qret5 uiop6 hjkl7 wert8", "en"),
-      (9000003L, "aa bb cc dd", "zz"), (9000004L, "ee ff gg hh", "zz"))
+      (9000003L, "aa bb cc dd", "zz"), (9000004L, "ee ff gg hh", "zz"),
+      // NULL lang: must route through the same fallback smoothing on
+      // BOTH shapes — the score-table's join-back is null-safe, so a
+      // null key cannot vanish in the inner join while surviving the
+      // occ path's left joins
+      (9000005L, "nn oo pp qq rr", null.asInstanceOf[String]))
       .toDF("doc_id", "text", "lang")
     val d = Tables(spark, sf).documents.select("doc_id", "text", "lang")
       .unionByName(planted)
@@ -363,6 +368,8 @@ class RetrievalSpec extends SparkSpec {
       finally sys.props.remove("graft.perplexity.path"): Unit
     }
     val st = run("scoretable")
+    assert(st.exists(_._1 == 9000005L),
+      "the null-lang doc must be scored, not dropped by the join-back")
     assert(st.nonEmpty && st == run("occ"))
   }
 
