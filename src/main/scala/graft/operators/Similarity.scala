@@ -493,6 +493,14 @@ object Similarity {
       : org.apache.spark.ml.clustering.KMeansModel =
     fitKMeans(base, cells, trainSample, initMode = "random")
 
+  /** The default (k-means||) seeded fit, exposed for the session
+    * cell-assignment cache ([[graft.sources.CellAssignCache]]) so a
+    * cached assignment reproduces the direct ops' fit exactly.
+    */
+  private[graft] def fitKMeansShared(base: DataFrame, cells: Int,
+      trainSample: Int): org.apache.spark.ml.clustering.KMeansModel =
+    fitKMeans(base, cells, trainSample)
+
   /** 1e-6-grid ranking key: floor(c·1e6 + 0.5) orders like
     * round(c, 6) away from bucket boundaries. The two are NOT
     * bit-identical at half-grid neighborhoods — c·1e6 is binary-double
@@ -1048,23 +1056,45 @@ object Similarity {
     * passes should `spark.catalog.clearCache()` between passes.
     */
   def semanticDedup(emb: DataFrame, tau: Double, nCells: Int = 0,
-      trainSample: Int = 2000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val base = emb.select(col("vec_id"), col("embedding"),
-      graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
-      .withColumn("features", array_to_vector(col("embedding")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // count-after-persist: sizing pass doubles as cache materialization
-    val cells = autoCells(base.count(), nCells)
-    val model = fitKMeans(base, cells, trainSample)
-    // persist assignment (3 consumers below), release the float base
-    val assigned = model.transform(base)
-      .withColumnRenamed("prediction", "cell")
-      .drop("features")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assigned.count()
-    base.unpersist()
+      trainSample: Int = 2000, cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case Some(key) =>
+        // session-cached assignment (the CellAssignCache lifecycle):
+        // one fit per (corpus, params) per process; the read-back
+        // reproduces the direct fit bit-for-bit (CellAssignSpec pins
+        // it), and the flat local parquet replaces the in-query
+        // persist — each of the three consumers below runs one pruned
+        // columnar scan instead of pinning a corpus-sized cache.
+        val cells = autoCells(emb.count(), nCells)
+        val dir = graft.sources.CellAssignCache.dirFor(
+          emb, key, cells, trainSample)
+        semDedupFrom(emb.sparkSession.read.parquet(dir)
+          .select(col("vec_id"), col("cell"), col("embedding"), col("nrm")),
+          tau)
+      case None =>
+        import org.apache.spark.ml.functions.array_to_vector
+        val base = emb.select(col("vec_id"), col("embedding"),
+          graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+          .withColumn("features", array_to_vector(col("embedding")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // count-after-persist: sizing pass doubles as cache materialization
+        val cells = autoCells(base.count(), nCells)
+        val model = fitKMeans(base, cells, trainSample)
+        // persist assignment (3 consumers below), release the float base
+        val assigned = model.transform(base)
+          .withColumnRenamed("prediction", "cell")
+          .drop("features")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        assigned.count()
+        base.unpersist()
+        semDedupFrom(assigned, tau)
+    }
+
+  /** The semanticDedup pair scan + keep policy over a ready
+    * (vec_id, cell, embedding, nrm) assignment — shared by the direct
+    * (in-query fit) and session-cached paths.
+    */
+  private def semDedupFrom(assigned: DataFrame, tau: Double): DataFrame = {
     val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("rep_cand"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vec_id"),
@@ -1108,7 +1138,35 @@ object Similarity {
     * corpus-order side).
     */
   def knnGraph(emb: DataFrame, k: Int = 4, nCells: Int = 0,
-      trainSample: Int = 2000, subBits: Int = -1): DataFrame = {
+      trainSample: Int = 2000, subBits: Int = -1,
+      cacheKey: Option[String] = None): DataFrame = {
+    if (cacheKey.isDefined) {
+      val n = emb.count()
+      val cells = autoCells(n, nCells, targetCellSize = 128, maxCells = 2048)
+      // exact mode (nCells = 1) has no fit to share — fall through
+      if (cells > 1) {
+        val useSubBits =
+          if (subBits >= 0) subBits
+          else math.max(0, (math.log(n.toDouble / cells / 128.0) /
+            math.log(2.0)).ceil.toInt)
+        // session-cached assignment: stored cell is the RAW KMeans
+        // cell; the SRP sub-split is a narrow deterministic per-row
+        // expression, re-applied on read — identical to the direct
+        // path (CellAssignSpec pins the graph edge-for-edge)
+        val dir = graft.sources.CellAssignCache.dirFor(emb, cacheKey.get,
+          cells, math.max(trainSample, 4 * cells))
+        val asn = emb.sparkSession.read.parquet(dir)
+          .withColumn("bcell",
+            if (useSubBits <= 0) col("cell")
+            else col("cell") * lit(1L << useSubBits) +
+              graft.plans.native.hyperplaneSig(col("embedding"), useSubBits, 0))
+        return knnGraphFrom(
+          asn.select(col("vec_id"), col("embedding"), col("nrm")),
+          asn.select(col("bcell").cast("long").as("cell"), col("vec_id"),
+            col("code"), col("qs"), col("nrm")),
+          exact = false, k, () => ())
+      }
+    }
     val base = emb.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features",
@@ -1166,9 +1224,24 @@ object Similarity {
     // enter the quadratic candidate space. The exact (nCells = 1)
     // path scans float dots directly so "blocking disabled" means
     // exactly the brute-force graph (SQ8 margin jitter would not).
+    knnGraphFrom(assigned, assigned.select(col("cell").cast("long"),
+        col("vec_id"), graft.plans.native.sq8Code(col("embedding")),
+        graft.plans.native.sq8Scale(col("embedding")), col("nrm")),
+      exact = cells <= 1, k, () => { assigned.unpersist(): Unit })
+  }
+
+  /** knnGraph's candidate scan + mutual join over a ready assignment
+    * — shared by the direct (in-query fit) and session-cached paths.
+    * `assigned` holds (vec_id, [cell,] embedding, nrm) — cell only
+    * consulted in exact mode; `codes` the (cell, vec_id, code, qs,
+    * nrm) blocked-scan input; `release` drops the caller's assignment
+    * pin once the directed edge list is materialized.
+    */
+  private def knnGraphFrom(assigned: DataFrame, codes: DataFrame,
+      exact: Boolean, k: Int, release: () => Unit): DataFrame = {
     val emb2 = assigned.select(col("vec_id"), col("embedding"), col("nrm"))
     val directedRaw =
-      if (cells <= 1) {
+      if (exact) {
         val a = assigned.select(col("cell"), col("vec_id").as("src"),
           col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
         val b = assigned.select(col("cell"), col("vec_id").as("dst"),
@@ -1198,11 +1271,7 @@ object Similarity {
         // total order), exact float re-rank downstream unchanged.
         val spark0 = assigned.sparkSession
         import spark0.implicits._
-        val survivors = assigned
-          .select(col("cell").cast("long"), col("vec_id"),
-            graft.plans.native.sq8Code(col("embedding")),
-            graft.plans.native.sq8Scale(col("embedding")),
-            col("nrm"))
+        val survivors = codes
           .as[(Long, Long, Array[Byte], Double, Double)]
           .repartition(col("cell"))
           .sortWithinPartitions("cell")
@@ -1230,7 +1299,7 @@ object Similarity {
     val directed = directedRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     directed.count()
-    assigned.unpersist()
+    release()
     directed.as("x")
       .join(directed.as("y").hint("shuffle_hash"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
@@ -1408,20 +1477,47 @@ object Similarity {
     */
   def clusterTopics(emb: DataFrame, docs: DataFrame, nClusters: Int = 16,
       topTerms: Int = 5, trainSample: Int = 2000,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val base = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("features", array_to_vector(col("embedding")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count()
-    // k-means|| init kept: measured no bench win from random init here
-    // (the wall is MLlib job scheduling + the token explode, not the
-    // init), and topic coherence benefits from the better seeds
-    val model = fitKMeans(base, nClusters, trainSample)
-    val assigned = model.transform(base)
-      .select(col("vec_id"), col("prediction").as("cell"))
-    base.unpersist()
+      textCol: String = "text", idCol: String = "doc_id",
+      cacheKey: Option[String] = None): DataFrame = {
+    val assigned = cacheKey match {
+      case Some(key) =>
+        // session-cached assignment: only (vec_id, cell) is read —
+        // parquet column pruning skips the stored codes/embeddings
+        val dir = graft.sources.CellAssignCache.dirFor(
+          emb, key, nClusters, trainSample)
+        emb.sparkSession.read.parquet(dir).select(col("vec_id"), col("cell"))
+      case None =>
+        import org.apache.spark.ml.functions.array_to_vector
+        // the base carries nrm like the other cell-blocked ops even
+        // though topics never use it: the pre-fit round-robin
+        // repartition sorts FULL rows, so the training partitioning —
+        // and with it the k-means|| outcome — depends on the row
+        // shape; one shared shape keeps direct == session-cached
+        // (CellAssignSpec) across all three consumers
+        val base = emb.select(col("vec_id"), col("embedding"),
+          graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+          .withColumn("features", array_to_vector(col("embedding")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        base.count()
+        // k-means|| init kept: measured no bench win from random init
+        // here (the wall is MLlib job scheduling + the token explode,
+        // not the init), and topic coherence benefits from better seeds
+        val model = fitKMeans(base, nClusters, trainSample)
+        val out = model.transform(base)
+          .select(col("vec_id"), col("prediction").as("cell"))
+        base.unpersist()
+        out
+    }
+    // explicit-N repartition on the join key BEFORE the token explode:
+    // when the assignment side is accurately small (the session-cached
+    // parquet), AQE broadcasts it and the explode + partial aggregate
+    // would otherwise ride the docs FILE SCAN — one task for the whole
+    // corpus tokenization (measured 12.5 s of a 30 s first call at
+    // sf0.1). The shuffle join needs this exchange at scale anyway;
+    // the explicit partition count keeps AQE from coalescing it away.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     val cellTerms = docs
+      .repartition(nPart, col(idCol))
       .join(assigned, col(idCol) === col("vec_id"))
       .select(col("cell"), explode(graft.functions.TextFns.words(
         lower(col(textCol)))).as("term"))

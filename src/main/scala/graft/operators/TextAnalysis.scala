@@ -392,9 +392,19 @@ object TextAnalysis {
     // bits ≈ -n·ln(p)/ln2² ≈ 10·n targets p ≈ 1% FP; hardcoded sizing
     // either starved the filter (FP blow-up past the benchmark's
     // growth) or taxed every task closure with dead bits.
+    bloomBytesOf(fps(benchmark), "fp", expectedItems, numBits)
+  }
+
+  /** Distributed bloom build over one column, returned as the
+    * serialized filter binary — shared by the fingerprint
+    * ([[benchmarkBloomBytes]]) and word-n-gram
+    * ([[bloomNgramContamination]]) decontamination legs.
+    */
+  private def bloomBytesOf(vals: DataFrame, valueCol: String,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
     val items =
       if (expectedItems > 0) expectedItems
-      else math.max(fps(benchmark).count(), 64L)
+      else math.max(vals.count(), 64L)
     // clamped to BloomFilterAggregate's maxNumBits (2^26 default):
     // past the cap the FP rate degrades gracefully instead of the
     // aggregate rejecting the size outright
@@ -408,9 +418,41 @@ object TextAnalysis {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val bfAgg = column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        expression(col("fp")), Literal(items), Literal(bits))
+        expression(col(valueCol)), Literal(items), Literal(bits))
         .toAggregateExpression())
-    fps(benchmark).agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    vals.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Bloom twin of [[ngramContamination]] over the SAME word-n-gram
+    * features — the zero-join leg the curation ledger switches to
+    * past its gram-volume budget: the benchmark's n-grams (hashed to
+    * 64 bits) become ONE broadcast bloom filter, and candidates test
+    * membership per exploded row — no shuffle of the benchmark set,
+    * no corpus-gram equi-join. One-sided BY CONSTRUCTION on the same
+    * grams: every gram the exact join matches hashes to an inserted
+    * value, so might_contain is true — n_maybe_hits ≥ n_hits
+    * doc-for-doc and a `ratio > tau` flag can only over-flag, never
+    * miss a contaminated doc (ContamGateSpec pins the containment).
+    */
+  def bloomNgramContamination(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 8,
+      expectedItems: Long = 0L, numBits: Long = 0L): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+        explode(graft.plans.native.wordShingles(col(textCol), n)).as("ng"))
+      .select(col("doc_id"), xxhash64(col("ng")).as("gh"))
+    val bfBytes = bloomBytesOf(grams(benchmark), "gh", expectedItems, numBits)
+    import org.apache.spark.sql.graftshim.GraftShim.column
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bfLit = column(Literal.create(bfBytes,
+      org.apache.spark.sql.types.BinaryType))
+    grams(candidates)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(bloomMightContain(bfLit, col("gh")), 1L).otherwise(0L))
+          .as("n_maybe_hits"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_maybe_hits"),
+        round(col("n_maybe_hits").cast("double") / col("n_ngrams"), 6)
+          .as("maybe_overlap_ratio"))
   }
 
   def bloomContamination(candidates: DataFrame, benchmark: DataFrame,
