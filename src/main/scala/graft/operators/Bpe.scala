@@ -138,22 +138,33 @@ object Bpe {
       String, (Seq[DataFrame], DataFrame)](16, 0.75f, true)
 
     def learnFor(docs: => DataFrame, key: String,
-        merges: Int = Merges): (Seq[DataFrame], DataFrame) =
-      built.synchronized {
+        merges: Int = Merges): (Seq[DataFrame], DataFrame) = {
+      val (r, builtNow) = built.synchronized {
         val have = built.get(key)
-        if (have != null) have
+        if (have != null) (have, false)
         else {
           val r = learn(docs, merges)
           built.put(key, r)
           while (built.size > MaxLive) {
             val it = built.entrySet().iterator()
-            it.next(); it.remove()
+            val e = it.next(); it.remove()
+            graft.SessionCaches.drop("bpe", e.getKey)
           }
-          r
+          (r, true)
         }
       }
+      // cross-family ledger (outside the family lock — the ABBA rule)
+      if (builtNow)
+        graft.SessionCaches.register("bpe", key, r._1 :+ r._2)(() =>
+          built.synchronized { built.remove(key): Unit })
+      else graft.SessionCaches.touch("bpe", key)
+      r
+    }
 
-    private[graft] def reset(): Unit = built.synchronized(built.clear())
+    private[graft] def reset(): Unit = built.synchronized {
+      built.keySet().forEach(k => graft.SessionCaches.drop("bpe", k))
+      built.clear()
+    }
   }
 
   /** The learned merge list: (rank, left_sym, right_sym, pair_freq)

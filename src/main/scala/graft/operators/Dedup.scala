@@ -459,8 +459,17 @@ object Dedup {
 
   private val liveMinhashCaches =
     new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
-  private def retireMinhashCaches(next: Seq[DataFrame]): Unit =
+  private def retireMinhashCaches(next: Seq[DataFrame]): Unit = {
     liveMinhashCaches.getAndSet(next).foreach(_.unpersist(false))
+    // cross-family ledger: single-slot family (each call replaces the
+    // previous entry); a ledger eviction unpersists the pinned frames
+    // and clears the slot IF still current — any lazy result that
+    // still reads them just recomputes (the retirement contract)
+    graft.SessionCaches.register("minhash", "live", next) { () =>
+      liveMinhashCaches.compareAndSet(next, Nil)
+      next.foreach(_.unpersist(false))
+    }
+  }
 
   /** Within-bucket candidate pairs from (key..., id) rows, with the
     * singleton buckets cut out BEFORE any per-bucket id collection.
@@ -815,8 +824,14 @@ object Dedup {
     * candidate + pruned-text caches and retires the previous call's —
     * a long-lived driver holds at most one corpus's worth.
     */
-  private def retireSubstrCaches(next: Seq[DataFrame]): Unit =
+  private def retireSubstrCaches(next: Seq[DataFrame]): Unit = {
     liveSubstrCaches.getAndSet(next).foreach(_.unpersist(false))
+    // cross-family ledger: same single-slot shape as the minhash pins
+    graft.SessionCaches.register("substr", "live", next) { () =>
+      liveSubstrCaches.compareAndSet(next, Nil)
+      next.foreach(_.unpersist(false))
+    }
+  }
 
   // ----------------------------------------- exact n-gram Jaccard pairs
 

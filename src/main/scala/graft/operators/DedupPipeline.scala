@@ -304,10 +304,10 @@ object DedupPipeline {
     private val built = new java.util.LinkedHashMap[String, DataFrame](
       16, 0.75f, true)
 
-    def componentsFor(docs: => DataFrame, key: String): DataFrame =
-      built.synchronized {
+    def componentsFor(docs: => DataFrame, key: String): DataFrame = {
+      val (r, builtNow) = built.synchronized {
         val have = built.get(key)
-        if (have != null) have
+        if (have != null) (have, false)
         else {
           // barrier, not bare localCheckpoint: executor-local blocks
           // die with their executor, and a long-lived driver on a real
@@ -318,13 +318,26 @@ object DedupPipeline {
           built.put(key, r)
           while (built.size > MaxLive) {
             val it = built.entrySet().iterator()
-            it.next(); it.remove()
+            val e = it.next(); it.remove()
+            graft.SessionCaches.drop("components", e.getKey)
           }
-          r
+          (r, true)
         }
       }
+      // cross-family ledger (outside the family lock — the ABBA
+      // rule): a barrier frame has no unpersist — release just drops
+      // the reference and the blocks free with it
+      if (builtNow)
+        graft.SessionCaches.register("components", key, Seq(r))(() =>
+          built.synchronized { built.remove(key): Unit })
+      else graft.SessionCaches.touch("components", key)
+      r
+    }
 
-    private[graft] def reset(): Unit = built.synchronized(built.clear())
+    private[graft] def reset(): Unit = built.synchronized {
+      built.keySet().forEach(k => graft.SessionCaches.drop("components", k))
+      built.clear()
+    }
   }
 
   /** The kept corpus (one representative per duplicate component) plus

@@ -232,10 +232,10 @@ object Retrieval {
     private val built = new java.util.LinkedHashMap[String, DataFrame](
       16, 0.75f, true)
 
-    def statsFor(docs: => DataFrame, key: String): DataFrame =
-      built.synchronized {
+    def statsFor(docs: => DataFrame, key: String): DataFrame = {
+      val (df, builtNow) = built.synchronized {
         val have = built.get(key)
-        if (have != null) have
+        if (have != null) (have, false)
         else {
           val df = rarity(docs)
             .select(col("doc_id"), col("n_tokens"), col("rarity_sum"))
@@ -244,14 +244,28 @@ object Retrieval {
           built.put(key, df)
           while (built.size > MaxLive) {
             val it = built.entrySet().iterator()
-            it.next().getValue.unpersist(false); it.remove()
+            val e = it.next(); it.remove()
+            e.getValue.unpersist(false)
+            graft.SessionCaches.drop("rarity", e.getKey)
           }
-          df
+          (df, true)
         }
       }
+      // ledger call OUTSIDE the family lock (the ABBA rule — a
+      // cross-family release callback re-enters its owner's lock)
+      if (builtNow)
+        graft.SessionCaches.register("rarity", key, Seq(df))(() =>
+          built.synchronized {
+            val d = built.remove(key)
+            if (d != null) d.unpersist(false): Unit
+          })
+      else graft.SessionCaches.touch("rarity", key)
+      df
+    }
 
     private[graft] def reset(): Unit = built.synchronized {
       built.values().forEach(_.unpersist(false))
+      built.keySet().forEach(k => graft.SessionCaches.drop("rarity", k))
       built.clear()
     }
   }

@@ -31,23 +31,62 @@ object ExportJob {
       packagePath: Path,
       innerZip: String,
       checksum: String,
-      csvFiles: Seq[String])
+      csvFiles: Seq[String],
+      dataDirs: Seq[String] = Nil)
+
+  /** Reports at or under this many bytes merge to one CSV on the
+    * driver (the reference's facility-sized artifact — a byte-stream
+    * concat, seconds at worst); past it the driver funnel would
+    * SERIALIZE a distributed write through one machine, so the report
+    * ships as its parallel part files + a manifest instead.
+    */
+  val MergeBudgetBytes: Long = 1L << 30
 
   def run(
       spark: SparkSession,
       queries: Map[String, DataFrame],
       constants: Seq[(String, String)],
       outDir: Path,
-      tag: String): Result = {
+      tag: String,
+      mergeBudgetBytes: Long = MergeBudgetBytes): Result = {
     Files.createDirectories(outDir)
+    val dataDirs = scala.collection.mutable.ArrayBuffer[Path]()
     val csvs = queries.toSeq.sortBy(_._1).map { case (name, df0) =>
       val df = constants.foldLeft(df0) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
       val partDir = outDir.resolve(s".parts_$name")
       df.write.mode("overwrite").option("header", "true").csv(partDir.toString)
-      val csv = outDir.resolve(s"${name}_$tag.csv")
-      mergeCsvParts(partDir, csv)
-      deleteRecursively(partDir)
-      csv
+      val parts = listParts(partDir)
+      val totalBytes = parts.map(Files.size(_)).sum
+      if (totalBytes <= mergeBudgetBytes) {
+        val csv = outDir.resolve(s"${name}_$tag.csv")
+        mergeCsvParts(parts, csv)
+        deleteRecursively(partDir)
+        csv
+      } else {
+        // manifest-at-scale path: the part files ARE the report (each
+        // carries its own header — spark.read.csv(dir) reads the set
+        // back as one table); the driver only renames them into place
+        // and writes a name,bytes manifest. The manifest rides the
+        // checksummed zip in the CSV's stead; the data dir stays
+        // beside the package — nothing corpus-sized moves through one
+        // machine.
+        val dataDir = outDir.resolve(s"${name}_$tag")
+        deleteRecursively(dataDir)
+        Files.createDirectories(dataDir)
+        val placed = parts.zipWithIndex.map { case (p, i) =>
+          val t = dataDir.resolve(f"part-$i%05d.csv")
+          Files.move(p, t)
+          t
+        }
+        deleteRecursively(partDir)
+        dataDirs += dataDir
+        val manifest = outDir.resolve(s"${name}_${tag}_manifest.csv")
+        val lines = "file,bytes" +: placed.map(p =>
+          s"${dataDir.getFileName}/${p.getFileName},${Files.size(p)}")
+        Files.write(manifest,
+          lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        manifest
+      }
     }
 
     val innerZip = outDir.resolve(s"$tag.zip")
@@ -64,18 +103,21 @@ object ExportJob {
     Files.deleteIfExists(innerZip)
     Files.deleteIfExists(checksumFile)
     csvs.foreach(Files.deleteIfExists(_))
-    Result(pkg, s"$tag.zip", checksum, csvs.map(_.getFileName.toString))
+    Result(pkg, s"$tag.zip", checksum, csvs.map(_.getFileName.toString),
+      dataDirs.toSeq.map(_.getFileName.toString))
   }
+
+  private def listParts(partDir: Path): Seq[Path] =
+    Files.list(partDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
 
   /** Concatenate Spark csv part files into one CSV, keeping a single
     * header row. Bytes are copied verbatim after the header line of
     * each part (a line-based merge would normalize newlines inside
     * quoted multiline fields); O(buffer) memory.
     */
-  private def mergeCsvParts(partDir: Path, target: Path): Unit = {
-    val parts = Files.list(partDir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .toSeq.sortBy(_.getFileName.toString)
+  private def mergeCsvParts(parts: Seq[Path], target: Path): Unit = {
     val out = new BufferedOutputStream(new FileOutputStream(target.toFile), 4 << 20)
     try {
       var first = true

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Drifted-probe drive for the IVF margin miner — the geometric
+  * analog of DriftScale's fit-on-base / stream-shifted trick: the
+  * index is fitted on the CORPUS distribution (the deployment
+  * premise — an index predates its query stream), then every probe
+  * arrives from a SHIFTED distribution (+shift on odd coordinates —
+  * deterministic, norm-changing, moves probe geometry off the fitted
+  * centroids). The planted-hub spec closed the single-point
+  * adversarial case; this measures the whole-distribution mismatch
+  * the nProbe=16 precision claim has to survive in practice.
+  *
+  * For each nProbe the drive reports, against the exact miner on the
+  * same frame:
+  *  - false partners: IVF-emitted pairs the exact miner would not
+  *    emit (different match, or no exact pair at all — the miss class
+  *    that ships a WRONG confidently-aligned training pair),
+  *  - recall: the share of exact pairs the IVF path recovers.
+  *
+  * The op's own setting (nProbe = 16) must stay at ZERO false
+  * partners under the default drift; narrower probes are reported
+  * for the trade curve.
+  *
+  * Usage: MarginDriftCheck <tableDir> [shift=0.25]
+  */
+object MarginDriftCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val shift = args.lift(1).map(_.toDouble).getOrElse(0.25)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.GraftSession.local(cpus, "graft-margin-drift")
+
+    val ProbeBase = 1000000000L
+    val emb = graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + ProbeBase).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + when(i % 2 === 1, lit(shift.toFloat)).otherwise(lit(0f)))
+          .as("embedding"))
+    val frame = emb.unionAll(probes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nAll = frame.count()
+    val probeF = col("vec_id") >= ProbeBase
+    val targetF = col("vec_id") < ProbeBase && col("vec_id") % 2 === 1
+
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-margin-drift").toString
+    val t0 = System.nanoTime()
+    graft.sources.IvfIndex.build(frame.filter(targetF), idxDir)
+    println(f"[mdrift] $nAll rows (shift=$shift), corpus-only index" +
+      f" built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val exact = Similarity.marginAlign(frame, probeF, targetF)
+      .select("probe_id", "match_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(s"[mdrift] exact miner emits ${exact.size} pairs")
+
+    var falseAt16 = -1L
+    Seq(16, 8, 4, 2).foreach { nProbe =>
+      val t1 = System.nanoTime()
+      val ivf = Similarity.marginAlignIvf(frame, probeF, targetF, idxDir,
+          nProbe = nProbe)
+        .select("probe_id", "match_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val falsePairs = ivf.filterNot { case (p, m) => exact.get(p).contains(m) }
+      val recall =
+        if (exact.isEmpty) 1.0
+        else ivf.count { case (p, m) => exact.get(p).contains(m) }.toDouble / exact.size
+      if (nProbe == 16) falseAt16 = falsePairs.length.toLong
+      println(f"[mdrift] nProbe=$nProbe%2d: emitted ${ivf.length}%5d," +
+        f" false ${falsePairs.length}%4d, recall $recall%.4f," +
+        f" ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      falsePairs.take(3).foreach { case (p, m) => println(
+        s"[mdrift]    false: probe $p -> $m (exact: ${exact.get(p)})") }
+      Console.flush()
+    }
+    require(falseAt16 == 0L,
+      s"nProbe=16 emitted $falseAt16 false partners under drift " +
+        s"shift=$shift — the margin-precision setting no longer holds")
+    println("[mdrift] PASS: zero false partners at the op's nProbe=16")
+    spark.stop()
+  }
+}

@@ -27,6 +27,18 @@ object GraftShim {
   def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
     sc.checkpointDir = None
 
+  /** Accurate in-memory size of a PERSISTED frame once materialized
+    * (the InMemoryRelation's measured batch stats), None when the
+    * plan is not in the cache manager — the session cache ledger's
+    * byte source (estimates only for checkpoint-barrier frames,
+    * which carry their origin plan's stats instead).
+    */
+  def cachedPlanBytes(df: org.apache.spark.sql.Dataset[_]): Option[BigInt] = {
+    val d = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    d.sparkSession.sharedState.cacheManager.lookupCachedData(d)
+      .map(_.cachedRepresentation.stats.sizeInBytes)
+  }
+
   /** Register a function into a live session's registry (the
     * SparkSessionExtensions path only applies at session build time).
     */

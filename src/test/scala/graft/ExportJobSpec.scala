@@ -77,6 +77,41 @@ class ExportJobSpec extends SparkSpec {
     inner.close(); zf.close()
   }
 
+  test("manifest-at-scale path: part files + manifest replace the driver merge past the byte gate") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_export_manifest")
+    val df = (1 to 500).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+      .repartition(4)
+    val res = ExportJob.run(spark, Map("big" -> df),
+      constants = Seq("Facility" -> "F1"), outDir = out, tag = "t1",
+      mergeBudgetBytes = 1L)
+    assert(res.dataDirs == Seq("big_t1"))
+    assert(res.csvFiles == Seq("big_t1_manifest.csv"))
+    // the data dir stays beside the package and reads back as one
+    // table (every part carries its own header)
+    val dataDir = out.resolve("big_t1")
+    val back = spark.read.option("header", "true").csv(dataDir.toString)
+    assert(back.count() == 500)
+    assert(back.columns.toSeq == Seq("id", "name", "Facility"))
+    // the packaged manifest lists exactly the on-disk parts with sizes
+    val zf = new ZipFile(res.packagePath.toFile)
+    val tmpInner = Files.createTempFile("inner", ".zip")
+    Files.copy(zf.getInputStream(zf.getEntry("t1.zip")), tmpInner,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val inner = new ZipFile(tmpInner.toFile)
+    val lines = Source.fromInputStream(
+        inner.getInputStream(inner.getEntry("big_t1_manifest.csv")))
+      .getLines().toSeq
+    assert(lines.head == "file,bytes")
+    val listed = lines.tail.map { l =>
+      val Array(f, b) = l.split(","); f -> b.toLong
+    }.toMap
+    val onDisk = Files.list(dataDir).iterator().asScala
+      .map(p => s"big_t1/${p.getFileName}" -> Files.size(p)).toMap
+    assert(listed == onDisk && listed.nonEmpty)
+    inner.close(); zf.close()
+  }
+
   test("export config parses tags, constants and window (export_config.json semantics)") {
     val c = graft.sources.ExportConfig.load(
       java.nio.file.Paths.get("config/export_config.json"))
