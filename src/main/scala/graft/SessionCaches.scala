@@ -49,13 +49,24 @@ object SessionCaches {
       .getOrElse(graft.operators.Dedup.cacheBudgetBytes(df))
 
   /** Estimated live bytes of one registered artifact: measured cache
-    * stats when persisted, propagated plan stats otherwise.
+    * stats when persisted; count × schema width for checkpoint-barrier
+    * frames. Propagated plan stats are NOT usable for the barrier
+    * class — checkpoint preserves the ORIGIN plan's stats, and those
+    * inflate through the build's joins (measured: the CC label frame
+    * reported 523 TB, the BPE word frame 46 PB — registering either
+    * at face value evicted every other family on the spot). The
+    * count is a cheap cached-block scan: every registered frame is
+    * materialized by its family's own eager build contract.
     */
   private[graft] def bytesOf(frames: Seq[DataFrame]): Long =
     frames.map { f =>
-      val sz = org.apache.spark.sql.graftshim.GraftShim.cachedPlanBytes(f)
-        .getOrElse(f.queryExecution.optimizedPlan.stats.sizeInBytes)
-      if (sz.isValidLong) sz.toLong else Long.MaxValue / 256
+      org.apache.spark.sql.graftshim.GraftShim.cachedPlanBytes(f) match {
+        case Some(sz) =>
+          if (sz.isValidLong) sz.toLong else Long.MaxValue / 256
+        case None =>
+          val width = f.schema.fields.map(_.dataType.defaultSize).sum + 16L
+          f.count() * width
+      }
     }.foldLeft(0L)((a, b) => if (a + b < 0) Long.MaxValue else a + b)
 
   /** Register (or replace) a family's live entry and enforce the
