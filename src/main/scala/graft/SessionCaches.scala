@@ -20,9 +20,8 @@ import org.apache.spark.sql.DataFrame
   *
   * Entry bytes come from the cache manager's MEASURED InMemoryRelation
   * stats for persisted frames (accurate after the family's own eager
-  * count) and from the plan's propagated stats for checkpoint-barrier
-  * frames (LogicalRDD carries its origin stats); derived-plan
-  * inflation errs toward eviction, which is the safe side.
+  * count) and from count × schema width for checkpoint-barrier frames
+  * — see [[bytesOf]] for why propagated stats are unusable there.
   *
   * Locking: the ledger lock is held only for map bookkeeping. Release
   * callbacks run AFTER it is dropped, and families must call
@@ -87,17 +86,24 @@ object SessionCaches {
       var total = 0L
       live.values().forEach(e => total =
         if (total + e.bytes < 0) Long.MaxValue else total + e.bytes)
-      val out = scala.collection.mutable.ArrayBuffer[Entry]()
+      val out = scala.collection.mutable.ArrayBuffer[(String, Entry)]()
       val it = live.entrySet().iterator()
       while (total > budget && live.size > 1 && it.hasNext) {
         val e = it.next()
         if (e.getKey != k) { // never evict the entry just registered
-          out += e.getValue; it.remove(); total -= e.getValue.bytes
+          out += ((e.getKey, e.getValue)); it.remove()
+          total -= e.getValue.bytes
         }
       }
       out.toSeq
     }
-    victims.foreach(_.release())
+    // eviction is rare and operationally significant — say so (the
+    // StageProfile/ScaleCheck drives read this to attribute rebuilds)
+    victims.foreach { case (vk, e) =>
+      System.err.println(s"[cache-ledger] evict ${vk.replace('\u0000', ':')}" +
+        s" (${e.bytes / 1048576} MB) for $family:$key")
+      e.release()
+    }
   }
 
   /** Mark a family's entry recently used (cache hit). */
