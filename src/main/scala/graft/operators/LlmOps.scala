@@ -10,6 +10,16 @@ import graft.{GraftQuery, Tables}
   */
 object LlmOps {
 
+  /** Fixed knee for d_curation_ledger's contamination-leg auto gate:
+    * estimated gram-shuffle bytes (corpus plan bytes × 8) at or above
+    * this take the one-sided broadcast-bloom leg; below it the exact
+    * oracle-backed 8-gram join runs. 2 GiB = the cache budget of the
+    * 8 GiB heap the 1024× knee was measured on — a CONSTANT, not the
+    * live heap, so the oracle verdict never varies with memory config
+    * (sf-scale corpora always gate exact on any JVM).
+    */
+  private[graft] val ContamExactGramBytesMax: Long = 2L << 30
+
   // ------------------------------------------------------- shared SQL
 
   /** DuckDB twin of TextFns.countOccurrences (exact literal count via
@@ -2389,6 +2399,13 @@ object LlmOps {
       // misses a contaminated doc; ContamGateSpec pins flag
       // containment and both paths row-identical off the flag).
       // Env/sys-prop override for A/Bs, the perplexity-path idiom.
+      // The auto gate keys on a FIXED corpus-size knee, NOT the live
+      // heap: the oracle verdict must not depend on the JVM's memory
+      // config (a small-heap run at oracle scale would flip to the
+      // one-sided bloom leg and over-flag vs DuckDB). The constant is
+      // the measured 8 GiB-heap knee from the 1024× ledger profile
+      // (exact-leg gram shuffle ~8× corpus bytes vs a 2 GiB budget),
+      // frozen so the same corpus always takes the same leg.
       val candDocs = docs.filter(col("source") =!= "src0")
       val benchDocs = docs.filter(col("source") === "src0")
       val estGramShuffle = {
@@ -2399,7 +2416,7 @@ object LlmOps {
         .orElse(sys.env.get("GRAFT_LEDGER_CONTAM_PATH")) match {
         case Some("bloom") => true
         case Some("exact") => false
-        case _ => estGramShuffle >= Dedup.cacheBudgetBytes(docs)
+        case _ => estGramShuffle >= LlmOps.ContamExactGramBytesMax
       }
       val contam =
         if (useBloom)
