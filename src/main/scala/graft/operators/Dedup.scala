@@ -459,17 +459,26 @@ object Dedup {
 
   private val liveMinhashCaches =
     new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
-  private def retireMinhashCaches(next: Seq[DataFrame]): Unit = {
-    liveMinhashCaches.getAndSet(next).foreach(_.unpersist(false))
-    // cross-family ledger: single-slot family (each call replaces the
-    // previous entry); a ledger eviction unpersists the pinned frames
-    // and clears the slot IF still current — any lazy result that
-    // still reads them just recomputes (the retirement contract)
-    graft.SessionCaches.register("minhash", "live", next) { () =>
-      liveMinhashCaches.compareAndSet(next, Nil)
-      next.foreach(_.unpersist(false))
+  // serializes retire+register as one swap: two interleaved calls
+  // could otherwise leave the ledger tracking one call's (already
+  // unpersisted) frames while the other call's live pins went
+  // unbudgeted. Holding this lock across register() is safe — the
+  // ledger runs victim releases AFTER dropping its own lock, and the
+  // minhash release callback below takes no lock (CAS + unpersist),
+  // so no release path re-enters this slot lock (the ABBA rule).
+  private val minhashSlot = new Object
+  private def retireMinhashCaches(next: Seq[DataFrame]): Unit =
+    minhashSlot.synchronized {
+      liveMinhashCaches.getAndSet(next).foreach(_.unpersist(false))
+      // cross-family ledger: single-slot family (each call replaces
+      // the previous entry); a ledger eviction unpersists the pinned
+      // frames and clears the slot IF still current — any lazy result
+      // that still reads them just recomputes (the retirement contract)
+      graft.SessionCaches.register("minhash", "live", next) { () =>
+        liveMinhashCaches.compareAndSet(next, Nil)
+        next.foreach(_.unpersist(false))
+      }
     }
-  }
 
   /** Within-bucket candidate pairs from (key..., id) rows, with the
     * singleton buckets cut out BEFORE any per-bucket id collection.

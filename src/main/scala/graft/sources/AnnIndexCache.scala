@@ -15,16 +15,23 @@ import org.apache.spark.sql.DataFrame
   *    repeated probes within a process (Bench's warm-up + min-of-2,
   *    a long-lived driver's query stream) pay only probe-batch cost.
   *  - The KEY identifies an immutable corpus snapshot (callers use
-  *    the table directory). If the underlying data is rewritten
-  *    in-process, call [[reset]] — the cache cannot see the rewrite.
+  *    the table directory); the fit params are folded into the full
+  *    cache key so two calls with the same corpus but different
+  *    (nCells, trainSample) never share an index. If the underlying
+  *    data is rewritten in-process, call [[reset]] — the cache cannot
+  *    see the rewrite.
   *  - The build is the same seeded fit as `Similarity.ivfTopK`, so a
   *    cached-index probe returns ivfTopK's rows bit-for-bit
   *    (IvfIndexSpec pins the registry path).
+  *
+  * Naming, eviction, and build concurrency delegate to [[DirCache]]:
+  * SHA-256 collision-resistant dir names, generation-unique build
+  * paths, deferred (next-build) deletion of evicted dirs so live lazy
+  * probe frames get a grace window, and per-key build latches so
+  * different corpora build concurrently while same-key first probes
+  * build once.
   */
 object AnnIndexCache {
-
-  private lazy val root =
-    java.nio.file.Files.createTempDirectory("graft-ann-index").toString
 
   /** Most-recently-used bound on live index dirs: a many-corpus
     * driver (one process probing N table snapshots) otherwise grows
@@ -35,44 +42,22 @@ object AnnIndexCache {
     */
   private[graft] val MaxLive = 4
 
-  // access-ordered: iteration starts at the least-recently-used key
-  private val built = new java.util.LinkedHashMap[String, String](16, 0.75f, true)
+  private val cache = new DirCache("ann-idx", MaxLive)
 
-  /** The index directory for `key`, building from `emb` on first use.
-    * Lookups and builds serialize on the cache lock (builds are rare
-    * — once per corpus per process — and concurrent first probes for
-    * the same key must not build twice). Past [[MaxLive]] corpora the
-    * least-recently-probed index is DELETED from disk; any lazy frame
-    * still pointing at an evicted dir must re-probe, same as after
-    * [[reset]].
+  /** The index directory for `key` (+ fit params), building from
+    * `emb` on first use. Past [[MaxLive]] corpora the
+    * least-recently-probed index is retired — deleted at the next
+    * build, not eagerly — and any lazy frame still pointing at it
+    * must re-probe, same as after [[reset]].
     */
   def dirFor(emb: DataFrame, key: String, nCells: Int = 0,
-      trainSample: Int = 2000): String = built.synchronized {
-    val have = built.get(key)
-    if (have != null) have
-    else {
-      val d = s"$root/idx-${java.lang.Integer.toHexString(key.hashCode)}"
-      IvfIndex.build(emb, d, nCells, trainSample)
-      built.put(key, d)
-      while (built.size > MaxLive) {
-        val it = built.entrySet().iterator()
-        val evict = it.next(); it.remove()
-        deleteRecursively(new java.io.File(evict.getValue))
-      }
-      d
+      trainSample: Int = 2000): String =
+    cache.dirFor(s"$key#n=$nCells#t=$trainSample") { dir =>
+      IvfIndex.build(emb, dir, nCells, trainSample)
     }
-  }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private[graft] def liveCount: Int = cache.liveCount
 
-  /** Forget every cached index (in-process corpus rewrite, tests).
-    * Files stay on disk under the temp root; forgotten keys rebuild
-    * under a distinct path only if the root changes — same path +
-    * rebuild is safe because IvfIndex.build refreshes file listings.
-    */
-  private[graft] def reset(): Unit = built.synchronized(built.clear())
+  /** Forget every cached index (in-process corpus rewrite, tests). */
+  private[graft] def reset(): Unit = cache.reset()
 }

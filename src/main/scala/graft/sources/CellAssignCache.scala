@@ -25,46 +25,29 @@ import org.apache.spark.sql.functions._
   * so a cached read reproduces the direct fit bit-for-bit
   * (CellAssignSpec pins direct == cached per op).
   *
-  * Same rules as AnnIndexCache: per-JVM temp root (fresh
-  * Verify/Bench processes rebuild lazily — deterministic), keys name
-  * an immutable corpus snapshot + the fit params, in-process corpus
-  * rewrites need [[reset]], LRU eviction deletes the least-recently
-  * used dir. MaxLive is 8, not 4: each corpus holds up to three
-  * entries (one per op's cell sizing), and the SoakCheck A→B→A drive
-  * keeps two corpora live.
+  * Naming, eviction, and build concurrency delegate to [[DirCache]]
+  * (SHA-256 names, generation-unique build paths, deferred deletion,
+  * per-key build latches); keys name an immutable corpus snapshot +
+  * the fit params, and in-process corpus rewrites need [[reset]].
+  * MaxLive is 8, not 4: each corpus holds up to three entries (one
+  * per op's cell sizing), and the SoakCheck A→B→A drive keeps two
+  * corpora live.
   */
 object CellAssignCache {
 
-  private lazy val root =
-    java.nio.file.Files.createTempDirectory("graft-cell-assign").toString
-
   private[graft] val MaxLive = 8
 
-  // access-ordered: iteration starts at the least-recently-used key
-  private val built = new java.util.LinkedHashMap[String, String](16, 0.75f, true)
+  private val cache = new DirCache("cell-asn", MaxLive)
 
   /** The assignment directory for (key, cells, trainSample), building
-    * from `emb` on first use. Builds serialize on the cache lock —
-    * rare (once per corpus+params per process) and concurrent first
-    * calls for the same key must not build twice.
+    * from `emb` on first use. First builds for different keys run
+    * concurrently; concurrent calls for the same key build once.
     */
   def dirFor(emb: DataFrame, key: String, cells: Int,
-      trainSample: Int): String = built.synchronized {
-    val full = s"$key#c=$cells#t=$trainSample"
-    val have = built.get(full)
-    if (have != null) have
-    else {
-      val d = s"$root/asn-${java.lang.Integer.toHexString(full.hashCode)}"
-      buildTo(emb, d, cells, trainSample)
-      built.put(full, d)
-      while (built.size > MaxLive) {
-        val it = built.entrySet().iterator()
-        val evict = it.next(); it.remove()
-        deleteRecursively(new java.io.File(evict.getValue))
-      }
-      d
+      trainSample: Int): String =
+    cache.dirFor(s"$key#c=$cells#t=$trainSample") { dir =>
+      buildTo(emb, dir, cells, trainSample)
     }
-  }
 
   /** The same seeded k-means|| fit the direct ops run (the shared
     * [[graft.operators.Similarity]] fit: deterministic orderBy-limit
@@ -88,19 +71,12 @@ object CellAssignCache {
         col("nrm"), col("embedding"))
       .write.mode("overwrite").parquet(dir)
     base.unpersist()
-    // rebuild-under-same-path rule (the IvfIndex lesson): invalidate
-    // cached file listings or a later read resurrects deleted names
-    emb.sparkSession.catalog.refreshByPath(dir)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private[graft] def liveCount: Int = cache.liveCount
 
   /** Forget every cached assignment (in-process corpus rewrite,
     * tests).
     */
-  private[graft] def reset(): Unit = built.synchronized(built.clear())
+  private[graft] def reset(): Unit = cache.reset()
 }

@@ -49,12 +49,13 @@ class CellAssignSpec extends SparkSpec {
     assert(d3 != d1)
     CellAssignCache.reset()
     val d4 = CellAssignCache.dirFor(emb, key, cells = 16, trainSample = 2000)
-    // same full key hashes to the same path; a rebuild under it must
-    // still read cleanly (the refreshByPath rule)
+    // reset forgets: the rebuild lands at a FRESH generation path (a
+    // retired dir is never a live build target) and reads cleanly
+    assert(d4 != d1)
     assert(spark.read.parquet(d4).count() == emb.count())
   }
 
-  test("LRU eviction deletes the least-recently-used dir") {
+  test("LRU eviction retires the least-recently-used dir; next build reclaims it") {
     CellAssignCache.reset()
     import spark.implicits._
     val tiny = (0L until 24L)
@@ -63,9 +64,15 @@ class CellAssignSpec extends SparkSpec {
     val dirs = (0 until CellAssignCache.MaxLive + 1).map { i =>
       CellAssignCache.dirFor(tiny, s"tiny#$i", cells = 2, trainSample = 24)
     }
-    assert(!new java.io.File(dirs.head).exists(),
-      "first-built dir must be evicted past MaxLive")
+    assert(CellAssignCache.liveCount == CellAssignCache.MaxLive)
+    // deletion is deferred: the evicted dir survives until the next
+    // build starts (grace window for live lazy frames)
+    assert(new java.io.File(dirs.head).exists(),
+      "evicted dir deleted eagerly — must survive until the next build")
     assert(new java.io.File(dirs.last).exists())
+    CellAssignCache.dirFor(tiny, "tiny#reclaim", cells = 2, trainSample = 24)
+    assert(!new java.io.File(dirs.head).exists(),
+      "retired dir must be reclaimed at the next build")
     CellAssignCache.reset()
   }
 }

@@ -85,19 +85,24 @@ class IvfIndexSpec extends SparkSpec {
     graft.sources.AnnIndexCache.reset()
     val emb = Tables(spark, sf).embeddings.limit(120)
     val n = graft.sources.AnnIndexCache.MaxLive
-    // n+1 distinct corpus keys: the first becomes LRU and must be
-    // deleted from disk when the (n+1)th builds
+    // n+1 distinct corpus keys: the first becomes LRU and is evicted
+    // when the (n+1)th builds — but deletion is DEFERRED to the next
+    // build's start, so a lazy frame over the evicted dir still reads
     val dirs = (0 to n).map { i =>
       graft.sources.AnnIndexCache.dirFor(emb, s"lru-corpus-$i", nCells = 2)
     }
-    assert(!new java.io.File(dirs.head).exists(), "LRU dir not evicted")
+    assert(graft.sources.AnnIndexCache.liveCount == n)
+    assert(new java.io.File(dirs.head).exists(),
+      "evicted dir deleted eagerly — must survive until the next build")
     dirs.tail.foreach(d =>
       assert(new java.io.File(d).exists(), s"live dir $d evicted"))
-    // the evicted corpus transparently rebuilds on its next probe,
-    // at the same deterministic path
+    // the evicted corpus transparently rebuilds on its next probe, at
+    // a FRESH generation path; the retired dir is deleted by that build
     val rebuilt =
       graft.sources.AnnIndexCache.dirFor(emb, "lru-corpus-0", nCells = 2)
-    assert(rebuilt == dirs.head && new java.io.File(rebuilt).exists())
+    assert(rebuilt != dirs.head && new java.io.File(rebuilt).exists())
+    assert(!new java.io.File(dirs.head).exists(),
+      "retired dir must be reclaimed at the next build")
     graft.sources.AnnIndexCache.reset()
   }
 
