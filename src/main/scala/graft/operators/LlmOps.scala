@@ -20,6 +20,27 @@ object LlmOps {
     */
   private[graft] val ContamExactGramBytesMax: Long = 2L << 30
 
+  /** The ledger's contamination-leg gate: bloom iff the estimated
+    * gram shuffle (corpus plan bytes × 8 — the measured exact-leg
+    * expansion) crosses [[ContamExactGramBytesMax]]; env/sys-prop
+    * override for A/Bs. Factored out so ContamGateSpec pins the
+    * DEFAULT path's verdicts, not just the overrides: sf-scale
+    * corpora must gate exact on any JVM, stats-inflated frames bloom.
+    */
+  private[graft] def contamGateUseBloom(
+      docs: org.apache.spark.sql.DataFrame): Boolean = {
+    val estGramShuffle = {
+      val sz = docs.queryExecution.optimizedPlan.stats.sizeInBytes * 8
+      if (sz.isValidLong) sz.toLong else Long.MaxValue
+    }
+    sys.props.get("graft.ledger.contamPath")
+      .orElse(sys.env.get("GRAFT_LEDGER_CONTAM_PATH")) match {
+      case Some("bloom") => true
+      case Some("exact") => false
+      case _ => estGramShuffle >= ContamExactGramBytesMax
+    }
+  }
+
   // ------------------------------------------------------- shared SQL
 
   /** DuckDB twin of TextFns.countOccurrences (exact literal count via
@@ -2408,16 +2429,7 @@ object LlmOps {
       // frozen so the same corpus always takes the same leg.
       val candDocs = docs.filter(col("source") =!= "src0")
       val benchDocs = docs.filter(col("source") === "src0")
-      val estGramShuffle = {
-        val sz = docs.queryExecution.optimizedPlan.stats.sizeInBytes * 8
-        if (sz.isValidLong) sz.toLong else Long.MaxValue
-      }
-      val useBloom = sys.props.get("graft.ledger.contamPath")
-        .orElse(sys.env.get("GRAFT_LEDGER_CONTAM_PATH")) match {
-        case Some("bloom") => true
-        case Some("exact") => false
-        case _ => estGramShuffle >= LlmOps.ContamExactGramBytesMax
-      }
+      val useBloom = LlmOps.contamGateUseBloom(docs)
       val contam =
         if (useBloom)
           TextAnalysis.bloomNgramContamination(candDocs, benchDocs)

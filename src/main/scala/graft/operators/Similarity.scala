@@ -183,7 +183,7 @@ object Similarity {
     * [[hardNegativesIvf]] does.
     */
   def marginAlign(emb: DataFrame, probeFilter: Column, targetFilter: Column,
-      marginMin: Double = 1.02): DataFrame = {
+      marginMin: Double = 1.02, withStats: Boolean = false): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
     val probes = base.filter(probeFilter)
@@ -196,7 +196,7 @@ object Similarity {
         gridKey(VectorFns.dot(col("emb_p"), col("embedding"))
           / (col("nrm_p") * col("nrm"))).cast("double").as("grid"),
         col("vec_id"))
-    marginFromTop2(cands, marginMin)
+    marginFromTop2(cands, marginMin, withStats)
   }
 
   /** Many-probe scale path for [[marginAlign]] (the CCMatrix regime —
@@ -233,7 +233,7 @@ object Similarity {
     */
   def marginAlignIvf(emb: DataFrame, probeFilter: Column,
       targetFilter: Column, indexDir: String, marginMin: Double = 1.02,
-      nProbe: Int = 16, m: Int = 32): DataFrame = {
+      nProbe: Int = 16, m: Int = 32, withStats: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     val candPairs = graft.sources.IvfIndex.topK(spark, indexDir,
         emb.filter(probeFilter), k = m, nProbe = nProbe)
@@ -252,20 +252,42 @@ object Similarity {
         gridKey(VectorFns.dot(col("emb_p"), col("embedding"))
           / (col("nrm_p") * col("nrm"))).cast("double").as("grid"),
         col("vec_id"))
-    marginFromTop2(scored, marginMin)
+    marginFromTop2(scored, marginMin, withStats)
   }
+
+  /** Low-headroom epsilon for [[marginAlign]]'s companion stats: the
+    * mined population is "low headroom" when its MEDIAN margin sits
+    * within this distance of `marginMin` — most emitted pairs barely
+    * clear the ratio test, the §16.5 tie-field signature (threshold
+    * flips away from re-ranking noise, drifted probes, or a
+    * template-family corpus), so the emitted set's precision is
+    * fragile to any score perturbation. Calibration: the sf corpora
+    * mine at p50 ≈ 1.126 vs marginMin 1.02 (headroom ≈ 0.106 — the
+    * healthy regime has 2× this slack); the MarginDriftCheck
+    * structured blow-up's near-tie population sits under 1.03
+    * (headroom < 0.01). 0.05 splits the two regimes mid-gap.
+    */
+  val MarginHeadroomEps = 0.05
 
   /** Shared tail of [[marginAlign]] / [[marginAlignIvf]]: per-probe
     * bounded top-2 over (grid, vec_id) rows, then the ratio-margin
     * cut — identical total order and IEEE division on both paths.
+    *
+    * `withStats` appends population columns over the EMITTED pairs —
+    * `margin_p50`, `margin_p90`, `low_headroom` (p50 − marginMin <
+    * [[MarginHeadroomEps]]) — as a 1-row broadcast attach (the
+    * benign scalar crossJoin pattern), constant per frame. Off by
+    * default: the registered oracle queries keep the bare schema,
+    * and the stats pass re-aggregates the mined subtree (ReuseExchange
+    * picks the shuffle up; the emitted set is probe-bounded).
     */
-  private def marginFromTop2(scored: DataFrame,
-      marginMin: Double): DataFrame = {
+  private def marginFromTop2(scored: DataFrame, marginMin: Double,
+      withStats: Boolean = false): DataFrame = {
     val top2 = scored.groupBy("probe_id")
       .agg(graft.plans.BoundedTopK.boundedTopK(
         col("grid"), col("vec_id"), 2).as("top"))
       .filter(size(col("top")) === 2)
-    top2.select(col("probe_id"),
+    val mined = top2.select(col("probe_id"),
         col("top")(0).getField("id").as("match_id"),
         col("top")(0).getField("score").as("g1"),
         col("top")(1).getField("score").as("g2"))
@@ -275,6 +297,22 @@ object Similarity {
       .select(col("probe_id"), col("match_id"),
         (col("g1") / 1e6).as("cos6"),
         (col("g1") / col("g2")).as("margin"))
+    if (!withStats) mined
+    else {
+      // sketched percentiles, not exact: the emitted set is ≤ one row
+      // per probe, but the CCMatrix regime runs corpus-sized probe
+      // pools and exact percentile buffers EVERY value in one
+      // single-group aggregation buffer — approx_percentile's bounded
+      // mergeable sketch holds at any scale, and a 1e-4 rank error is
+      // noise against the 0.05 epsilon gap
+      val stats = mined.agg(
+          expr("approx_percentile(margin, 0.5, 10000)").as("margin_p50"),
+          expr("approx_percentile(margin, 0.9, 10000)").as("margin_p90"))
+        .select(col("margin_p50"), col("margin_p90"),
+          (col("margin_p50") - lit(marginMin) <
+            lit(MarginHeadroomEps)).as("low_headroom"))
+      mined.crossJoin(broadcast(stats))
+    }
   }
 
   /** Many-probe scale path for [[hardNegatives]]: candidates come

@@ -66,10 +66,12 @@ object ExportJob {
         // manifest-at-scale path: the part files ARE the report (each
         // carries its own header — spark.read.csv(dir) reads the set
         // back as one table); the driver only renames them into place
-        // and writes a name,bytes manifest. The manifest rides the
-        // checksummed zip in the CSV's stead; the data dir stays
-        // beside the package — nothing corpus-sized moves through one
-        // machine.
+        // and writes a name,bytes,sha256 manifest. The manifest rides
+        // the checksummed zip in the CSV's stead, so the package
+        // checksum TRANSITIVELY attests every part's content (the
+        // reference contract: its checksum covers the full export) —
+        // the data dir stays beside the package and nothing
+        // corpus-sized moves through one machine.
         val dataDir = outDir.resolve(s"${name}_$tag")
         deleteRecursively(dataDir)
         Files.createDirectories(dataDir)
@@ -80,9 +82,14 @@ object ExportJob {
         }
         deleteRecursively(partDir)
         dataDirs += dataDir
+        // per-part digests run DISTRIBUTED (one task per part, where
+        // the part lives on a shared FS) — the driver hashes nothing:
+        // it only collects parts-many 64-char strings
+        val digests = partDigests(spark, placed)
         val manifest = outDir.resolve(s"${name}_${tag}_manifest.csv")
-        val lines = "file,bytes" +: placed.map(p =>
-          s"${dataDir.getFileName}/${p.getFileName},${Files.size(p)}")
+        val lines = "file,bytes,sha256" +: placed.map(p =>
+          s"${dataDir.getFileName}/${p.getFileName},${Files.size(p)}," +
+            digests(p.toString))
         Files.write(manifest,
           lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
         manifest
@@ -105,6 +112,21 @@ object ExportJob {
     csvs.foreach(Files.deleteIfExists(_))
     Result(pkg, s"$tag.zip", checksum, csvs.map(_.getFileName.toString),
       dataDirs.toSeq.map(_.getFileName.toString))
+  }
+
+  /** SHA-256 of every part file, computed on executors — one task per
+    * part (the parts of a >1 GiB report live on a shared filesystem
+    * in a real deployment; hashing them serially on the driver would
+    * re-serialize the distributed write the manifest path exists to
+    * avoid). Returns path → hex digest.
+    */
+  private def partDigests(spark: SparkSession,
+      parts: Seq[Path]): Map[String, String] = {
+    import spark.implicits._
+    spark.createDataset(parts.map(_.toString))
+      .repartition(parts.size)
+      .map(p => (p, sha256(Paths.get(p))))
+      .collect().toMap
   }
 
   private def listParts(partDir: Path): Seq[Path] =

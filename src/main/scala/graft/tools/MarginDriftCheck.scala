@@ -88,6 +88,17 @@ object MarginDriftCheck {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     println(s"[mdrift] exact miner emits ${exact.size} pairs")
 
+    // the op's own headroom companion at the deployed setting: the
+    // tie-field (structured blow-up) population must raise the flag,
+    // table-dir geometry must not — the §16.5 lesson, now emitted by
+    // the OP (MarginHeadroomSpec pins both regimes at spec scale)
+    Similarity.marginAlignIvf(frame, probeF, targetF, idxDir,
+        withStats = true)
+      .select("margin_p50", "margin_p90", "low_headroom").take(1)
+      .foreach(hd => println(
+        f"[mdrift] op headroom stats at nProbe=16: p50 ${hd.getDouble(0)}%.4f" +
+          f" p90 ${hd.getDouble(1)}%.4f low_headroom=${hd.getBoolean(2)}"))
+
     var falseAt16 = -1L
     Seq(16, 8, 4, 2).foreach { nProbe =>
       val t1 = System.nanoTime()

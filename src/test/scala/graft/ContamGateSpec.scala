@@ -43,6 +43,33 @@ class ContamGateSpec extends SparkSpec {
     }
   }
 
+  test("default auto gate: exact at oracle scale, bloom past the fixed knee") {
+    // no override set — this is the path every driver-run Verify takes
+    assert(sys.props.get("graft.ledger.contamPath").isEmpty)
+    // sf-scale corpora sit far under the 2 GiB fixed knee on ANY JVM
+    // (the gate keys on the corpus, not the live heap): exact leg
+    assert(!graft.operators.LlmOps.contamGateUseBloom(docs),
+      "oracle-scale corpus must take the exact 8-gram leg")
+    // a stats-inflated frame (same rows, blow-up-scale plan stats via
+    // an unexecuted crossJoin) crosses the knee: bloom leg. Only the
+    // optimizer stats are read — nothing materializes here.
+    val inflated = docs.crossJoin(
+      spark.range(1L << 28).toDF("blowup_rep"))
+    assert(graft.operators.LlmOps.contamGateUseBloom(inflated),
+      "past-knee stats must take the broadcast-bloom leg")
+    // and the override still wins in both directions
+    val old = sys.props.get("graft.ledger.contamPath")
+    try {
+      sys.props("graft.ledger.contamPath") = "bloom"
+      assert(graft.operators.LlmOps.contamGateUseBloom(docs))
+      sys.props("graft.ledger.contamPath") = "exact"
+      assert(!graft.operators.LlmOps.contamGateUseBloom(inflated))
+    } finally old match {
+      case Some(v) => sys.props("graft.ledger.contamPath") = v
+      case None => sys.props.remove("graft.ledger.contamPath"): Unit
+    }
+  }
+
   test("ledger: gated paths identical off the flag; bloom flag contains exact") {
     val ex = runLedger("exact")
     val bl = runLedger("bloom")

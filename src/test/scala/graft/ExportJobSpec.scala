@@ -102,13 +102,18 @@ class ExportJobSpec extends SparkSpec {
     val lines = Source.fromInputStream(
         inner.getInputStream(inner.getEntry("big_t1_manifest.csv")))
       .getLines().toSeq
-    assert(lines.head == "file,bytes")
+    assert(lines.head == "file,bytes,sha256")
     val listed = lines.tail.map { l =>
-      val Array(f, b) = l.split(","); f -> b.toLong
+      val Array(f, b, h) = l.split(","); f -> ((b.toLong, h))
     }.toMap
+    // name, size AND content digest of every on-disk part — the
+    // package checksum now transitively attests part content
     val onDisk = Files.list(dataDir).iterator().asScala
-      .map(p => s"big_t1/${p.getFileName}" -> Files.size(p)).toMap
+      .map(p => s"big_t1/${p.getFileName}" ->
+        ((Files.size(p), ExportJob.sha256(p)))).toMap
     assert(listed == onDisk && listed.nonEmpty)
+    assert(listed.values.map(_._2).toSeq.distinct.length == listed.size,
+      "distinct parts must carry distinct digests")
     inner.close(); zf.close()
   }
 

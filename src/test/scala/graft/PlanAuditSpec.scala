@@ -361,4 +361,73 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalPlan.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), "doc-word counts must combine map-side:\n" + p)
   }
+
+  /** Every WindowExec/WindowGroupLimitExec in the FINAL adaptive plan
+    * whose partition spec is empty — the single-partition global sort
+    * that "No Partition Defined for Window operation" warns about.
+    * Descends through AQE stages, exchange reuse, and cached
+    * relations, plus subquery plans.
+    */
+  private def globalWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val self = plan match {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Seq(w.nodeName)
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        Seq(w.nodeName)
+      case _ => Nil
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case c: InMemoryTableScanExec => Seq(c.relation.cachedPlan)
+      case _ => plan.children
+    }
+    self ++ (kids ++ plan.subqueries).flatMap(globalWindows)
+  }
+
+  test("no registered query global-sorts unbounded input through a window") {
+    // Boundedness of a global window was CONVENTION until this rule:
+    // every empty-partition-spec window in a registered final plan
+    // must sit over a provably bounded frame, named here with its
+    // bound. Anything else is a single-task corpus sort at scale.
+    val whitelist: Map[String, String] = Map(
+      // row_number over the BPE symbol table: ≤ alphabet + capped
+      // merge count rows at ANY corpus size (the vocab premise)
+      "d_bpe_vocab" -> "rank over the ≤vocab-size symbol aggregate",
+      // cumulative CDF over per-grid-bucket counts: the window input
+      // is the difficulty HISTOGRAM (≤1e6 grid keys by construction,
+      // difficulty//1000 over an integer-µ domain), never doc rows
+      "d_curriculum" -> "CDF over the bounded difficulty-grid histogram",
+      // 1-row corpus summary: the window ranks a single aggregate row
+      "d_dataset_card" -> "percentile rank over the 1-row corpus summary",
+      // cumulative share over the ≤buckets-row histogram aggregate
+      // (the sibling test pins ≤1 corpus exchange for this query)
+      "d_len_hist" -> "cumulative share over the bounded bucket aggregate",
+      // rank fusion over two TakeOrderedAndProject-bounded top-N
+      // lists (the sibling test pins the heaps + no corpus product)
+      "d_rrf_hybrid" -> "rank fusion over two bounded top-N lists"
+    )
+    val offending = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalize AQE for THIS execution
+      val gw = globalWindows(df.queryExecution.executedPlan)
+      if (gw.nonEmpty && !whitelist.contains(name)) Some(s"$name: ${gw.mkString(",")}")
+      else None
+    }
+    assert(offending.isEmpty,
+      "unwhitelisted global-partition windows (single-task sort at scale):\n" +
+        offending.mkString("\n"))
+    // detector sanity: a deliberately corpus-global window IS caught
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.row_number
+    val bad = Tables(spark, sf).lineitem
+      .withColumn("rn", row_number().over(W.orderBy("l_orderkey")))
+    bad.collect()
+    assert(globalWindows(bad.queryExecution.executedPlan).nonEmpty,
+      "detector failed to flag a global row_number over the corpus")
+  }
 }
