@@ -26,26 +26,61 @@ import graft.operators.Similarity
   * for the trade curve.
   *
   * `factor > 1` builds a STRUCTURED blow-up first: base vectors
-  * replicated with small deterministic jitter (±0.02/dim) — dense
-  * clusters, the geometry IVF presupposes. This is deliberately NOT
-  * ScaleCheck's replica construction: its strong zero-mean noise
-  * makes every distinct pair noise-dominated (cos ≈ 0, built that
-  * way so dedup ops see no planted cliques), i.e. a corpus with NO
-  * exploitable cluster structure — running this drive on such a dir
-  * measures IVF's degenerate-geometry bound (fractional probing of
-  * structureless space loses by construction; measured: 3,277 false
-  * partners at nProbe=16 on /tmp/blow64), not the mining claim. The
-  * zero-false assertion therefore applies to table dirs and
-  * structured blow-ups; set GRAFT_MDRIFT_REPORT_ONLY=1 to measure a
-  * structureless corpus without failing.
+  * replicated with deterministic per-(replica, dim) jitter. The
+  * JITTER AMPLITUDE is the cluster-separation knob — the geometry
+  * interpolates between the drive's two adversarial regimes and the
+  * healthy one deployments actually run:
+  *
+  *  - ±0.02/dim (default): replicas of one base form a near-tie
+  *    cluster — every probe's top-2 targets nearly tie (the §16.5
+  *    tie-field; low_headroom fires). Margin flips here are
+  *    threshold noise, not wrong partners.
+  *  - ±0.2/dim and up: replicas decorrelate into their OWN separated
+  *    directions around the base family — each probe has a UNIQUE
+  *    best target with real margin headroom while the corpus (and
+  *    the fitted cell count) still scales with the factor. This is
+  *    the cells ≫ nProbe fractional-probing regime; the drive prints
+  *    the fitted cell count and the nProbe/cells fraction.
+  *
+  * This is deliberately NOT ScaleCheck's replica construction: its
+  * strong zero-mean noise makes every distinct pair noise-dominated
+  * (cos ≈ 0, built that way so dedup ops see no planted cliques),
+  * i.e. a corpus with NO exploitable cluster structure — running
+  * this drive on such a dir measures IVF's degenerate-geometry bound
+  * (fractional probing of structureless space loses by construction;
+  * measured: 3,277 false partners at nProbe=16 on /tmp/blow64), not
+  * the mining claim. The zero-false assertion therefore applies to
+  * table dirs and structured blow-ups; set GRAFT_MDRIFT_REPORT_ONLY=1
+  * to measure a structureless corpus without failing.
+  *
+  * `plant=1` (5th arg, needs factor > 1) switches to the
+  * PLANTED-PARTNER regime — the healthy deployment geometry the other
+  * two modes can't produce: ANY replica-family construction makes a
+  * probe's top-2 targets near-ties (family members are roughly
+  * equidistant — measured at jitter 0.2/64×: p50 headroom 0.036,
+  * 2,568 false partners at nProbe=16, ALL of them family-internal
+  * re-rankings), because unique-best geometry needs the true match to
+  * be structurally closer than everything else. That is the bitext
+  * premise itself: a true translation pair IS much closer than the
+  * rest of the corpus. So: probes are rep-0 vectors of every 10th
+  * base, their rep-1 family member keeps a near-duplicate jitter
+  * (jitter/10 — the planted partner), all other members spread at
+  * full jitter, and targets are ALL rep ≥ 1 vectors. The corpus (and
+  * fitted cell count) scales with factor while every probe has one
+  * distinctly-best partner — cells ≫ nProbe with real margin
+  * headroom, the regime the §16.5 watch item left unevidenced.
   *
   * Usage: MarginDriftCheck <tableDir> [shift=0.25] [factor=1]
+  *          [jitter=0.02] [plant=0]
   */
 object MarginDriftCheck {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val shift = args.lift(1).map(_.toDouble).getOrElse(0.25)
     val factor = args.lift(2).map(_.toInt).getOrElse(1)
+    val jitter = args.lift(3).map(_.toDouble).getOrElse(0.02)
+    val plant = args.lift(4).contains("1")
+    require(!plant || factor > 1, "plant mode needs a blow-up factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-margin-drift")
     if (factor > 4)
@@ -59,13 +94,23 @@ object MarginDriftCheck {
       if (factor <= 1) base
       else {
         val reps = spark.range(0, factor.toLong).select(col("id").as("rep"))
+        // plant mode: probe bases' rep-1 member keeps near-duplicate
+        // jitter — the planted distinctly-best partner; everyone else
+        // spreads at full jitter
+        val amp =
+          if (!plant) lit((jitter / 20.0).toFloat)
+          else when(col("vec_id") % 10 === 0 && col("rep") === 1,
+            lit((jitter / 200.0).toFloat))
+            .otherwise(lit((jitter / 20.0).toFloat))
         base.crossJoin(reps).select(
           (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
           transform(col("embedding"), (x, i) =>
             x + (pmod(hash(col("vec_id"), col("rep"), i), lit(41)) - lit(20))
-              .cast("float") * lit(0.001f)).as("embedding"))
+              .cast("float") * amp).as("embedding"))
       }
-    val probes = emb.filter(col("vec_id") % 10 === 0)
+    val probes = emb.filter(
+        if (plant) col("vec_id") < 10000000L && col("vec_id") % 10 === 0
+        else col("vec_id") % 10 === 0)
       .select((col("vec_id") + ProbeBase).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           x + when(i % 2 === 1, lit(shift.toFloat)).otherwise(lit(0f)))
@@ -74,14 +119,20 @@ object MarginDriftCheck {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAll = frame.count()
     val probeF = col("vec_id") >= ProbeBase
-    val targetF = col("vec_id") < ProbeBase && col("vec_id") % 2 === 1
+    val targetF =
+      if (plant) col("vec_id") < ProbeBase && col("vec_id") >= 10000000L
+      else col("vec_id") < ProbeBase && col("vec_id") % 2 === 1
 
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft-margin-drift").toString
     val t0 = System.nanoTime()
     graft.sources.IvfIndex.build(frame.filter(targetF), idxDir)
-    println(f"[mdrift] $nAll rows (shift=$shift), corpus-only index" +
-      f" built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val nCells = spark.read.parquet(s"$idxDir/codes.parquet")
+      .select("cell").distinct().count()
+    println(f"[mdrift] $nAll rows (shift=$shift, jitter=$jitter," +
+      f" plant=$plant), corpus-only index built in" +
+      f" ${(System.nanoTime() - t0) / 1e9}%.1f s; $nCells cells fitted" +
+      f" (nProbe=16 probes ${16.0 / nCells}%.3f of cells)")
 
     val exact = Similarity.marginAlign(frame, probeF, targetF)
       .select("probe_id", "match_id").collect()
@@ -121,6 +172,17 @@ object MarginDriftCheck {
       // threshold flips (the 64-way-replica-clique geometry), not
       // confidently-wrong partners — a deployment raising marginMin
       // prunes them; confidently-false margins are the bad class
+      // false-partner CLASS split (factor mode): a false emit whose
+      // match shares the probe's replica FAMILY is a near-tie sibling
+      // swap (the margin criterion's own noise band — harmless to a
+      // mined training set); a CROSS-family match is the
+      // confidently-wrong class the precision claim is about
+      if (factor > 1 && falsePairs.nonEmpty) {
+        val crossFamily = falsePairs.count { case (p, m, _) =>
+          m % 10000000L != (p - ProbeBase) % 10000000L }
+        println(f"[mdrift]    false-pair classes: cross-family" +
+          f" $crossFamily%4d, same-family sibling ${falsePairs.length - crossFamily}%4d")
+      }
       if (falsePairs.nonEmpty) {
         val fm = falsePairs.map(_._3).sorted
         val tm = ivf.filter { case (p, m, _) => exact.get(p).contains(m) }
