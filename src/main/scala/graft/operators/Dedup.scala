@@ -349,9 +349,20 @@ object Dedup {
     val sigCols =
       if (fatCache) Seq("doc_id", "shingles", "buckets")
       else Seq("doc_id", "buckets")
-    val signed = minhashSignature(docs, textCol, idCol)
+    // A/B hook (§12e churn question): -Dgraft.minhash.persistSlim=false
+    // skips the slim persist entirely — the count() and the candgen
+    // pass then each run their own signature scan (two linear passes,
+    // no cache write/read, no ledger registration/eviction churn).
+    // Pair-set parity with the persisted path is spec-pinned; the
+    // octave A/B result is recorded in SURVEY §17.
+    val persistSlim =
+      sys.props.get("graft.minhash.persistSlim").forall(_.toBoolean)
+    val signed0 = minhashSignature(docs, textCol, idCol)
       .select(sigCols.head, sigCols.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val signed =
+      if (fatCache || persistSlim)
+        signed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else signed0
     val corpusRows = signed.count()
     // band on ids only — the shingle arrays must NOT ride the band
     // shuffle (16× duplication of the heaviest column); they are
@@ -445,7 +456,9 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCandDocs = candDocs.count()
-    retireMinhashCaches(Seq(signed, cands, candDocs))
+    retireMinhashCaches(
+      (if (fatCache || persistSlim) Seq(signed) else Nil) ++
+        Seq(cands, candDocs))
     val shp = sh.join(candDocs, Seq("doc_id"), "left_semi")
     cands.hint("shuffle_hash")
       .join(shp.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),

@@ -2180,6 +2180,28 @@ object LlmOps {
         .orderBy("probe_id")
     })
 
+  /** Escalated margin mining (#91 deployment loop, §17.7): the IVF
+    * miner at HALF the default probe width with headroom-aware
+    * escalation back to the full width — emitted pairs inside the
+    * low-headroom band (the threshold-flip class a missed cell can
+    * flip) re-mine at nProbe=16 and the wide verdict replaces
+    * theirs. Rows-only (IVF recall < 1); the flag-band mechanics,
+    * the exact-pair recovery, and the unflagged-passthrough are all
+    * spec-pinned (LlmOpsSpec), the trade curve measured in
+    * MarginDriftCheck (§17.7).
+    */
+  private val marginAlignEscQ = GraftQuery(
+    "d_margin_align_esc",
+    None,
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
+      Similarity.marginAlignIvf(emb, col("vec_id") % 10 === 0,
+          col("vec_id") % 2 === 1, idx, marginMin = 1.02,
+          nProbe = 8, escalateNProbe = 16)
+        .orderBy("probe_id")
+    })
+
   /** Compression-ratio quality signal (#87): deflate length over raw
     * UTF-8 length — templated/repetitive docs compress far below
     * natural text (the whole-document complement to d_repetition's
@@ -2451,7 +2473,8 @@ object LlmOps {
 
   val queries: Seq[GraftQuery] = Seq(
     fimQ, hardNegativesQ, hardNegativesIvfQ, compressRatioQ, marginAlignQ,
-    marginAlignIvfQ, semanticDecontamQ, corpusDriftQ, curationLedgerQ,
+    marginAlignIvfQ, marginAlignEscQ, semanticDecontamQ, corpusDriftQ,
+    curationLedgerQ,
     softDedupQ,
     clusterTopicsQ,
     exactDedup, minhashLsh, simhashQ, ngramJaccard,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
@@ -231,28 +231,82 @@ object Similarity {
     * emit the exact pair, and exhaustive probing recovers the exact
     * miner row-for-row, margins included.
     */
+  /** `escalateNProbe > nProbe` turns on HEADROOM-AWARE PROBE
+    * ESCALATION (the §17.3 deployment loop): emitted pairs whose
+    * margin sits inside the low-headroom band
+    * (< marginMin + `escalateEps`, default [[MarginHeadroomEps]])
+    * are exactly the
+    * threshold-flip class the drift drive measured — near-tie
+    * re-rankings a missed cell can flip — so ONLY those probes
+    * re-mine at the wider `escalateNProbe`, and the wider verdict
+    * replaces theirs (confirm with real headroom, flip to the true
+    * partner, or drop — all three raise emitted-set precision). The
+    * escalated fraction bounds the extra cost: escFrac × (esc/base)
+    * of one probe pass, vs 2× for running everything wide.
+    * Deliberately precision-directed: probes that emitted NOTHING
+    * stay unmined (in a CCMatrix-sized pool the non-emitting
+    * majority would cost a full second pass), and a confidently-
+    * wrong partner with a HEALTHY margin is not flagged — that class
+    * is what the op's default probe width is for (MarginDriftCheck:
+    * cross-family falses only appear below nProbe=16). Off (0) by
+    * default — registered results unchanged.
+    */
   def marginAlignIvf(emb: DataFrame, probeFilter: Column,
       targetFilter: Column, indexDir: String, marginMin: Double = 1.02,
-      nProbe: Int = 16, m: Int = 32, withStats: Boolean = false): DataFrame = {
+      nProbe: Int = 16, m: Int = 32, withStats: Boolean = false,
+      escalateNProbe: Int = 0,
+      escalateEps: Double = MarginHeadroomEps): DataFrame = {
     val spark = emb.sparkSession
-    val candPairs = graft.sources.IvfIndex.topK(spark, indexDir,
-        emb.filter(probeFilter), k = m, nProbe = nProbe)
-      .select(col("probe_id"), col("neighbor_id"))
     val targets = emb.filter(targetFilter)
       .select(col("vec_id"), col("embedding"),
         VectorFns.norm(col("embedding")).as("nrm"))
-    val pframe = emb.filter(probeFilter)
+    val probes = emb.filter(probeFilter)
+    val base = marginFromTop2(
+      ivfMarginScores(spark, probes, targets, indexDir, nProbe, m), marginMin)
+    if (escalateNProbe <= nProbe) {
+      if (withStats) attachHeadroomStats(base, marginMin) else base
+    } else {
+      // the base verdict is read twice (flag split + union) and feeds
+      // the escalated probe semi join — checkpoint, not persist: the
+      // emitted set is probe-bounded, and a persisted plan would
+      // canonicalize across index rebuilds (the IvfIndex.topK rule)
+      val b = base.localCheckpoint()
+      val flagged = b
+        .filter(col("margin") < lit(marginMin + escalateEps))
+        .select(col("probe_id"))
+      val escProbes = probes.join(
+        flagged.withColumnRenamed("probe_id", "vec_id"),
+        Seq("vec_id"), "left_semi")
+      val esc = marginFromTop2(
+        ivfMarginScores(spark, escProbes, targets, indexDir,
+          escalateNProbe, m), marginMin)
+      val out = b.join(flagged, Seq("probe_id"), "left_anti").unionAll(esc)
+      if (withStats) attachHeadroomStats(out, marginMin) else out
+    }
+  }
+
+  /** Shared IVF candidate-scoring pipeline of [[marginAlignIvf]]'s
+    * base and escalated passes: index candidates for the given probe
+    * FRAME, re-joined to the target frame once (shuffle_hash build —
+    * the bounded-side rule) to drop non-targets and recover exact
+    * grid scores on the same total order as the exact miner.
+    */
+  private def ivfMarginScores(spark: SparkSession, probes: DataFrame,
+      targets: DataFrame, indexDir: String, nProbe: Int, m: Int): DataFrame = {
+    val candPairs = graft.sources.IvfIndex.topK(spark, indexDir,
+        probes, k = m, nProbe = nProbe)
+      .select(col("probe_id"), col("neighbor_id"))
+    val pframe = probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
         VectorFns.norm(col("embedding")).as("nrm_p"))
     val withNbr = targets.join(candPairs.hint("shuffle_hash"),
         targets("vec_id") === candPairs("neighbor_id"))
       .select(col("probe_id"), col("vec_id"), col("embedding"), col("nrm"))
-    val scored = withNbr.join(pframe.hint("shuffle_hash"), Seq("probe_id"))
+    withNbr.join(pframe.hint("shuffle_hash"), Seq("probe_id"))
       .select(col("probe_id"),
         gridKey(VectorFns.dot(col("emb_p"), col("embedding"))
           / (col("nrm_p") * col("nrm"))).cast("double").as("grid"),
         col("vec_id"))
-    marginFromTop2(scored, marginMin, withStats)
   }
 
   /** Low-headroom epsilon for [[marginAlign]]'s companion stats: the
@@ -297,22 +351,28 @@ object Similarity {
       .select(col("probe_id"), col("match_id"),
         (col("g1") / 1e6).as("cos6"),
         (col("g1") / col("g2")).as("margin"))
-    if (!withStats) mined
-    else {
-      // sketched percentiles, not exact: the emitted set is ≤ one row
-      // per probe, but the CCMatrix regime runs corpus-sized probe
-      // pools and exact percentile buffers EVERY value in one
-      // single-group aggregation buffer — approx_percentile's bounded
-      // mergeable sketch holds at any scale, and a 1e-4 rank error is
-      // noise against the 0.05 epsilon gap
-      val stats = mined.agg(
-          expr("approx_percentile(margin, 0.5, 10000)").as("margin_p50"),
-          expr("approx_percentile(margin, 0.9, 10000)").as("margin_p90"))
-        .select(col("margin_p50"), col("margin_p90"),
-          (col("margin_p50") - lit(marginMin) <
-            lit(MarginHeadroomEps)).as("low_headroom"))
-      mined.crossJoin(broadcast(stats))
-    }
+    if (!withStats) mined else attachHeadroomStats(mined, marginMin)
+  }
+
+  /** The `withStats` companion attach, shared by the direct and the
+    * escalated miners (the latter attaches over the POST-escalation
+    * emitted set — the population the deployment trains on).
+    * Sketched percentiles, not exact: the emitted set is ≤ one row
+    * per probe, but the CCMatrix regime runs corpus-sized probe
+    * pools and exact percentile buffers EVERY value in one
+    * single-group aggregation buffer — approx_percentile's bounded
+    * mergeable sketch holds at any scale, and a 1e-4 rank error is
+    * noise against the 0.05 epsilon gap.
+    */
+  private def attachHeadroomStats(mined: DataFrame,
+      marginMin: Double): DataFrame = {
+    val stats = mined.agg(
+        expr("approx_percentile(margin, 0.5, 10000)").as("margin_p50"),
+        expr("approx_percentile(margin, 0.9, 10000)").as("margin_p90"))
+      .select(col("margin_p50"), col("margin_p90"),
+        (col("margin_p50") - lit(marginMin) <
+          lit(MarginHeadroomEps)).as("low_headroom"))
+    mined.crossJoin(broadcast(stats))
   }
 
   /** Many-probe scale path for [[hardNegatives]]: candidates come

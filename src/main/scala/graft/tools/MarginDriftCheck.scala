@@ -198,6 +198,35 @@ object MarginDriftCheck {
       }
       falsePairs.take(3).foreach { case (p, m, _) => println(
         s"[mdrift]    false: probe $p -> $m (exact: ${exact.get(p)})") }
+      // headroom-aware escalation A/B (the §12e loop): the same
+      // narrow probe with low-headroom emits re-mined at the op's
+      // full width — reports what the escalated pass recovers and
+      // what fraction of probes paid the wide re-probe
+      if (nProbe < 16) {
+        val t2 = System.nanoTime()
+        val esc = Similarity.marginAlignIvf(frame, probeF, targetF, idxDir,
+            nProbe = nProbe, escalateNProbe = 16)
+          .select("probe_id", "match_id", "margin").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val escFalse = esc.filterNot { case (p, m, _) =>
+          exact.get(p).contains(m) }
+        val escRecall =
+          if (exact.isEmpty) 1.0
+          else esc.count { case (p, m, _) =>
+            exact.get(p).contains(m) }.toDouble / exact.size
+        val flaggedN = ivf.count(
+          _._3 < 1.02 + Similarity.MarginHeadroomEps)
+        val crossEsc =
+          if (factor > 1) escFalse.count { case (p, m, _) =>
+            m % 10000000L != (p - ProbeBase) % 10000000L }
+          else 0
+        println(f"[mdrift]    esc16: emitted ${esc.length}%5d," +
+          f" false ${escFalse.length}%4d" +
+          (if (factor > 1) f" (cross-family $crossEsc)" else "") +
+          f", recall $escRecall%.4f," +
+          f" escalated $flaggedN/${ivf.length} emits," +
+          f" ${(System.nanoTime() - t2) / 1e9}%.1f s")
+      }
       Console.flush()
     }
     if (sys.env.get("GRAFT_MDRIFT_REPORT_ONLY").contains("1"))

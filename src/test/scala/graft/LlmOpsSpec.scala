@@ -34,6 +34,18 @@ class LlmOpsSpec extends SparkSpec {
     } finally sys.props.remove("graft.minhash.fatCache")
     assert(fat.nonEmpty && fat == slim,
       s"fat ${fat.size} pairs vs slim ${slim.size}")
+    // the §12e churn hook: slim WITHOUT the persist (each consumer
+    // re-runs the signature scan) is also physical-only
+    val unpersisted = try {
+      sys.props("graft.minhash.fatCache") = "false"
+      sys.props("graft.minhash.persistSlim") = "false"
+      run()
+    } finally {
+      sys.props.remove("graft.minhash.fatCache")
+      sys.props.remove("graft.minhash.persistSlim")
+    }
+    assert(fat == unpersisted,
+      s"fat ${fat.size} pairs vs unpersisted-slim ${unpersisted.size}")
   }
 
   test("prefix-jaccard bucket cap cuts a planted boilerplate family whole, keeps the rest") {
@@ -690,6 +702,105 @@ class LlmOpsSpec extends SparkSpec {
         nProbe = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(wide.toSeq == exact.toSeq, s"wide=${wide.toSeq} exact=${exact.toSeq}")
+  }
+
+  test("ivf margin escalation: flagged near-tie partner re-probed wide, exact pair recovered") {
+    // the escalation premise: a narrow probe that misses the true
+    // best across the cell bisector emits an IN-CELL decoy pair —
+    // and when the decoy's own runner-up near-ties it (cos .50 vs
+    // .49 → margin ≈ 1.0204, inside the low-headroom band), the
+    // emitted pair is flagged and ONLY that probe re-mines at the
+    // escalated width, flipping to the exact partner (the hub-miss
+    // fixture above with the decoys squeezed into the flag band).
+    import spark.implicits._
+    def v(x: Double, y: Double, z: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat, 0f)
+    // probe tilted toward the A/B bisector (still nearest cell A);
+    // decoys are ORDINARY x-cluster members whose cosines to the
+    // probe near-tie (margin ≈ 1.037 — inside the default flag
+    // band); the true best sits in cell B at cos .995
+    val rows =
+      Seq((1000L, v(0.8, 0.6, 0))) ++                          // probe, cell A side
+      Seq((1L, v(1, 0.02, 0)), (3L, v(1, -0.02, 0))) ++        // near-tie decoys, cell A
+      (2L to 20L by 2).map(i => (i, v(1, 0.005 * i, 0))) ++    // A fillers (non-target)
+      (101L to 119L by 2).map(i => (i, v(0.005 * (i - 101), 1, 0))) ++ // B fillers
+      Seq((999L, v(0.67, 0.74, 0)))                            // true best: cell B
+    val emb = rows.map { case (id, a) => (id, a, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val probeF = col("vec_id") === 1000L
+    val targetF = col("vec_id") % 2 === 1 && col("vec_id") =!= 1000L
+    val exact = Similarity.marginAlign(emb, probeF, targetF)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(exact.length == 1 && exact.head._2 == 999L, exact.toSeq.toString)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ma-esc").toString
+    graft.sources.IvfIndex.build(emb, dir, nCells = 2)
+    val cellOf = spark.read.parquet(s"$dir/codes.parquet")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf(1000L) != cellOf(999L) && cellOf(1000L) == cellOf(1L)
+        && cellOf(1000L) == cellOf(3L),
+      s"planted geometry must put decoys with the probe, best across: $cellOf")
+    // narrow base: the probe emits the near-tie decoy, margin inside
+    // the low-headroom band — the flaggable false class
+    val narrow = Similarity.marginAlignIvf(emb, probeF, targetF, dir,
+        nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(narrow.exists(d => d._1 == 1000L && d._2 == 1L &&
+        d._4 >= 1.02 && d._4 < 1.02 + Similarity.MarginHeadroomEps),
+      s"narrow probe must emit a flagged decoy pair: ${narrow.toSeq}")
+    // escalated: the flagged probe re-mines at nProbe=2 (exhaustive)
+    // and recovers the exact pair, margins included
+    val esc = Similarity.marginAlignIvf(emb, probeF, targetF, dir,
+        nProbe = 1, escalateNProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(esc.toSeq == exact.toSeq, s"esc=${esc.toSeq} exact=${exact.toSeq}")
+    // the OTHER side of the band: with an epsilon below the decoy
+    // pair's headroom nothing is flagged, so escalation must leave
+    // the narrow verdict byte-identical (touch only the band)
+    val noEsc = Similarity.marginAlignIvf(emb, probeF, targetF, dir,
+        nProbe = 1, escalateNProbe = 2, escalateEps = 0.005).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(noEsc.toSeq == narrow.toSeq,
+      s"below-band escalation must be a no-op: ${noEsc.toSeq} vs ${narrow.toSeq}")
+    // withStats composes over the POST-escalation set: constant
+    // companion columns, healthy after the flip
+    val st = Similarity.marginAlignIvf(emb, probeF, targetF, dir,
+        nProbe = 1, escalateNProbe = 2, withStats = true)
+      .select("margin_p50", "margin_p90", "low_headroom").collect()
+    assert(st.length == 1 && !st.head.getBoolean(2),
+      s"post-escalation population must not flag low headroom: ${st.toSeq}")
+  }
+
+  test("ivf margin escalation: unflagged pairs ride through byte-identical at corpus scale") {
+    // escalation only re-probes the low-headroom band: every base
+    // pair with healthy margin must appear in the escalated output
+    // verbatim (those probes never pay the wide re-probe), and the
+    // escalated set keeps the op's emit invariants
+    val emb = Tables(spark, sf).embeddings
+    val probeF = col("vec_id") % 10 === 0
+    val targetF = col("vec_id") % 2 === 1
+    val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$sf#embeddings-maesc")
+    val base = Similarity.marginAlignIvf(emb, probeF, targetF, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val esc = Similarity.marginAlignIvf(emb, probeF, targetF, idx,
+        escalateNProbe = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(base.nonEmpty)
+    val escByProbe = esc.map(r => r._1 -> r).toMap
+    val healthy = base.filter(_._4 >= 1.02 + Similarity.MarginHeadroomEps)
+    assert(healthy.nonEmpty, "fixture should mine some healthy-margin pairs")
+    healthy.foreach { b =>
+      assert(escByProbe.get(b._1).contains(b),
+        s"healthy pair $b changed under escalation: ${escByProbe.get(b._1)}")
+    }
+    esc.foreach { r =>
+      assert(r._2 % 2 == 1, s"non-target match: $r")
+      assert(r._4 >= 1.02, s"margin floor: $r")
+    }
   }
 
   test("family keep: one best-quality representative per family, singletons kept") {
