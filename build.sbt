@@ -31,3 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dderby.system.home=/tmp/graft_derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// forward graft.* sys-props from the sbt JVM to forked run/test JVMs
+// (A/B hooks like -Dgraft.minhash.persistSlim=false on the CLI)
+javaOptions ++= sys.props.toSeq.collect {
+  case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
+}

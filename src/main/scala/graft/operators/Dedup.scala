@@ -353,8 +353,11 @@ object Dedup {
     // skips the slim persist entirely — the count() and the candgen
     // pass then each run their own signature scan (two linear passes,
     // no cache write/read, no ledger registration/eviction churn).
-    // Pair-set parity with the persisted path is spec-pinned; the
-    // octave A/B result is recorded in SURVEY §17.
+    // Pair-set parity with the persisted path is spec-pinned.
+    // A/B at 4096lin (SURVEY §17.9): skipping LOST, 486.0 s vs
+    // 330.9 s — the banding exchange recomputes the 64-perm
+    // signature inside its shuffle write, dwarfing the saved cache
+    // churn. Default stays persist-on even past the eviction knee.
     val persistSlim =
       sys.props.get("graft.minhash.persistSlim").forall(_.toBoolean)
     val signed0 = minhashSignature(docs, textCol, idCol)

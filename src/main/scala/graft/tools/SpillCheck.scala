@@ -42,10 +42,15 @@ object SpillCheck {
     val parts = args.lift(1).getOrElse("512")
     // 2 executors × 4 cores × 4.5 GB — per-executor memory well under
     // the single-JVM 8 GB octave runs, so the same octave spills at
-    // least as hard here; the question is WHERE the bytes land
+    // least as hard here; the question is WHERE the bytes land.
+    // spark.executor.memory must be set EXPLICITLY: local-cluster's
+    // third parameter is the WORKER's capacity, and executors default
+    // to 1 GB inside it (measured: 2048lin tasks OOM'd the 1 GB
+    // default and the app died after 61 relaunches)
     val spark = graft.GraftSession.tune(SparkSession.builder()
         .master("local-cluster[2,4,4608]")
         .appName("graft-spill-check")
+        .config("spark.executor.memory", "4g")
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.extraJavaOptions", AddOpens)

@@ -801,6 +801,18 @@ class LlmOpsSpec extends SparkSpec {
       assert(r._2 % 2 == 1, s"non-target match: $r")
       assert(r._4 >= 1.02, s"margin floor: $r")
     }
+    // the registered d_margin_align_esc shape (half-width base +
+    // escalation) must hold the same recall floor as the full-width
+    // miner's agreement gate — measured 0.93 at sf0.01 (vs 1.00 for
+    // flat nProbe=16 at ~2x the probe cost)
+    val exact = Similarity.marginAlign(emb, probeF, targetF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val escHalf = Similarity.marginAlignIvf(emb, probeF, targetF, idx,
+        nProbe = 8, escalateNProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & escHalf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"escalated recall $recall over ${exact.size}")
   }
 
   test("family keep: one best-quality representative per family, singletons kept") {
