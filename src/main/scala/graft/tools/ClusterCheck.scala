@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
   *   3. The kill-run component labels hash-match the clean run —
   *      executor loss must not change a single label.
   *
-  * Usage: ClusterCheck <blowUpDir>   (needs SPARK_HOME for the
-  * standalone worker launcher; executor JVMs get this driver's
-  * classpath + the JDK17 add-opens).
+  * Usage: ClusterCheck <blowUpDir> [core [execMemMB]]   (needs
+  * SPARK_HOME for the standalone worker launcher; executor JVMs get
+  * this driver's classpath + the JDK17 add-opens). `core` runs only
+  * the headline resilience drive — d_dedup_corpus clean + executor
+  * kill + label-checksum equality — with 4 GB executors by default,
+  * so the kill claim can be driven at octaves whose tasks OOM the
+  * full battery's 1 GB default (local-cluster's bracket parameter
+  * is WORKER capacity; executors default to 1 GB inside it — the
+  * SpillCheck lesson). SPARK_GRAFT_PARTITIONS scales the shuffle to
+  * the blow-up factor (factor/4, the ScaleCheck rule).
   */
 object ClusterCheck {
 
@@ -36,12 +43,17 @@ object ClusterCheck {
     .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ClusterCheck <blowUpDir>")
+    require(args.nonEmpty, "usage: ClusterCheck <blowUpDir> [core [execMemMB]]")
     val dir = args(0)
+    val core = args.lift(1).contains("core")
+    val execMb = args.lift(2).map(_.toInt).getOrElse(if (core) 4096 else 1024)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", "32")
+    val workerMb = if (core) execMb + 512 else 3072
     val spark = graft.GraftSession.tune(SparkSession.builder()
-        .master("local-cluster[2,4,3072]")
+        .master(s"local-cluster[2,4,$workerMb]")
         .appName("graft-cluster-check")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.executor.memory", s"${execMb}m")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.extraJavaOptions", AddOpens)
         .config("spark.ui.enabled", "false")
@@ -87,6 +99,7 @@ object ClusterCheck {
       checksum(graft.operators.DedupPipeline.componentsOf(t.documents))
     }
     println(s"[cluster] clean labels checksum: $cleanLabels")
+    if (!core) {
     time("d_minhash_lsh") {
       graft.SparkEntry.queries("d_minhash_lsh")(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -180,6 +193,7 @@ object ClusterCheck {
           s"$q must be reproducible across cluster runs: $c1 vs $c2")
         println(s"[cluster] $q checksum stable across runs: $c1")
       }
+    }
 
     // ---- 2+3: kill an executor mid-CC-loop, labels must match --
     val killer = new Thread(() => {
