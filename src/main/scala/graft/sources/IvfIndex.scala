@@ -151,9 +151,18 @@ object IvfIndex {
 
   /** Top-k neighbors for a probe frame ((vec_id, embedding) or any
     * frame with those columns) against a built index.
+    *
+    * `excludeNProbe > 0` scans only the cells a PRIOR `nProbe =
+    * excludeNProbe` probe of the same index did NOT cover — the
+    * incremental-escalation form (marginAlignIvf's §17.7 loop): the
+    * caller unions these new-cell candidates with the base pass's
+    * instead of paying a fresh full-width scan. The exclusion
+    * replays the base selection exactly (its own nSuper coarse
+    * level), so base ∪ incremental covers a SUPERSET of the
+    * fresh-wide selection's cells.
     */
   def topK(spark: SparkSession, dir: String, probeEmb: DataFrame,
-      k: Int, nProbe: Int = 4): DataFrame = {
+      k: Int, nProbe: Int = 4, excludeNProbe: Int = 0): DataFrame = {
     // eager localCheckpoint, NOT persist+count: a persisted result's
     // plan canonicalizes equal across index REBUILDS, so a later
     // probe of a rebuilt index would be silently substituted with the
@@ -161,7 +170,8 @@ object IvfIndex {
     // build's file names — measured as FAILED_READ_FILE in
     // IvfIndexSpec). Checkpointing truncates the lineage so the
     // returned frame holds materialized rows, not file references.
-    val (out, probeCells) = topKPlan(spark, dir, probeEmb, k, nProbe)
+    val (out, probeCells) =
+      topKPlan(spark, dir, probeEmb, k, nProbe, excludeNProbe)
     val r = out.localCheckpoint()
     probeCells.unpersist()
     r
@@ -174,7 +184,8 @@ object IvfIndex {
     * after materializing the former.
     */
   private[graft] def topKPlan(spark: SparkSession, dir: String,
-      probeEmb: DataFrame, k: Int, nProbe: Int): (DataFrame, DataFrame) = {
+      probeEmb: DataFrame, k: Int, nProbe: Int,
+      excludeNProbe: Int = 0): (DataFrame, DataFrame) = {
     val probes = probeEmb.select(col("vec_id").as("probe_id"),
       col("embedding").as("emb_p"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm_p"))
@@ -182,12 +193,25 @@ object IvfIndex {
     // table collected cell-ordered, so selection (and thus results)
     // stay bit-identical between index-then-probe and the
     // self-contained op (spec-asserted)
+    val cents = readCentroids(spark, dir)
+    // incremental form: wide selection MINUS the base selection
+    // (array_except, left order kept). The base is replayed with its
+    // own nProbe-derived coarse level rather than prefix-sliced off
+    // the wide ranking — past 256 cells the two selections prune
+    // different super-cells, so a slice could both re-scan covered
+    // cells and miss newly-reachable ones
+    val cellsOf =
+      if (excludeNProbe <= 0)
+        graft.operators.Similarity.cellSelect(col("emb_p"), cents, nProbe)
+      else array_except(
+        graft.operators.Similarity.cellSelect(col("emb_p"), cents, nProbe),
+        graft.operators.Similarity.cellSelect(col("emb_p"), cents,
+          excludeNProbe))
     val probeCells = probes.select(col("probe_id"),
         graft.plans.native.sq8Code(col("emb_p")).as("code_p"),
         graft.plans.native.sq8Scale(col("emb_p")).as("qs_p"),
         col("nrm_p"),
-        explode(graft.operators.Similarity.cellSelect(col("emb_p"),
-          readCentroids(spark, dir), nProbe)).as("cell"))
+        explode(cellsOf).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the distinct probed-cell set: bounded by the index CELL COUNT
     // (≤ maxCells), so collecting it is a constant-size driver fetch
