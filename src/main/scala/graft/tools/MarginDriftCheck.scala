@@ -90,7 +90,14 @@ object MarginDriftCheck {
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(cpus, factor / 4).toString)
 
-    val ProbeBase = 1000000000L
+    // probe ids live ABOVE every possible replica id (vec_id +
+    // rep·1e7): at 1e9 the encoding broke for factor > 100 —
+    // replicas 100+ classified as probes (measured at 128×: the
+    // "exact" miner saw 32,350 probes instead of 200) — so the base
+    // sits at 1e12 with the floor asserted
+    val ProbeBase = 1000000000000L
+    require(factor.toLong * 10000000L + 10000000L < ProbeBase,
+      s"factor $factor overflows the replica id space under ProbeBase")
     val base = graft.Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
     val emb =
@@ -118,7 +125,14 @@ object MarginDriftCheck {
         transform(col("embedding"), (x, i) =>
           x + when(i % 2 === 1, lit(shift.toFloat)).otherwise(lit(0f)))
           .as("embedding"))
+    // repartition before the persist: the blow-up frame descends from
+    // a broadcast crossJoin — ONE input split — and the exact oracle
+    // streams side B through a single task otherwise (measured at
+    // 128×: 51M brute-force pairs on one core, 40+ min; the
+    // ScaleCheck "real corpora have many files" rule applies to this
+    // drive's synthetic frame too)
     val frame = emb.unionAll(probes)
+      .repartition(cpus * 4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAll = frame.count()
     val probeF = col("vec_id") >= ProbeBase
