@@ -272,9 +272,18 @@ object Similarity {
       // emitted set is probe-bounded, and a persisted plan would
       // canonicalize across index rebuilds (the IvfIndex.topK rule)
       val b = base.localCheckpoint()
+      // flagged is read three times (emptiness, semi join, anti
+      // join) — checkpoint the bounded id set off the materialized
+      // base rather than re-filtering it per consumer
       val flagged = b
         .filter(col("margin") < lit(marginMin + escalateEps))
         .select(col("probe_id"))
+        .localCheckpoint()
+      // no flags → the wide verdict IS the base verdict: skip the
+      // escalated probe pass entirely (on healthy geometry the loop
+      // costs nothing beyond the flag filter)
+      if (flagged.isEmpty)
+        return if (withStats) attachHeadroomStats(b, marginMin) else b
       val escProbes = probes.join(
         flagged.withColumnRenamed("probe_id", "vec_id"),
         Seq("vec_id"), "left_semi")
