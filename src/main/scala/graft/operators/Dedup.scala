@@ -44,6 +44,21 @@ object Dedup {
   private[graft] def buildBudgetBytes(df: DataFrame): Long =
     executorMemBytes(df.sparkSession.sparkContext) / 128
 
+  /** Defensive sys-prop boolean for the A/B hooks: a typo'd value
+    * (`-Dgraft.minhash.persistSlim=off`) must not abort a whole dedup
+    * pass with a raw IllegalArgumentException — non-boolean values are
+    * ignored loudly and the default path runs (ADVICE r10).
+    */
+  private def propBool(key: String): Option[Boolean] =
+    sys.props.get(key).flatMap { v =>
+      if (v.equalsIgnoreCase("true")) Some(true)
+      else if (v.equalsIgnoreCase("false")) Some(false)
+      else {
+        System.err.println(s"[graft] ignoring non-boolean -D$key=$v")
+        None
+      }
+    }
+
   /** Per-executor heap bytes, best effort across masters. */
   private def executorMemBytes(sc: org.apache.spark.SparkContext): Long = {
     val conf = sc.getConf
@@ -344,7 +359,7 @@ object Dedup {
     // path so the slim≡fat pair-set equivalence is spec-pinned
     // (sf-scale corpora always gate fat, so the slim path would
     // otherwise only run at blow-up scale)
-    val fatCache = sys.props.get("graft.minhash.fatCache").map(_.toBoolean)
+    val fatCache = propBool("graft.minhash.fatCache")
       .getOrElse(estShingleCacheBytes(docs) < cacheBudgetBytes(docs))
     val sigCols =
       if (fatCache) Seq("doc_id", "shingles", "buckets")
@@ -358,8 +373,7 @@ object Dedup {
     // 330.9 s — the banding exchange recomputes the 64-perm
     // signature inside its shuffle write, dwarfing the saved cache
     // churn. Default stays persist-on even past the eviction knee.
-    val persistSlim =
-      sys.props.get("graft.minhash.persistSlim").forall(_.toBoolean)
+    val persistSlim = propBool("graft.minhash.persistSlim").getOrElse(true)
     val signed0 = minhashSignature(docs, textCol, idCol)
       .select(sigCols.head, sigCols.tail: _*)
     val signed =

@@ -2175,9 +2175,10 @@ object LlmOps {
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
       val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
+      // rows-only: no output sort (the round-7 rule — a global orderBy
+      // adds a range-sampling pass that re-runs the final lineage)
       Similarity.marginAlignIvf(emb, col("vec_id") % 10 === 0,
           col("vec_id") % 2 === 1, idx, marginMin = 1.02)
-        .orderBy("probe_id")
     })
 
   /** Escalated margin mining (#91 deployment loop, §17.7): the IVF
@@ -2196,10 +2197,12 @@ object LlmOps {
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
       val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
+      // rows-only: no output sort (the round-7 rule — a global orderBy
+      // adds a range-sampling pass that re-runs the post-escalation
+      // union's lineage, the priciest subtree here)
       Similarity.marginAlignIvf(emb, col("vec_id") % 10 === 0,
           col("vec_id") % 2 === 1, idx, marginMin = 1.02,
           nProbe = 8, escalateNProbe = 16)
-        .orderBy("probe_id")
     })
 
   /** Compression-ratio quality signal (#87): deflate length over raw

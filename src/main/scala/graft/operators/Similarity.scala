@@ -273,12 +273,14 @@ object Similarity {
       // canonicalize across index rebuilds (the IvfIndex.topK rule)
       val b = base.localCheckpoint()
       // flagged is read three times (emptiness, semi join, anti
-      // join) — checkpoint the bounded id set off the materialized
-      // base rather than re-filtering it per consumer
+      // join) — but b is ALREADY materialized, so each consumer's
+      // re-filter is a narrow scan of a bounded checkpointed frame;
+      // a second checkpoint here bought nothing and cost one more
+      // driver action (at sf scale the esc wall is per-job fixed
+      // cost — 57 stages for 2.5 s of summed stage time, r11 profile)
       val flagged = b
         .filter(col("margin") < lit(marginMin + escalateEps))
         .select(col("probe_id"))
-        .localCheckpoint()
       // no flags → the wide verdict IS the base verdict: skip the
       // escalated probe pass entirely (on healthy geometry the loop
       // costs nothing beyond the flag filter)

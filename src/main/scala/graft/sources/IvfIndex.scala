@@ -217,9 +217,12 @@ object IvfIndex {
     // (≤ maxCells), so collecting it is a constant-size driver fetch
     // at any probe-batch or corpus size — and it turns the codes scan
     // into a partition-directory prune (PartitionFilters, not a full
-    // scan + filter)
-    val cellSet = probeCells.select("cell").distinct()
-      .collect().map(_.getInt(0))
+    // scan + filter). Grouped with counts so the probe-path size gate
+    // below rides the SAME job — a probe pass costs one driver action,
+    // not two (the r11 job-count trim: at sf scale the margin family's
+    // wall is per-job fixed cost, not task time)
+    val cellCounts = probeCells.groupBy("cell").count().collect()
+    val cellSet = cellCounts.map(_.getInt(0))
     val codes = spark.read.parquet(s"$dir/codes.parquet")
       .filter(col("cell").isin(cellSet.map(Integer.valueOf).toSeq: _*))
     val m = k + 16 // SQ8 rank-jitter margin, as ivfTopK
@@ -233,9 +236,8 @@ object IvfIndex {
     // runs as a shuffled hash join with the probe side as build
     // (per-partition slices of the probe set, spill-free because
     // bounded per partition). Results identical either way; the
-    // probeCells count is free here (persisted + just materialized
-    // by the cellSet collect).
-    val probeBytes = probeCells.count() * ProbeCellRowBytes
+    // probe-cell row count already rode the cellSet job above.
+    val probeBytes = cellCounts.map(_.getLong(1)).sum * ProbeCellRowBytes
     // test hook (the minhash fatCache pattern): "broadcast"/"kernel"
     // pins the path so the parity spec can run both at spec scale
     val forced = sys.props.get("graft.ivf.probePath")

@@ -45,10 +45,22 @@ object ClusterCheck {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ClusterCheck <blowUpDir> [core [execMemMB]]")
     val dir = args(0)
-    val core = args.lift(1).contains("core")
+    // args(1) is a mode keyword, not free-form: a typo ("cote") or a
+    // misplaced execMemMB here used to be silently ignored while
+    // args(2) was still honored — with workerMb stuck at the full
+    // battery's default the workers could not launch the bigger
+    // executors and the app hung with zero tasks (ADVICE r10)
+    val mode = args.lift(1)
+    require(mode.forall(_ == "core"),
+      s"unknown mode '${mode.getOrElse("")}' — expected 'core' " +
+        "(usage: ClusterCheck <blowUpDir> [core [execMemMB]])")
+    val core = mode.contains("core")
     val execMb = args.lift(2).map(_.toInt).getOrElse(if (core) 4096 else 1024)
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", "32")
-    val workerMb = if (core) execMb + 512 else 3072
+    // worker capacity must cover the requested executor size in BOTH
+    // modes (local-cluster's bracket parameter is the worker's budget;
+    // an executor bigger than it never launches)
+    val workerMb = math.max(execMb + 512, 3072)
     val spark = graft.GraftSession.tune(SparkSession.builder()
         .master(s"local-cluster[2,4,$workerMb]")
         .appName("graft-cluster-check")

@@ -169,6 +169,8 @@ object MarginDriftCheck {
 
     var falseAt16 = -1L
     var crossAt16 = -1L
+    var emittedAt16 = -1L
+    var recallAt16 = -1.0
     def isCrossFamily(p: Long, m: Long): Boolean =
       m % 10000000L != (p - ProbeBase) % 10000000L
     Seq(16, 8, 4, 2).foreach { nProbe =>
@@ -187,6 +189,8 @@ object MarginDriftCheck {
         falseAt16 = falsePairs.length.toLong
         crossAt16 = falsePairs.count { case (p, m, _) =>
           isCrossFamily(p, m) }.toLong
+        emittedAt16 = ivf.length.toLong
+        recallAt16 = recall
       }
       println(f"[mdrift] nProbe=$nProbe%2d: emitted ${ivf.length}%5d," +
         f" false ${falsePairs.length}%4d, recall $recall%.4f," +
@@ -265,8 +269,22 @@ object MarginDriftCheck {
       require(crossAt16 == 0L,
         s"nProbe=16 emitted $crossAt16 cross-family partners under " +
           s"drift shift=$shift — the margin-precision setting no longer holds")
+      // secondary floors (ADVICE r10): cross-family==0 alone would
+      // still pass a regression that floods same-family sibling flips
+      // (a margin-ordering bug emitting the wrong sibling at healthy
+      // margins) or one that collapses recall. Measured healthy
+      // points: 64× plant recall 0.955 with 3/152 flips (2%); 128×
+      // coarse 0.904 with 11 flips (~4%) — the floors sit well under
+      // both while still catching an order-of-magnitude break.
+      require(recallAt16 >= 0.80,
+        f"nProbe=16 recall $recallAt16%.4f under the 0.80 floor — " +
+          "coverage collapsed even though precision held")
+      require(emittedAt16 == 0L || falseAt16.toDouble / emittedAt16 <= 0.25,
+        s"nProbe=16 same-family sibling flips $falseAt16/$emittedAt16 " +
+          "exceed 25% of emits — margin ordering itself is suspect")
       println("[mdrift] PASS: zero cross-family partners at the op's " +
-        s"nProbe=16 ($falseAt16 same-family sibling flips)")
+        s"nProbe=16 ($falseAt16 same-family sibling flips, " +
+        f"recall $recallAt16%.4f)")
     } else {
       require(falseAt16 == 0L,
         s"nProbe=16 emitted $falseAt16 false partners under drift " +

@@ -20,9 +20,11 @@ import org.apache.spark.sql.SparkSession
   * heavy stages (the single-task traps this repo profiles for), not
   * that the capacity story scales.
   *
-  * Usage: SpillCheck <blowUpDir> [shufflePartitions=512]
+  * Usage: SpillCheck <blowUpDir> [shufflePartitions=512] [executors=2]
   *   (SPARK_SCALA_VERSION=2.13 required — the local-cluster
   *   executor launcher cannot infer it from a release layout)
+  * The executors axis is the claim's own dimension: per-executor
+  * spill at a fixed octave should ≈ halve going 2 → 4.
   */
 object SpillCheck {
 
@@ -37,10 +39,12 @@ object SpillCheck {
     .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: SpillCheck <blowUpDir> [shufflePartitions]")
+    require(args.nonEmpty,
+      "usage: SpillCheck <blowUpDir> [shufflePartitions] [executors]")
     val dir = args(0)
     val parts = args.lift(1).getOrElse("512")
-    // 2 executors × 4 cores × 4.5 GB — per-executor memory well under
+    val nExec = args.lift(2).map(_.toInt).getOrElse(2)
+    // default 2 executors × 4 cores × 4.5 GB — per-executor memory well under
     // the single-JVM 8 GB octave runs, so the same octave spills at
     // least as hard here; the question is WHERE the bytes land.
     // spark.executor.memory must be set EXPLICITLY: local-cluster's
@@ -48,7 +52,7 @@ object SpillCheck {
     // to 1 GB inside it (measured: 2048lin tasks OOM'd the 1 GB
     // default and the app died after 61 relaunches)
     val spark = graft.GraftSession.tune(SparkSession.builder()
-        .master("local-cluster[2,4,4608]")
+        .master(s"local-cluster[$nExec,4,4608]")
         .appName("graft-spill-check")
         .config("spark.executor.memory", "4g")
         .config("spark.sql.shuffle.partitions", parts)
@@ -108,12 +112,23 @@ object SpillCheck {
     val totalDisk = rows.map(_._2.diskSpill).sum
     val totalShuf = rows.map(_._2.shufWrite).sum
     println(f"[spill] total diskSpill ${gb(totalDisk)} shufWrite ${gb(totalShuf)}" +
-      s" across ${rows.size} executors")
+      s" across ${rows.size} executor ids")
     if (totalDisk > 256L * 1024 * 1024) {
       val shares = rows.map(r => r._2.diskSpill.toDouble / totalDisk)
       println("[spill] disk-spill shares: " +
         shares.map(s => f"$s%.2f").mkString(", "))
-      require(rows.size >= 2 && shares.forall(_ > 0.10),
+      // relaunch-aware gate (ADVICE r10): a mid-run executor death —
+      // the exact regime this tool probes — splits one JVM slot's
+      // spill across two executor IDS, so requiring every id to carry
+      // > 10% would false-fail a healthy distribution. The failure
+      // mode the tool exists to catch is CONCENTRATION (a serialized
+      // heavy stage puts ~all spill through one executor), so the
+      // gate is an upper bound on the max share; relaunches are
+      // reported so a split-id run reads as what it is.
+      if (rows.size > nExec)
+        println(s"[spill] note: ${rows.size - nExec} executor relaunch(es)" +
+          " — one slot's spill may be split across ids")
+      require(rows.size >= 2 && shares.max <= 0.90,
         s"spill concentrated: shares=${shares.mkString(",")} — " +
           "a serialized heavy stage, not distributable capacity")
       println("[spill] PASS: material spill distributes across executors")
@@ -121,5 +136,11 @@ object SpillCheck {
       println("[spill] spill below the 256 MB floor at this octave — " +
         "re-run at a higher factor for a material measurement")
     spark.stop()
+    // the reliable-checkpoint dir holds a full CC-label frame at
+    // blow-up scale — delete it on the way out (ADVICE r10)
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    Files.walk(Paths.get(ckpt)).sorted(Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
   }
 }

@@ -70,8 +70,19 @@ object StageProfile {
       build(spark, dir).write.format("noop").mode(SaveMode.Overwrite).save()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[stage] $name%-22s ${secs}%8.2f s total")
+      // stage-count vs stage-time summary: a wall much larger than the
+      // summed stage time with many stages = per-job scheduling /
+      // driver overhead (the small-scale fixed-cost signature), not a
+      // slow stage
       stages.synchronized {
-        stages.sortBy(-_._3).take(8).filter(_._3 > 0.3).foreach {
+        val sum = stages.map(_._3).sum
+        println(f"[stage]   ${stages.size}%4d stages, summed stage time" +
+          f" $sum%.2f s (wall $secs%.2f s)")
+      }
+      val all = sys.env.get("SPARK_GRAFT_STAGE_ALL").contains("1")
+      stages.synchronized {
+        stages.sortBy(-_._3).take(if (all) 200 else 8)
+          .filter(all || _._3 > 0.3).foreach {
           case (id, n, s, t) =>
             val flag = if (t == 1 && s > 1.0) "  <-- SINGLE TASK" else ""
             println(f"[stage]   ${s}%7.2f s  tasks=$t%-4d stage $id $n$flag")

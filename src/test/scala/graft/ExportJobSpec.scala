@@ -288,4 +288,38 @@ class ExportJobSpec extends SparkSpec {
     assert(innerCsv(resJ.packagePath) == innerCsv(resP.packagePath),
       "jdbc-sourced export must equal the parquet-sourced export")
   }
+
+  test("jdbc partitioned read honors the graft.jdbc.* knobs and stays row-identical") {
+    // the single-partition default is the classic JDBC-at-scale trap
+    // (one executor streams the whole table); Tables wires the
+    // partitioned-read knobs through session conf — this pins that
+    // they actually reach the scan (VERDICT r10 #5)
+    val url = "jdbc:derby:memory:graftjdbcpart;create=true"
+    val t = graft.Tables(spark, sf)
+    t.table("customer").write.mode("overwrite")
+      .jdbc(url, "customer", new java.util.Properties())
+
+    // default path first: no knobs -> Spark's one-partition JDBC scan
+    val single = graft.Tables(spark, url).table("customer")
+    assert(single.rdd.getNumPartitions == 1,
+      "without the knobs the JDBC scan is the documented single-partition read")
+
+    val knobs = Seq(
+      "partitionColumn" -> "c_custkey", "numPartitions" -> "4",
+      // bounds are stride hints, not filters: Spark's edge partitions
+      // absorb out-of-range keys, so deliberately loose bounds must
+      // still be row-complete
+      "lowerBound" -> "0", "upperBound" -> "1000000")
+    knobs.foreach { case (k, v) => spark.conf.set(s"graft.jdbc.$k", v) }
+    try {
+      val parted = graft.Tables(spark, url).table("customer")
+      assert(parted.rdd.getNumPartitions == 4,
+        s"expected 4 JDBC range partitions, got ${parted.rdd.getNumPartitions}")
+      val a = parted.collect().map(_.toString).sorted
+      val b = t.table("customer").collect().map(_.toString).sorted
+      assert(a.length == b.length && a.sameElements(b),
+        s"partitioned jdbc rows ${a.length} vs parquet rows ${b.length}")
+    } finally knobs.foreach { case (k, _) =>
+      spark.conf.unset(s"graft.jdbc.$k") }
+  }
 }
