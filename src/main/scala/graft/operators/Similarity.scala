@@ -125,23 +125,8 @@ object Similarity {
   def semanticDecontam(emb: DataFrame, candFilter: Column,
       benchFilter: Column, benchCap: Int = 256,
       tauMicro: Long = 400000L): DataFrame = {
-    // ≤ benchCap rows — the bounded model-artifact fetch. Zero-norm
-    // vectors are excluded BEFORE the cap (cosine against them is
-    // NaN; the kernel and the oracle both define them away, and the
-    // cap must count the same rows on both engines).
-    val bench = emb.filter(benchFilter)
-      .filter(graft.functions.VectorFns.norm(col("embedding")) > 0)
-      .orderBy("vec_id").limit(benchCap)
-      .select("vec_id", "embedding").collect()
-    val dim = bench.headOption.map(_.getSeq[Float](1).length).getOrElse(0)
-    val flat = new Array[Float](bench.length * dim)
-    val ids = new Array[Long](bench.length)
-    bench.zipWithIndex.foreach { case (r, b) =>
-      ids(b) = r.getLong(0)
-      val v = r.getSeq[Float](1)
-      var i = 0
-      while (i < math.min(dim, v.length)) { flat(b * dim + i) = v(i); i += 1 }
-    }
+    val art = benchArtifact(emb, benchFilter, benchCap)
+    import art.{dim, flat, ids}
     // barrier the narrow kernel output BEFORE the total sort (the
     // perplexity checkpoint rule): a sort directly over the
     // exchange-free argmax projection makes RangePartitioner's
@@ -162,6 +147,41 @@ object Similarity {
         (col("sc.grid") >= lit(tauMicro.toDouble)).as("contaminated"))
       .localCheckpoint()
       .orderBy("vec_id")
+  }
+
+  /** The offline-fit benchmark side of the semantic decontamination
+    * screen, as a flat plan constant: row-major float matrix + the
+    * matching vec_ids. Fixed-size by premise (a benchmark suite does
+    * not grow with the training corpus), so shipping it inline to
+    * every worker is the d_bloom_decontam artifact rule,
+    * embedding-shaped — shared by the batch screen and the streaming
+    * intake gate so both flag identical vectors by construction.
+    */
+  final case class BenchArtifact(flat: Array[Float], ids: Array[Long],
+    dim: Int)
+
+  /** Collect the capped benchmark slice into a [[BenchArtifact]].
+    * ≤ benchCap rows — the bounded model-artifact fetch. Zero-norm
+    * vectors are excluded BEFORE the cap (cosine against them is
+    * NaN; the kernel and the oracle both define them away, and the
+    * cap must count the same rows on both engines).
+    */
+  def benchArtifact(emb: DataFrame, benchFilter: Column,
+      benchCap: Int = 256): BenchArtifact = {
+    val bench = emb.filter(benchFilter)
+      .filter(graft.functions.VectorFns.norm(col("embedding")) > 0)
+      .orderBy("vec_id").limit(benchCap)
+      .select("vec_id", "embedding").collect()
+    val dim = bench.headOption.map(_.getSeq[Float](1).length).getOrElse(0)
+    val flat = new Array[Float](bench.length * dim)
+    val ids = new Array[Long](bench.length)
+    bench.zipWithIndex.foreach { case (r, b) =>
+      ids(b) = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      var i = 0
+      while (i < math.min(dim, v.length)) { flat(b * dim + i) = v(i); i += 1 }
+    }
+    BenchArtifact(flat, ids, dim)
   }
 
   /** Margin-based alignment mining (the LASER/CCMatrix bitext

@@ -170,6 +170,76 @@ class StreamingSpec extends SparkSpec {
     assert(!plain.columns.contains("contam_ratio"))
   }
 
+  test("streaming intake semantic gate rejects embedding-level benchmark overlap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // offline-fit artifact: two orthogonal benchmark directions
+    val benchEmb = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val art = graft.operators.Similarity.benchArtifact(
+      benchEmb, org.apache.spark.sql.functions.col("vec_id") >= 0)
+    val good = ("spark holds the table and the sort and the merge " * 5).trim
+    // doc 2 is a PARAPHRASE stand-in: clean text (no string-rung
+    // overlap) but its embedding sits on a benchmark direction —
+    // exactly the class only the semantic rung can reject
+    val docs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), good, Array(0f, 0f, 1f, 0f)),
+      (2L, ts("2024-01-01 10:01:00"), good + " reworded benchmark answer",
+        Array(0.1f, 0.99f, 0f, 0f)),
+      (3L, ts("2024-01-01 10:02:00"), good + " a different ending",
+        Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      // doc_id COLLIDES with bench vec_id 100: stream doc ids live in
+      // a different id space, so the batch kernel's self-id exclusion
+      // must stay inert — this doc sits ON the benchmark direction
+      // and must be gated despite the id match
+      (100L, ts("2024-01-01 10:03:00"), good + " id collision case",
+        Array(1f, 0f, 0f, 0f)))
+    val mem = MemoryStream[(Long, Timestamp, String, Array[Float])]
+    val q = graft.streaming.StreamingIntake.intake(
+        mem.toDF().toDF("doc_id", "ts", "text", "embedding"),
+        semBench = Some(art), semTauMicro = 900000L)
+      .writeStream.format("memory").queryName("intake_sem")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("intake_sem")
+    val kept = streamed.select("doc_id").as[Long].collect().toSet
+    // doc 1 orthogonal (cos 0), doc 3 at cos 0.5 < 0.9;
+    // doc 2 at cos ≈ 0.995 ≥ 0.9 → rejected
+    assert(kept == Set(1L, 3L), kept.toSeq.sorted.mkString(","))
+    // the emitted cosine is the SAME grid value the batch screen
+    // computes, and the batch twin admits the identical rows
+    val sc = streamed.select("doc_id", "sem_cos6").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.streaming.StreamingIntake.intakeBatch(
+        docs.toDF("doc_id", "ts", "text", "embedding"),
+        semBench = Some(art), semTauMicro = 900000L)
+      .select("doc_id", "sem_cos6").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(batch == sc, s"batch=$batch streamed=$sc")
+    assert(sc(1L) == 0.0 && sc(3L) == 0.5, sc.toString)
+    // schema compat: the semantic column appears only when the gate is
+    // on, composes with the bloom gate's column, and the no-gate
+    // schema is unchanged
+    assert(streamed.columns.toSeq ==
+      Seq("doc_id", "ts", "clean_text", "dedup_key", "quality_score",
+        "sem_cos6"))
+    val bloom = graft.operators.TextAnalysis.benchmarkBloomBytes(
+      Seq((100L, ("benchmark question text " * 8).trim)).toDF("doc_id", "text"))
+    val both = graft.streaming.StreamingIntake.intakeBatch(
+      docs.toDF("doc_id", "ts", "text", "embedding"),
+      benchBloom = Some(bloom), semBench = Some(art), semTauMicro = 900000L)
+    assert(both.columns.toSeq ==
+      Seq("doc_id", "ts", "clean_text", "dedup_key", "quality_score",
+        "contam_ratio", "sem_cos6"))
+    val plain = graft.streaming.StreamingIntake.intakeBatch(
+      docs.toDF("doc_id", "ts", "text", "embedding")
+        .drop("embedding"))
+    assert(!plain.columns.contains("sem_cos6"))
+  }
+
   test("streaming minhash dedup finds every batch near-dup, across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
