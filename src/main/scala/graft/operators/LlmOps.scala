@@ -99,9 +99,9 @@ object LlmOps {
   private val simhashQ = GraftQuery(
     "d_simhash",
     None, // 64-bit simhash + banding not SQL-expressible; see SimHashSpec
+    // rows-only: no output sort (round-7 rule, applied r11)
     (s, dir) => Dedup.simhashPairs(Tables(s, dir).documents, maxHamming = 10,
-        maxBucket = 256)
-      .orderBy("doc_a", "doc_b"))
+        maxBucket = 256))
 
   private val ngramJaccard = GraftQuery(
     "d_ngram_jaccard",
@@ -130,9 +130,9 @@ object LlmOps {
   private val embedNearDup = GraftQuery(
     "d_embed_neardup",
     None, // LSH recall < 1: rows-only; recall gated vs exact in LlmOpsSpec
+    // rows-only: no output sort (round-7 rule, applied r11)
     (s, dir) => Dedup.embeddingNearDupLsh(Tables(s, dir).embeddings,
-        tau = 0.4, bits = 0, nTables = 8) // bits auto-sized from n
-      .orderBy("vec_a", "vec_b"))
+        tau = 0.4, bits = 0, nTables = 8)) // bits auto-sized from n
 
   /** Exact brute-force reference for d_embed_neardup (oracle-backed;
     * BroadcastNestedLoopJoin is acceptable ONLY here — probe side is
@@ -171,9 +171,9 @@ object LlmOps {
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
       val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
+      // rows-only: no output sort (round-7 rule, applied r11)
       graft.sources.IvfIndex.topK(s, idx,
           emb.filter(col("vec_id") % 50 === 0), k = 5)
-        .orderBy("probe_id", "rank")
     })
 
   /** Mutual k-NN graph (Similarity.knnGraph): cell-blocked top-k
@@ -186,9 +186,9 @@ object LlmOps {
     None,
     // session-cached cell assignment (CellAssignCache): one fit per
     // corpus per process, repeated calls pay scan+join cost only
+    // rows-only: no output sort (round-7 rule, applied r11)
     (s, dir) => Similarity.knnGraph(Tables(s, dir).embeddings, k = 4,
-        cacheKey = Some(s"$dir#embeddings"))
-      .orderBy("vec_a", "vec_b"))
+        cacheKey = Some(s"$dir#embeddings")))
 
   /** Exact top-k reference for d_ann_topk (oracle-backed recall
     * baseline; see bruteForceTopK note on scale).
@@ -655,11 +655,12 @@ object LlmOps {
           // and disjointness properties in LlmOpsSpec
     (s, dir) => {
       val docs = Tables(s, dir).documents
+      // rows-only: no output sort (round-7 rule, applied r11 — the
+      // sort's sampling pass re-ran the whole fingerprint scan)
       TextAnalysis.contamination(
           candidates = docs.filter(col("source") =!= "src0"),
           benchmark = docs.filter(col("source") === "src0"))
         .filter(col("overlap_ratio") > 0.5)
-        .orderBy("doc_id")
     })
 
   /** Exact n-gram contamination (TextAnalysis.ngramContamination) —
@@ -705,11 +706,11 @@ object LlmOps {
       // sizing auto-derived from the benchmark fingerprint count (the
       // filter binary rides every task closure, so oversizing taxes
       // each task; undersizing blows up the FP rate as data grows)
+      // rows-only: no output sort (round-7 rule, applied r11)
       TextAnalysis.bloomContamination(
           candidates = docs.filter(col("source") =!= "src0"),
           benchmark = docs.filter(col("source") === "src0"))
         .filter(col("maybe_overlap_ratio") > 0.5)
-        .orderBy("doc_id")
     })
 
   private val consistentSample = GraftQuery(
@@ -1941,9 +1942,9 @@ object LlmOps {
   private val semDedup = GraftQuery(
     "d_semdedup",
     None,
+    // rows-only: no output sort (round-7 rule, applied r11)
     (s, dir) => Similarity.semanticDedup(Tables(s, dir).embeddings, tau = 0.4,
-        cacheKey = Some(s"$dir#embeddings"))
-      .orderBy("vec_id"))
+        cacheKey = Some(s"$dir#embeddings")))
 
   /** DSIR-style importance weighting (Retrieval.importance): target =
     * English docs; add-one-smoothed integer-quantized unigram ratio
@@ -2057,9 +2058,9 @@ object LlmOps {
     None,
     (s, dir) => {
       val t = Tables(s, dir)
+      // rows-only: no output sort (round-7 rule, applied r11)
       Similarity.clusterTopics(t.embeddings, t.documents, nClusters = 8,
           cacheKey = Some(s"$dir#embeddings"))
-        .orderBy("cell", "rank")
     })
 
   /** Fill-in-the-middle transform (#85, TextAnalysis.fimTransform):
@@ -2129,8 +2130,8 @@ object LlmOps {
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
       val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
+      // rows-only: no output sort (round-7 rule, applied r11)
       Similarity.hardNegativesIvf(emb, col("vec_id") % 10 === 0, idx, k = 5)
-        .orderBy("probe_id", "rank")
     })
 
   /** Margin-based alignment mining (#91, Similarity.marginAlign):

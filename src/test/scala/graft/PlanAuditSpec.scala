@@ -430,4 +430,125 @@ class PlanAuditSpec extends SparkSpec {
     assert(globalWindows(bad.queryExecution.executedPlan).nonEmpty,
       "detector failed to flag a global row_number over the corpus")
   }
+
+  /** Every CartesianProductExec / BroadcastNestedLoopJoinExec in a
+    * FINAL adaptive plan — the two join shapes that go quadratic (or
+    * ship a corpus to every task) at scale. Same descent as
+    * [[globalWindows]].
+    */
+  private def productJoins(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val self = plan match {
+      case _: CartesianProductExec => Seq("CartesianProduct")
+      case b: BroadcastNestedLoopJoinExec =>
+        import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+        val build = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        boundedSide(build).map(leaf =>
+          s"BroadcastNestedLoopJoin(unbounded build: $leaf)").toSeq
+      case _ => Nil
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case c: InMemoryTableScanExec => Seq(c.relation.cachedPlan)
+      case _ => plan.children
+    }
+    self ++ (kids ++ plan.subqueries).flatMap(productJoins)
+  }
+
+  /** None when the top of a broadcast build side PROVES a bounded row
+    * count: a global (no-grouping-key) aggregate is exactly 1 row at
+    * any corpus size, a limit/top-N is its literal bound, and a local
+    * relation is driver-constructed constants. Descends only through
+    * row-preserving wrappers (project/filter/sort/exchange/stages) —
+    * an aggregate buried under a join would NOT qualify. Returns the
+    * offending node's simpleString otherwise.
+    */
+  private def boundedSide(
+      plan: org.apache.spark.sql.execution.SparkPlan): Option[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, ProjectExec, SortExec, TakeOrderedAndProjectExec, CollectLimitExec, InputAdapter, WholeStageCodegenExec}
+    plan match {
+      case a: AdaptiveSparkPlanExec => boundedSide(a.executedPlan)
+      case q: QueryStageExec => boundedSide(q.plan)
+      case e: Exchange => boundedSide(e.child)
+      case e: ReusedExchangeExec => boundedSide(e.child)
+      case p: ProjectExec => boundedSide(p.child)
+      case f: FilterExec => boundedSide(f.child)
+      case s: SortExec => boundedSide(s.child)
+      case w: WholeStageCodegenExec => boundedSide(w.child)
+      case i: InputAdapter => boundedSide(i.child)
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+        boundedSide(r.child)
+      case a: HashAggregateExec =>
+        if (a.groupingExpressions.isEmpty) None
+        else Some(a.simpleString(80))
+      case a: ObjectHashAggregateExec =>
+        if (a.groupingExpressions.isEmpty) None
+        else Some(a.simpleString(80))
+      case a: SortAggregateExec =>
+        if (a.groupingExpressions.isEmpty) None
+        else Some(a.simpleString(80))
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec |
+           _: LocalTableScanExec => None
+      case other => Some(other.simpleString(80))
+    }
+  }
+
+  test("no registered query runs an unwhitelisted product join") {
+    // The r10 verdict audited these by hand ("the BNLJs are 1-row
+    // scalar stat attachments; 0 CartesianProduct"); this rule makes
+    // the audit an assertion. A CartesianProduct is NEVER acceptable
+    // in a registered final plan; a BroadcastNestedLoopJoin is
+    // acceptable only when its build side PROVES a bounded row count
+    // structurally (global aggregate / limit / local constants, see
+    // [[boundedSide]] — covers the 1-row stat attaches) OR the query
+    // is on this whitelist of DECLARED broadcast-probe scans, each
+    // with its bound or premise named.
+    val whitelist: Map[String, String] = Map(
+      // the four exact/oracle recall baselines: brute-force scans that
+      // broadcast the probe slice BY DESIGN — they exist to gate their
+      // approximate twins at spec scale, and their quadratic cost is
+      // the documented premise (the IVF/LSH variants are the scale
+      // paths)
+      "d_ann_topk_exact" -> "brute-force recall baseline (scale path: d_ann_topk)",
+      "d_embed_neardup_exact" -> "exact pair baseline (scale path: d_embed_neardup)",
+      "d_hard_negatives" -> "exact miner (scale path: d_hard_negatives_ivf)",
+      "d_label_prop_exact" -> "exact propagation baseline (scale path: d_label_prop)",
+      // the exact margin miner broadcasts its probe slice by design
+      // (CCMatrix-scale pools route to d_margin_align_ivf/_esc)
+      "d_margin_align" -> "exact miner (scale paths: _ivf/_esc)",
+      // the query vector is vec_id = 0: ≤1 row by key equality — a
+      // semantic bound the structural walker cannot see through the
+      // cached scan
+      "d_rrf_hybrid" -> "single query vector by key equality")
+    val offending = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalize AQE for THIS execution
+      val pj = productJoins(df.queryExecution.executedPlan)
+      if (pj.exists(_.startsWith("CartesianProduct")))
+        Some(s"$name: ${pj.mkString(",")}")
+      else if (pj.nonEmpty && !whitelist.contains(name))
+        Some(s"$name: ${pj.mkString(",")}")
+      else None
+    }
+    assert(offending.isEmpty,
+      "unwhitelisted product joins (quadratic / corpus-broadcast at scale):\n" +
+        offending.mkString("\n"))
+    // detector sanity: a genuine cross join IS caught
+    val t = Tables(spark, sf)
+    val bad = t.nation.crossJoin(t.region)
+    bad.collect()
+    assert(productJoins(bad.queryExecution.executedPlan).nonEmpty,
+      "detector failed to flag a crossJoin")
+  }
 }
