@@ -165,6 +165,94 @@ class IvfIndexSpec extends SparkSpec {
       s"no appended neighbor among ${probeAppended.mkString(",")}")
   }
 
+  test("streaming index maintenance: stream-ingested probes match batch append; replays append nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables(spark, sf).embeddings
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val probes = emb.limit(5)
+
+    // batch-append reference index
+    val dBatch = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(base, dBatch, nCells = 4)
+    IvfIndex.append(rest, dBatch)
+    val ref = IvfIndex.topK(spark, dBatch, probes, k = 4, nProbe = 4)
+      .collect().map(_.toString).sorted
+
+    // the same rows through the streaming sink in two micro-batches
+    val dStream = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(base, dStream, nCells = 4)
+    val restRows = rest.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = restRows.partition(_._1 % 4 == 1)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingIndexer.indexSink(
+      mem.toDF().toDF("vec_id", "embedding"), dStream, compactEvery = 0)
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = IvfIndex.topK(spark, dStream, probes, k = 4, nProbe = 4)
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(ref),
+      s"stream ${streamed.length} rows vs batch ${ref.length}")
+
+    // replay contract: re-running an already-committed batchId is a
+    // no-op (the foreachBatch at-least-once case) — same probes, same
+    // rows, and the ledger still counts two commits
+    val restDf = rest.select("vec_id", "embedding")
+    assert(!graft.streaming.StreamingIndexer.appendBatch(restDf, dStream, 0L))
+    assert(!graft.streaming.StreamingIndexer.appendBatch(restDf, dStream, 1L))
+    assert(graft.streaming.StreamingIndexer.committedBatches(restDf, dStream) == 2L)
+    val replayed = IvfIndex.topK(spark, dStream, probes, k = 4, nProbe = 4)
+      .collect().map(_.toString).sorted
+    assert(replayed.sameElements(ref), "a replayed batch changed probe results")
+
+    // a FRESH batchId does append (and is then itself replay-proof)
+    assert(graft.streaming.StreamingIndexer.appendBatch(
+      restDf.limit(0), dStream, 99L))
+    assert(!graft.streaming.StreamingIndexer.appendBatch(
+      restDf.limit(0), dStream, 99L))
+  }
+
+  test("streaming index maintenance compacts on the configured cadence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), dir, nCells = 4)
+    val rows = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def codeFiles(): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingIndexer.indexSink(
+      mem.toDF().toDF("vec_id", "embedding"), dir, compactEvery = 4)
+    // 4 single-slice batches: files accumulate, then the 4th commit
+    // triggers compaction and the count drops to ≤ populated cells
+    (0 until 4).foreach { b =>
+      mem.addData(rows.filter(_._1 % 8 == 2 * b + 1).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val after = codeFiles()
+    val probes = emb.limit(5)
+    val res = IvfIndex.topK(spark, dir, probes, k = 4, nProbe = 4).collect()
+    assert(res.nonEmpty)
+    // compaction ran: one file per populated cell (4 cells max), not
+    // one per (batch × cell)
+    assert(after <= 4, s"expected compacted layout, found $after files")
+  }
+
   test("rebuilding the index is idempotent; probes see the new build") {
     val emb = Tables(spark, sf).embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
