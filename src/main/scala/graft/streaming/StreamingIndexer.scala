@@ -32,7 +32,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * cell directory, so after N batches a cell holds N fragments — the
   * sink compacts every `compactEvery` committed batches (compaction
   * changes file layout only; bit-identical probes are already
-  * spec-asserted on IvfIndex.compact).
+  * spec-asserted on IvfIndex.compact). Compaction cost is a full
+  * rewrite of the codes dataset — O(index size), NOT O(batch) — so
+  * the cadence is the operator's trade between steady-state probe
+  * read amplification and periodic rewrite IO (measured in
+  * tools/IndexStreamScale: steady batches flat, the every-K batch
+  * absorbs the rewrite; pick K by index-size/ingest-rate, or run
+  * compaction out-of-band from the offline refit job instead).
   */
 object StreamingIndexer {
 
