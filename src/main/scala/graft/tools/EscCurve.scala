@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Cost-vs-flag-fraction curve of the escalated margin miner at
+  * blow-up scale — the measurement the §17.7 r11 correction calls
+  * for: all-flagged escalation costs ≈ one wide pass plus the loop's
+  * fixed jobs (measured 1.06× flat-wide at 2048×), so the op's payoff
+  * must come from SPARSE flags, and `escalateEps` controls the flag
+  * band directly. This drive times marginAlignIvf at nProbe=8 →
+  * escalateNProbe=16 across a ladder of eps values (each run reports
+  * its own flagged fraction) against the flat nProbe=16 miner and the
+  * un-escalated nProbe=8 base on the same session index — the esc(f)
+  * cost curve on the real operator, same corpus, same session.
+  *
+  * (Precision is NOT the subject here — on replica-family geometry
+  * narrow flags don't recover wide precision; MarginDriftCheck owns
+  * that axis. This measures what escalation COSTS as the flag rate
+  * falls, which is what decides wide-vs-escalate for a deployment
+  * whose low_headroom stats say flags are sparse.)
+  *
+  * Usage: EscCurve <blowUpDir> [eps,eps,...=0.05,0.01,0.002]
+  */
+object EscCurve {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val epss = args.lift(1).getOrElse("0.05,0.01,0.002")
+      .split(',').map(_.toDouble).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.GraftSession.local(cpus, "graft-esc-curve")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS",
+      math.max(cpus, 512).toString)
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+
+    val emb = graft.Tables(spark, dir).embeddings
+    val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
+    val probeF = col("vec_id") % 10 === 0
+    val targetF = col("vec_id") % 2 === 1
+
+    // df MUST be by-name: marginAlignIvf's construction runs the
+    // eager index-probe kernel (IvfIndex.topK localCheckpoints), so a
+    // strict parameter would evaluate the dominant cost OUTSIDE the
+    // timer (the first cut of this tool did exactly that and timed
+    // only the post-kernel tail — 21 s for a 200+ s arm)
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame)
+        : (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val d = df
+      d.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      val n = d.count()
+      println(f"[esccurve] $label%-28s $s%8.1f s  ($n emitted)")
+      Console.flush()
+      (s, n)
+    }
+
+    // warm the session index once so every arm pays probe cost only
+    graft.sources.IvfIndex.topK(spark, idx, emb.filter(probeF).limit(1),
+      k = 1, nProbe = 1).count()
+
+    val (wideS, wideN) = time("flat nProbe=16") {
+      graft.operators.Similarity.marginAlignIvf(
+        emb, probeF, targetF, idx, nProbe = 16)
+    }
+    val (baseS, _) = time("base nProbe=8 (no esc)") {
+      graft.operators.Similarity.marginAlignIvf(
+        emb, probeF, targetF, idx, nProbe = 8)
+    }
+    epss.foreach { eps =>
+      // flagged fraction at this eps, off the base pass's margins
+      val base = graft.operators.Similarity.marginAlignIvf(
+        emb, probeF, targetF, idx, nProbe = 8)
+      val agg = base.agg(count(lit(1)),
+        sum(when(col("margin") < lit(1.02 + eps), 1L).otherwise(0L))).head()
+      val frac =
+        if (agg.getLong(0) == 0) 0.0
+        else agg.getLong(1).toDouble / agg.getLong(0)
+      val (escS, escN) = time(f"esc 8->16 eps=$eps%.3f") {
+        graft.operators.Similarity.marginAlignIvf(emb, probeF, targetF, idx,
+          nProbe = 8, escalateNProbe = 16, escalateEps = eps)
+      }
+      println(f"[esccurve]   eps=$eps%.3f flagged=$frac%.3f" +
+        f" esc/wide=${escS / wideS}%.2f base/wide=${baseS / wideS}%.2f" +
+        f" emitted $escN vs wide $wideN")
+      Console.flush()
+    }
+    spark.stop()
+  }
+}
