@@ -67,15 +67,19 @@ object EscCurve {
       graft.operators.Similarity.marginAlignIvf(
         emb, probeF, targetF, idx, nProbe = 8)
     }
-    epss.foreach { eps =>
-      // flagged fraction at this eps, off the base pass's margins
-      val base = graft.operators.Similarity.marginAlignIvf(
+    // flagged fraction per eps, off ONE base pass (each eps is just a
+    // threshold over the same margins — re-deriving the base per arm
+    // cost ~260 s of untimed kernel per eps at 2048×)
+    val fracRow = graft.operators.Similarity.marginAlignIvf(
         emb, probeF, targetF, idx, nProbe = 8)
-      val agg = base.agg(count(lit(1)),
-        sum(when(col("margin") < lit(1.02 + eps), 1L).otherwise(0L))).head()
-      val frac =
-        if (agg.getLong(0) == 0) 0.0
-        else agg.getLong(1).toDouble / agg.getLong(0)
+      .agg(count(lit(1)), epss.map(eps =>
+        sum(when(col("margin") < lit(1.02 + eps), 1L).otherwise(0L))): _*)
+      .head()
+    val fracs = epss.indices.map { i =>
+      if (fracRow.getLong(0) == 0) 0.0
+      else fracRow.getLong(i + 1).toDouble / fracRow.getLong(0)
+    }
+    epss.zip(fracs).foreach { case (eps, frac) =>
       val (escS, escN) = time(f"esc 8->16 eps=$eps%.3f") {
         graft.operators.Similarity.marginAlignIvf(emb, probeF, targetF, idx,
           nProbe = 8, escalateNProbe = 16, escalateEps = eps)
