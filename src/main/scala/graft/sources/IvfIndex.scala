@@ -123,9 +123,27 @@ object IvfIndex {
     * inside the index. Routes through TableSink.compact (per-cell
     * co-located rewrite, hive layout preserved) into a staging dir,
     * then swaps it in and refreshes the file listing (the rebuild
-    * rule: stale listings resurrect deleted file names). Compaction
-    * only changes file LAYOUT — probe results are bit-identical
-    * before/after (spec-asserted). Returns (files before, after).
+    * rule: stale listings resurrect deleted file names). Returns
+    * (files before, after).
+    *
+    * Compaction also SELF-HEALS the streaming sink's at-least-once
+    * residue ([[graft.streaming.StreamingIndexer]]: a crash between
+    * the data write and the ledger marker lands a batch twice): when
+    * the codes hold duplicate vec_ids, the rewrite collapses
+    * bit-identical replicas via `distinct()` — exact, no policy
+    * question, because a replayed batch appends the SAME rows (SQ8
+    * coding is a pure function of the embedding and the frozen
+    * centroids). CONFLICTING re-ingests — one vec_id appended with
+    * different content across batches — have no recoverable winner
+    * without ingestion-time provenance, so the policy is
+    * strict-identical: compact fails loudly naming offending ids
+    * rather than silently picking a survivor. The duplicate probe is
+    * a narrow column-pruned count pass, so the no-duplicates common
+    * case pays ~nothing; only a real crash-recovery pass pays the
+    * distinct's extra exchange. Probe results are bit-identical
+    * before/after on a duplicate-free index (spec-asserted), and a
+    * double-appended index probes identically to a never-duplicated
+    * one after compact (spec-asserted).
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -134,8 +152,29 @@ object IvfIndex {
     val fs = codes.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.compacting")
     fs.delete(tmp, true)
+    val dupes = {
+      val r = spark.read.parquet(codes.toString)
+        .agg(count(lit(1)), count_distinct(col("vec_id"))).head()
+      r.getLong(0) != r.getLong(1)
+    }
+    val dedup: DataFrame => DataFrame =
+      if (!dupes) identity
+      else { df =>
+        val d = df.distinct()
+        // bit-identical replicas are gone; any vec_id still duplicated
+        // carries CONFLICTING content — strict-identical policy
+        val conflicts = d.groupBy("vec_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).select("vec_id").limit(5)
+          .collect().map(_.getLong(0))
+        require(conflicts.isEmpty,
+          s"compact: vec_ids ${conflicts.mkString(",")} were re-ingested " +
+            "with CONFLICTING content — no winner is recoverable without " +
+            "ingestion-time provenance (strict-identical policy); rebuild " +
+            "the index from the authoritative corpus instead")
+        d
+      }
     val counts = TableSink.compact(spark, codes.toString, tmp.toString,
-      targetFileBytes)
+      targetFileBytes, transform = dedup)
     val old = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.old")
     fs.delete(old, true)
     if (!fs.rename(codes, old))

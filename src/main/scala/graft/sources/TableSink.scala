@@ -72,10 +72,16 @@ object TableSink {
     * through round-robin repartition, which spreads rows evenly
     * regardless of input skew.
     *
+    * `transform` lets a caller rewrite the ROWS while the files are
+    * being rewritten anyway (the IvfIndex dedup-on-compact case) —
+    * the hook runs between the read and the repartition, so whatever
+    * it drops never costs a second pass. Defaults to identity.
+    *
     * Returns (inputFiles, outputFiles).
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      transform: DataFrame => DataFrame = identity): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(inPath)
@@ -103,7 +109,7 @@ object TableSink {
         .split("/").filter(seg => seg.nonEmpty && seg.contains("="))
         .map(_.takeWhile(_ != '=')).toSeq
     }
-    val df = spark.read.parquet(inPath)
+    val df = transform(spark.read.parquet(inPath))
     val writer =
       if (partCols.nonEmpty)
         df.repartition(nOut, partCols.map(col): _*)

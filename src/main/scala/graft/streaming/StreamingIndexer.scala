@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -20,13 +21,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * committed batch) — a replayed batchId is skipped whole. The
   * marker is written AFTER the append, so the remaining failure
   * window (crash between the data write and the marker) can land a
-  * batch twice; that window is the documented at-least-once residue
-  * every non-transactional sink carries, and the next [[graft
-  * .sources.IvfIndex.compact]] pass rewrites cells and can be
-  * followed by an offline dedup if a deployment needs exactly-once
-  * code rows. Probe RESULTS are unaffected by the ledger mechanics:
-  * the spec pins stream-ingested probes ≡ batch-append probes
-  * bit-for-bit, and replayed batches append nothing.
+  * batch twice; that window SELF-HEALS at the next
+  * [[graft.sources.IvfIndex.compact]] pass, which collapses the
+  * bit-identical replica rows during the rewrite it performs anyway
+  * (exact — a replayed batch appends the same rows — and
+  * spec-asserted: a planted double-append probes identically to a
+  * never-duplicated index after compact). Probe RESULTS are
+  * unaffected by the ledger mechanics: the spec pins stream-ingested
+  * probes ≡ batch-append probes bit-for-bit, and replayed batches
+  * append nothing.
+  *
+  * Ledger growth is BOUNDED on the ingest-forever premise: plain
+  * markers would accumulate one file per batch for the stream's
+  * lifetime, and `committedBatches` (the compaction-cadence input,
+  * consulted every micro-batch) would pay an O(all-time batches)
+  * listing. Instead each compaction [[pruneLedger]]s: a single
+  * `_hwm_<N>` file records that every batchId ≤ N is committed, and
+  * markers at or below the CONTIGUOUS committed prefix are deleted.
+  * The replay check becomes `batchId ≤ hwm || marker exists`, and the
+  * live marker count stays ≈ compactEvery. Crash-safety of the prune
+  * itself: the new hwm file is created BEFORE the old one and the
+  * covered markers are deleted, so an interrupted prune leaves extra
+  * files that only widen the committed set it already proved —
+  * never un-commits a batch.
   *
   * Small-file hygiene: every append lands new files in each touched
   * cell directory, so after N batches a cell holds N fragments — the
@@ -42,19 +59,46 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingIndexer {
 
+  private val HwmPrefix = "_hwm_"
+
+  private def ledgerDir(dir: String) = new Path(s"$dir/stream_commits")
+
   private def ledgerPath(dir: String, batchId: Long) =
-    new org.apache.hadoop.fs.Path(s"$dir/stream_commits/$batchId")
+    new Path(ledgerDir(dir), batchId.toString)
+
+  private def fsFor(batch: DataFrame, dir: String): FileSystem =
+    ledgerDir(dir).getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+
+  /** (high-water mark, live marker ids). hwm = -1 when no prune has
+    * run yet. An interrupted prune can leave two hwm files — the MAX
+    * wins (both were proven-contiguous when written).
+    */
+  private def ledgerState(fs: FileSystem, dir: String): (Long, Seq[Long]) = {
+    val p = ledgerDir(dir)
+    if (!fs.exists(p)) return (-1L, Nil)
+    val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+    val hwm = names.filter(_.startsWith(HwmPrefix))
+      .map(_.stripPrefix(HwmPrefix).toLong)
+      .reduceOption(_ max _).getOrElse(-1L)
+    // markers are bare batchIds; anything else (a filesystem's own
+    // shadow files, e.g. raw .crc listings) is not ledger state
+    val markers = names.filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
+    (hwm, markers)
+  }
 
   /** Idempotent per-batch append: returns true when the batch was
     * appended, false when its batchId was already committed (the
-    * foreachBatch replay case). Factored out of the sink so the
+    * foreachBatch replay case) — by live marker or by the pruned
+    * ledger's high-water mark. Factored out of the sink so the
     * replay contract is directly testable without a streaming query.
     */
   def appendBatch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
-    val spark = batch.sparkSession
+    val fs = fsFor(batch, dir)
+    val (hwm, _) = ledgerState(fs, dir)
     val marker = ledgerPath(dir, batchId)
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) false
+    if (batchId <= hwm || fs.exists(marker)) false
     else {
       graft.sources.IvfIndex.append(batch, dir)
       fs.mkdirs(marker.getParent)
@@ -63,19 +107,41 @@ object StreamingIndexer {
     }
   }
 
-  /** Number of committed stream batches in the ledger. */
+  /** Number of committed stream batches: the pruned contiguous prefix
+    * (hwm + 1 batches) plus live markers above it. Exact across
+    * prunes because pruning only ever covers batches it proved
+    * contiguous-committed.
+    */
   def committedBatches(batch: DataFrame, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/stream_commits")
-    val fs = p.getFileSystem(
-      batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.listStatus(p).length.toLong else 0L
+    val (hwm, markers) = ledgerState(fsFor(batch, dir), dir)
+    (hwm + 1) + markers.count(_ > hwm)
+  }
+
+  /** Advance the high-water mark over the contiguous committed prefix
+    * and delete the markers it covers. Non-contiguous ids (a test's
+    * hand-planted batchId far ahead) stay as live markers — the prune
+    * never assumes an id it hasn't seen. Returns the new hwm.
+    */
+  def pruneLedger(batch: DataFrame, dir: String): Long = {
+    val fs = fsFor(batch, dir)
+    val (h0, markers) = ledgerState(fs, dir)
+    var h = h0
+    markers.sorted.foreach { id => if (id == h + 1) h = id }
+    if (h > h0) {
+      fs.create(new Path(ledgerDir(dir), s"$HwmPrefix$h"), true).close()
+      if (h0 >= 0)
+        fs.delete(new Path(ledgerDir(dir), s"$HwmPrefix$h0"), false)
+      markers.filter(_ <= h)
+        .foreach(id => fs.delete(ledgerPath(dir, id), false))
+    }
+    h
   }
 
   /** Attach the maintenance sink to a streaming (vec_id, embedding)
-    * frame: idempotent append per micro-batch, compaction every
-    * `compactEvery` committed batches. The index at `dir` must be
-    * [[graft.sources.IvfIndex.build]]-built already (the deployment
-    * premise: an index predates its ingest stream).
+    * frame: idempotent append per micro-batch, compaction (plus a
+    * ledger prune) every `compactEvery` committed batches. The index
+    * at `dir` must be [[graft.sources.IvfIndex.build]]-built already
+    * (the deployment premise: an index predates its ingest stream).
     */
   def indexSink(emb: DataFrame, dir: String,
       compactEvery: Int = 16): StreamingQuery =
@@ -86,10 +152,11 @@ object StreamingIndexer {
             committedBatches(batch, dir) % compactEvery == 0) {
           val (before, after) =
             graft.sources.IvfIndex.compact(batch.sparkSession, dir)
+          val hwm = pruneLedger(batch, dir)
           // compaction is maintenance, not correctness — surface it
           System.err.println(
             s"[indexer] compacted $dir after batch $batchId:" +
-              s" $before -> $after files")
+              s" $before -> $after files, ledger pruned to hwm=$hwm")
         }
         ()
       }

@@ -96,8 +96,14 @@ object StreamingIntake {
           col("embedding"), lit(Long.MinValue), art.flat, art.ids, art.dim))
         // gate on the integer-valued grid itself (same comparison as
         // d_semantic_decontam's contaminated flag); a doc with no
-        // benchmark match (empty artifact) is clean by definition
-        .filter(col("__sc.bench_id") < 0 ||
+        // benchmark match (empty artifact) is clean by definition.
+        // POLICY for a null embedding (the argmax is null-safe, so
+        // __sc is null): the doc CANNOT be semantically screened and
+        // is ADMITTED with sem_cos6 = -1 — consistent with "no
+        // benchmark match is clean"; without the explicit isNull
+        // disjunct the null predicate would silently REJECT it,
+        // indistinguishable from a genuine contamination rejection
+        .filter(col("__sc").isNull || col("__sc.bench_id") < 0 ||
           col("__sc.grid") < lit(semTauMicro.toDouble))
         .withColumn("sem_cos6",
           when(col("__sc.bench_id") >= 0, col("__sc.grid") / 1e6)

@@ -19,23 +19,58 @@ import org.apache.spark.sql.functions._
   * falls, which is what decides wide-vs-escalate for a deployment
   * whose low_headroom stats say flags are sparse.)
   *
-  * Usage: EscCurve <blowUpDir> [eps,eps,...=0.05,0.01,0.002]
+  * `factor > 1` (3rd arg) runs the curve on PLANTED healthy-margin
+  * geometry instead of the dir's own rows — PlantGeom's
+  * distinctly-best-partner construction (the MarginDriftCheck plant
+  * regime), where flags are sparse BY GEOMETRY rather than a replica
+  * tie field: the cost curve on the corpus shape a deployment whose
+  * low_headroom stats stay quiet actually has.
+  *
+  * Usage: EscCurve <dir> [eps,eps,...=0.05,0.01,0.002]
+  *          [factor=1] [jitter=0.2]
   */
 object EscCurve {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val epss = args.lift(1).getOrElse("0.05,0.01,0.002")
       .split(',').map(_.toDouble).toSeq
+    val factor = args.lift(2).map(_.toInt).getOrElse(1)
+    val jitter = args.lift(3).map(_.toDouble).getOrElse(0.2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-esc-curve")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS",
       math.max(cpus, 512).toString)
     spark.conf.set("spark.sql.shuffle.partitions", parts)
 
-    val emb = graft.Tables(spark, dir).embeddings
-    val idx = graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
-    val probeF = col("vec_id") % 10 === 0
-    val targetF = col("vec_id") % 2 === 1
+    val plant = factor > 1
+    val emb =
+      if (!plant) graft.Tables(spark, dir).embeddings
+      else {
+        // planted healthy geometry at a blow octave (shift 0.25 =
+        // MarginDriftCheck's default drift), materialized across
+        // real partitions (the drive-fixture rule)
+        val f = PlantGeom.frame(
+            graft.Tables(spark, dir).embeddings
+              .select(col("vec_id"), col("embedding")),
+            shift = 0.25, factor = factor, jitter = jitter, plant = true)
+          .repartition(cpus * 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[esccurve] planted geometry: ${f.count()} rows" +
+          s" (factor=$factor jitter=$jitter)")
+        f
+      }
+    val idx = graft.sources.AnnIndexCache.dirFor(emb,
+      s"$dir#embeddings#plant=$plant#f=$factor#j=$jitter")
+    val probeF =
+      if (plant) PlantGeom.probeFilter else col("vec_id") % 10 === 0
+    val targetF =
+      if (plant) PlantGeom.targetFilter(plant = true)
+      else col("vec_id") % 2 === 1
+    // ONE threshold for the timed arms AND the flagged-fraction probe
+    // (ADVICE r11): hardcoding 1.02 in the probe while the arms ride
+    // marginAlignIvf's default would silently diverge if the default
+    // ever moves — pass it explicitly everywhere
+    val marginMin = 1.02
 
     // df MUST be by-name: marginAlignIvf's construction runs the
     // eager index-probe kernel (IvfIndex.topK localCheckpoints), so a
@@ -61,19 +96,19 @@ object EscCurve {
 
     val (wideS, wideN) = time("flat nProbe=16") {
       graft.operators.Similarity.marginAlignIvf(
-        emb, probeF, targetF, idx, nProbe = 16)
+        emb, probeF, targetF, idx, marginMin = marginMin, nProbe = 16)
     }
     val (baseS, _) = time("base nProbe=8 (no esc)") {
       graft.operators.Similarity.marginAlignIvf(
-        emb, probeF, targetF, idx, nProbe = 8)
+        emb, probeF, targetF, idx, marginMin = marginMin, nProbe = 8)
     }
     // flagged fraction per eps, off ONE base pass (each eps is just a
     // threshold over the same margins — re-deriving the base per arm
     // cost ~260 s of untimed kernel per eps at 2048×)
     val fracRow = graft.operators.Similarity.marginAlignIvf(
-        emb, probeF, targetF, idx, nProbe = 8)
+        emb, probeF, targetF, idx, marginMin = marginMin, nProbe = 8)
       .agg(count(lit(1)), epss.map(eps =>
-        sum(when(col("margin") < lit(1.02 + eps), 1L).otherwise(0L))): _*)
+        sum(when(col("margin") < lit(marginMin + eps), 1L).otherwise(0L))): _*)
       .head()
     val fracs = epss.indices.map { i =>
       if (fracRow.getLong(0) == 0) 0.0
@@ -82,7 +117,8 @@ object EscCurve {
     epss.zip(fracs).foreach { case (eps, frac) =>
       val (escS, escN) = time(f"esc 8->16 eps=$eps%.3f") {
         graft.operators.Similarity.marginAlignIvf(emb, probeF, targetF, idx,
-          nProbe = 8, escalateNProbe = 16, escalateEps = eps)
+          marginMin = marginMin, nProbe = 8, escalateNProbe = 16,
+          escalateEps = eps)
       }
       println(f"[esccurve]   eps=$eps%.3f flagged=$frac%.3f" +
         f" esc/wide=${escS / wideS}%.2f base/wide=${baseS / wideS}%.2f" +

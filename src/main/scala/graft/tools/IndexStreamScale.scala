@@ -51,12 +51,20 @@ object IndexStreamScale {
       source.toDF().toDF("vec_id", "embedding"), idxDir,
       compactEvery = compactEvery)
     val t0 = System.nanoTime()
+    // an EMPTY pmod residue class (sparse vec_id distribution) must
+    // not be submitted: an empty addData produces no micro-batch, so
+    // requiring committed == nBatches would false-fail the drive
+    // (ADVICE r11) — compare the ledger against batches actually sent
+    var submitted = 0
     (0 until nBatches).foreach { b =>
       val tb = System.nanoTime()
       val batch = rest.filter(pmod(col("vec_id"), lit(nBatches)) === b)
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      source.addData(batch.toSeq: _*)
-      q.processAllAvailable()
+      if (batch.nonEmpty) {
+        submitted += 1
+        source.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      }
       if ((b + 1) % 4 == 0)
         println(f"[ixstream] batch ${b + 1}%3d: ${batch.length} vectors," +
           f" ${(System.nanoTime() - tb) / 1e9}%.2f s")
@@ -69,8 +77,8 @@ object IndexStreamScale {
       .committedBatches(emb, idxDir)
     println(f"[ixstream] $streamed vectors ingested in $secs%.1f s" +
       f" (${streamed / secs}%.0f vec/s/$cpus-core), $committed commits")
-    require(committed == nBatches.toLong,
-      s"expected $nBatches committed batches, ledger has $committed")
+    require(committed == submitted.toLong,
+      s"expected $submitted committed batches, ledger has $committed")
 
     // replay contract at scale: re-appending an already-committed
     // batchId must be a no-op

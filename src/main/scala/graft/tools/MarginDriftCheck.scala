@@ -90,55 +90,24 @@ object MarginDriftCheck {
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(cpus, factor / 4).toString)
 
-    // probe ids live ABOVE every possible replica id (vec_id +
-    // rep·1e7): at 1e9 the encoding broke for factor > 100 —
-    // replicas 100+ classified as probes (measured at 128×: the
-    // "exact" miner saw 32,350 probes instead of 200) — so the base
-    // sits at 1e12 with the floor asserted
-    val ProbeBase = 1000000000000L
-    require(factor.toLong * 10000000L + 10000000L < ProbeBase,
-      s"factor $factor overflows the replica id space under ProbeBase")
+    // geometry construction shared with EscCurve's planted mode —
+    // see PlantGeom (probe ids at 1e12, plant = distinctly-best
+    // partner regime)
+    val ProbeBase = PlantGeom.ProbeBase
     val base = graft.Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
-    val emb =
-      if (factor <= 1) base
-      else {
-        val reps = spark.range(0, factor.toLong).select(col("id").as("rep"))
-        // plant mode: probe bases' rep-1 member keeps near-duplicate
-        // jitter — the planted distinctly-best partner; everyone else
-        // spreads at full jitter
-        val amp =
-          if (!plant) lit((jitter / 20.0).toFloat)
-          else when(col("vec_id") % 10 === 0 && col("rep") === 1,
-            lit((jitter / 200.0).toFloat))
-            .otherwise(lit((jitter / 20.0).toFloat))
-        base.crossJoin(reps).select(
-          (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x + (pmod(hash(col("vec_id"), col("rep"), i), lit(41)) - lit(20))
-              .cast("float") * amp).as("embedding"))
-      }
-    val probes = emb.filter(
-        if (plant) col("vec_id") < 10000000L && col("vec_id") % 10 === 0
-        else col("vec_id") % 10 === 0)
-      .select((col("vec_id") + ProbeBase).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          x + when(i % 2 === 1, lit(shift.toFloat)).otherwise(lit(0f)))
-          .as("embedding"))
     // repartition before the persist: the blow-up frame descends from
     // a broadcast crossJoin — ONE input split — and the exact oracle
     // streams side B through a single task otherwise (measured at
     // 128×: 51M brute-force pairs on one core, 40+ min; the
     // ScaleCheck "real corpora have many files" rule applies to this
     // drive's synthetic frame too)
-    val frame = emb.unionAll(probes)
+    val frame = PlantGeom.frame(base, shift, factor, jitter, plant)
       .repartition(cpus * 4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAll = frame.count()
-    val probeF = col("vec_id") >= ProbeBase
-    val targetF =
-      if (plant) col("vec_id") < ProbeBase && col("vec_id") >= 10000000L
-      else col("vec_id") < ProbeBase && col("vec_id") % 2 === 1
+    val probeF = PlantGeom.probeFilter
+    val targetF = PlantGeom.targetFilter(plant)
 
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft-margin-drift").toString
@@ -289,7 +258,14 @@ object MarginDriftCheck {
       require(falseAt16 == 0L,
         s"nProbe=16 emitted $falseAt16 false partners under drift " +
           s"shift=$shift — the margin-precision setting no longer holds")
-      println("[mdrift] PASS: zero false partners at the op's nProbe=16")
+      // the recall floor holds on THIS branch too (ADVICE r11): zero
+      // false partners with collapsed coverage would otherwise pass
+      // (falseAt16==0 already implies the sibling-flip floor here)
+      require(recallAt16 >= 0.80,
+        f"nProbe=16 recall $recallAt16%.4f under the 0.80 floor — " +
+          "coverage collapsed even though precision held")
+      println("[mdrift] PASS: zero false partners at the op's nProbe=16" +
+        f" (recall $recallAt16%.4f)")
     }
     spark.stop()
   }

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared synthetic-geometry construction for the margin-family
+  * drives (MarginDriftCheck, EscCurve): a structured replica blow-up
+  * of a base embeddings table plus a drifted probe frame. Extracted
+  * so the escalation cost curve can run on the SAME planted
+  * healthy-margin geometry the drift drive evidences (§17.3/§17.7)
+  * instead of duplicating the construction.
+  *
+  * Geometry knobs (full story in [[MarginDriftCheck]]'s scaladoc):
+  * `jitter` is the cluster-separation amplitude; `plant=true` gives
+  * every 10th base's rep-1 member a near-duplicate jitter — the
+  * planted distinctly-best partner that produces real margin
+  * headroom (the healthy deployment regime; any plain replica family
+  * is a top-2 tie field by construction).
+  */
+object PlantGeom {
+
+  /** Probe ids live ABOVE every possible replica id (vec_id +
+    * rep·1e7): at 1e9 the encoding broke for factor > 100 — replicas
+    * 100+ classified as probes (measured at 128×: the "exact" miner
+    * saw 32,350 probes instead of 200) — so the base sits at 1e12
+    * with the floor asserted in [[frame]].
+    */
+  val ProbeBase = 1000000000000L
+
+  /** (replicated corpus ∪ shifted probes). Probes are rep-0 vectors
+    * of every 10th base, shifted +`shift` on odd coordinates
+    * (deterministic, norm-changing — probe geometry off the fitted
+    * centroids), re-keyed at ProbeBase. Caller repartitions and
+    * persists (the drive-fixture rule: the blow-up descends from a
+    * broadcast crossJoin — ONE input split without it).
+    */
+  def frame(base: DataFrame, shift: Double, factor: Int,
+      jitter: Double, plant: Boolean): DataFrame = {
+    require(!plant || factor > 1, "plant mode needs a blow-up factor")
+    require(factor.toLong * 10000000L + 10000000L < ProbeBase,
+      s"factor $factor overflows the replica id space under ProbeBase")
+    val spark = base.sparkSession
+    val emb =
+      if (factor <= 1) base
+      else {
+        val reps = spark.range(0, factor.toLong).select(col("id").as("rep"))
+        // plant mode: probe bases' rep-1 member keeps near-duplicate
+        // jitter — the planted distinctly-best partner; everyone else
+        // spreads at full jitter
+        val amp =
+          if (!plant) lit((jitter / 20.0).toFloat)
+          else when(col("vec_id") % 10 === 0 && col("rep") === 1,
+            lit((jitter / 200.0).toFloat))
+            .otherwise(lit((jitter / 20.0).toFloat))
+        base.crossJoin(reps).select(
+          (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + (pmod(hash(col("vec_id"), col("rep"), i), lit(41)) - lit(20))
+              .cast("float") * amp).as("embedding"))
+      }
+    val probes = emb.filter(
+        if (plant) col("vec_id") < 10000000L && col("vec_id") % 10 === 0
+        else col("vec_id") % 10 === 0)
+      .select((col("vec_id") + ProbeBase).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + when(i % 2 === 1, lit(shift.toFloat)).otherwise(lit(0f)))
+          .as("embedding"))
+    emb.unionAll(probes)
+  }
+
+  /** The probe/target filters matching [[frame]]'s id encoding. */
+  def probeFilter = col("vec_id") >= ProbeBase
+  def targetFilter(plant: Boolean) =
+    if (plant) col("vec_id") < ProbeBase && col("vec_id") >= 10000000L
+    else col("vec_id") < ProbeBase && col("vec_id") % 2 === 1
+}

@@ -67,80 +67,86 @@ object SpillCheck {
     // separate-JVM scheduling)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(ckpt)
+    // the drive can throw (the concentration gate, an OOM at the
+    // octave) — the blow-up-scale CC-label checkpoint dir and the
+    // session must be reclaimed on EVERY exit path (ADVICE r11)
+    try {
 
-    case class Acc(var tasks: Long = 0L, var taskMs: Long = 0L,
-      var diskSpill: Long = 0L, var memSpill: Long = 0L,
-      var shufWrite: Long = 0L, var input: Long = 0L)
-    val perExec = new java.util.concurrent.ConcurrentHashMap[String, Acc]()
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) {
-            val a = perExec.computeIfAbsent(te.taskInfo.executorId,
-              _ => Acc())
-            a.synchronized {
-              a.tasks += 1
-              a.taskMs += te.taskInfo.duration
-              a.diskSpill += m.diskBytesSpilled
-              a.memSpill += m.memoryBytesSpilled
-              a.shufWrite += m.shuffleWriteMetrics.bytesWritten
-              a.input += m.inputMetrics.bytesRead
+      case class Acc(var tasks: Long = 0L, var taskMs: Long = 0L,
+        var diskSpill: Long = 0L, var memSpill: Long = 0L,
+        var shufWrite: Long = 0L, var input: Long = 0L)
+      val perExec = new java.util.concurrent.ConcurrentHashMap[String, Acc]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              val a = perExec.computeIfAbsent(te.taskInfo.executorId,
+                _ => Acc())
+              a.synchronized {
+                a.tasks += 1
+                a.taskMs += te.taskInfo.duration
+                a.diskSpill += m.diskBytesSpilled
+                a.memSpill += m.memoryBytesSpilled
+                a.shufWrite += m.shuffleWriteMetrics.bytesWritten
+                a.input += m.inputMetrics.bytesRead
+              }
             }
           }
-        }
-      })
+        })
 
-    println(s"[spill] master=${spark.sparkContext.master}" +
-      s" partitions=$parts dir=$dir")
-    val t0 = System.nanoTime()
-    graft.SparkEntry.queries("d_dedup_corpus")(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    println(f"[spill] d_dedup_corpus completed in $wall%.1f s")
+      println(s"[spill] master=${spark.sparkContext.master}" +
+        s" partitions=$parts dir=$dir")
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries("d_dedup_corpus")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[spill] d_dedup_corpus completed in $wall%.1f s")
 
-    import scala.jdk.CollectionConverters._
-    val rows = perExec.asScala.toSeq.sortBy(_._1)
-    def gb(v: Long) = f"${v / 1e9}%8.2f GB"
-    rows.foreach { case (eid, a) =>
-      println(f"[spill] executor $eid%-6s tasks ${a.tasks}%6d" +
-        f" taskTime ${a.taskMs / 1e3}%8.1f s  diskSpill ${gb(a.diskSpill)}" +
-        f"  memSpill ${gb(a.memSpill)}  shufWrite ${gb(a.shufWrite)}" +
-        f"  input ${gb(a.input)}")
+      import scala.jdk.CollectionConverters._
+      val rows = perExec.asScala.toSeq.sortBy(_._1)
+      def gb(v: Long) = f"${v / 1e9}%8.2f GB"
+      rows.foreach { case (eid, a) =>
+        println(f"[spill] executor $eid%-6s tasks ${a.tasks}%6d" +
+          f" taskTime ${a.taskMs / 1e3}%8.1f s  diskSpill ${gb(a.diskSpill)}" +
+          f"  memSpill ${gb(a.memSpill)}  shufWrite ${gb(a.shufWrite)}" +
+          f"  input ${gb(a.input)}")
+      }
+      val totalDisk = rows.map(_._2.diskSpill).sum
+      val totalShuf = rows.map(_._2.shufWrite).sum
+      println(f"[spill] total diskSpill ${gb(totalDisk)} shufWrite ${gb(totalShuf)}" +
+        s" across ${rows.size} executor ids")
+      if (totalDisk > 256L * 1024 * 1024) {
+        val shares = rows.map(r => r._2.diskSpill.toDouble / totalDisk)
+        println("[spill] disk-spill shares: " +
+          shares.map(s => f"$s%.2f").mkString(", "))
+        // relaunch-aware gate (ADVICE r10): a mid-run executor death —
+        // the exact regime this tool probes — splits one JVM slot's
+        // spill across two executor IDS, so requiring every id to carry
+        // > 10% would false-fail a healthy distribution. The failure
+        // mode the tool exists to catch is CONCENTRATION (a serialized
+        // heavy stage puts ~all spill through one executor), so the
+        // gate is an upper bound on the max share; relaunches are
+        // reported so a split-id run reads as what it is.
+        if (rows.size > nExec)
+          println(s"[spill] note: ${rows.size - nExec} executor relaunch(es)" +
+            " — one slot's spill may be split across ids")
+        require(rows.size >= 2 && shares.max <= 0.90,
+          s"spill concentrated: shares=${shares.mkString(",")} — " +
+            "a serialized heavy stage, not distributable capacity")
+        println("[spill] PASS: material spill distributes across executors")
+      } else
+        println("[spill] spill below the 256 MB floor at this octave — " +
+          "re-run at a higher factor for a material measurement")
+    } finally {
+      spark.stop()
+      // the reliable-checkpoint dir holds a full CC-label frame at
+      // blow-up scale — delete it on the way out (ADVICE r10)
+      import java.nio.file.{Files, Paths}
+      import java.util.Comparator
+      Files.walk(Paths.get(ckpt)).sorted(Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
     }
-    val totalDisk = rows.map(_._2.diskSpill).sum
-    val totalShuf = rows.map(_._2.shufWrite).sum
-    println(f"[spill] total diskSpill ${gb(totalDisk)} shufWrite ${gb(totalShuf)}" +
-      s" across ${rows.size} executor ids")
-    if (totalDisk > 256L * 1024 * 1024) {
-      val shares = rows.map(r => r._2.diskSpill.toDouble / totalDisk)
-      println("[spill] disk-spill shares: " +
-        shares.map(s => f"$s%.2f").mkString(", "))
-      // relaunch-aware gate (ADVICE r10): a mid-run executor death —
-      // the exact regime this tool probes — splits one JVM slot's
-      // spill across two executor IDS, so requiring every id to carry
-      // > 10% would false-fail a healthy distribution. The failure
-      // mode the tool exists to catch is CONCENTRATION (a serialized
-      // heavy stage puts ~all spill through one executor), so the
-      // gate is an upper bound on the max share; relaunches are
-      // reported so a split-id run reads as what it is.
-      if (rows.size > nExec)
-        println(s"[spill] note: ${rows.size - nExec} executor relaunch(es)" +
-          " — one slot's spill may be split across ids")
-      require(rows.size >= 2 && shares.max <= 0.90,
-        s"spill concentrated: shares=${shares.mkString(",")} — " +
-          "a serialized heavy stage, not distributable capacity")
-      println("[spill] PASS: material spill distributes across executors")
-    } else
-      println("[spill] spill below the 256 MB floor at this octave — " +
-        "re-run at a higher factor for a material measurement")
-    spark.stop()
-    // the reliable-checkpoint dir holds a full CC-label frame at
-    // blow-up scale — delete it on the way out (ADVICE r10)
-    import java.nio.file.{Files, Paths}
-    import java.util.Comparator
-    Files.walk(Paths.get(ckpt)).sorted(Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
   }
 }

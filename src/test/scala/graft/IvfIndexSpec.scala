@@ -253,6 +253,107 @@ class IvfIndexSpec extends SparkSpec {
     assert(after <= 4, s"expected compacted layout, found $after files")
   }
 
+  test("crash-window double-append self-heals at compact: probes match a never-duplicated index") {
+    val emb = Tables(spark, sf).embeddings
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val probes = emb.limit(7)
+    // clean reference: one append
+    val dRef = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(base, dRef, nCells = 4)
+    IvfIndex.append(batch, dRef)
+    val ref = IvfIndex.topK(spark, dRef, probes, k = 5, nProbe = 4)
+      .collect().map(_.toString).sorted
+    val refRows = spark.read.parquet(s"$dRef/codes.parquet").count()
+    // the StreamingIndexer crash window: data written, marker lost,
+    // batch replayed → the SAME rows land twice
+    val dDup = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(base, dDup, nCells = 4)
+    IvfIndex.append(batch, dDup)
+    IvfIndex.append(batch, dDup)
+    val dupRows = spark.read.parquet(s"$dDup/codes.parquet").count()
+    assert(dupRows == refRows + batch.count(),
+      s"planted double-append: $dupRows rows vs clean $refRows")
+    // compact collapses the bit-identical replicas during its rewrite
+    IvfIndex.compact(spark, dDup)
+    val healedRows = spark.read.parquet(s"$dDup/codes.parquet")
+    assert(healedRows.count() == refRows)
+    assert(healedRows.select("vec_id").distinct().count() == refRows,
+      "duplicate vec_ids survived compact")
+    val healed = IvfIndex.topK(spark, dDup, probes, k = 5, nProbe = 4)
+      .collect().map(_.toString).sorted
+    assert(healed.sameElements(ref),
+      "a healed index must probe identically to a never-duplicated one")
+  }
+
+  test("compact fails loudly when one vec_id was re-ingested with conflicting content") {
+    val emb = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), dir, nCells = 4)
+    // same id, two DIFFERENT embeddings across appends — no winner is
+    // recoverable, so the strict-identical policy must refuse to pick
+    val one = emb.filter(col("vec_id") % 2 === 1).limit(1)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    IvfIndex.append(one, dir)
+    IvfIndex.append(one.withColumn("embedding", reverse(col("embedding"))), dir)
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.compact(spark, dir)
+    }
+    assert(ex.getMessage.contains("CONFLICTING"), ex.getMessage)
+    // the failed compact must leave the index probable (staging never
+    // swapped in)
+    assert(IvfIndex.topK(spark, dir, emb.limit(3), k = 2, nProbe = 2)
+      .collect().nonEmpty)
+  }
+
+  test("stream ledger prunes below the high-water mark at compaction; replay stays inert") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), dir, nCells = 4)
+    val rows = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingIndexer.indexSink(
+      mem.toDF().toDF("vec_id", "embedding"), dir, compactEvery = 4)
+    (0 until 8).foreach { b =>
+      mem.addData(rows.filter(_._1 % 16 == 2 * b + 1).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val restDf = emb.limit(10).select("vec_id", "embedding")
+    // two compactions ran (counts 4 and 8) — the ledger is pruned to a
+    // single high-water file, NOT eight markers
+    // raw listing (NOT hadoop's, which hides its .crc shadows) minus
+    // the checksum files — the ledger entries themselves
+    def ledgerFiles() = new java.io.File(s"$dir/stream_commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(ledgerFiles() == Seq("_hwm_7"), ledgerFiles().mkString(","))
+    assert(graft.streaming.StreamingIndexer
+      .committedBatches(restDf, dir) == 8L)
+    // replay of a PRUNED batchId is still inert (the hwm path)
+    assert(!graft.streaming.StreamingIndexer.appendBatch(restDf, dir, 0L))
+    assert(!graft.streaming.StreamingIndexer.appendBatch(restDf, dir, 7L))
+    // a fresh NON-CONTIGUOUS id appends and survives pruning — the
+    // prune never assumes an id it hasn't seen
+    assert(graft.streaming.StreamingIndexer.appendBatch(
+      restDf.limit(0), dir, 99L))
+    assert(graft.streaming.StreamingIndexer.pruneLedger(restDf, dir) == 7L)
+    assert(ledgerFiles() == Seq("99", "_hwm_7"), ledgerFiles().mkString(","))
+    assert(graft.streaming.StreamingIndexer
+      .committedBatches(restDf, dir) == 9L)
+    // the next contiguous id extends the prefix; the gap marker stays
+    assert(graft.streaming.StreamingIndexer.appendBatch(
+      restDf.limit(0), dir, 8L))
+    assert(graft.streaming.StreamingIndexer.pruneLedger(restDf, dir) == 8L)
+    assert(ledgerFiles() == Seq("99", "_hwm_8"), ledgerFiles().mkString(","))
+    assert(graft.streaming.StreamingIndexer
+      .committedBatches(restDf, dir) == 10L)
+  }
+
   test("rebuilding the index is idempotent; probes see the new build") {
     val emb = Tables(spark, sf).embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString

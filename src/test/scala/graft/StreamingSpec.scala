@@ -194,7 +194,13 @@ class StreamingSpec extends SparkSpec {
       // must stay inert — this doc sits ON the benchmark direction
       // and must be gated despite the id match
       (100L, ts("2024-01-01 10:03:00"), good + " id collision case",
-        Array(1f, 0f, 0f, 0f)))
+        Array(1f, 0f, 0f, 0f)),
+      // NULL embedding: the doc cannot be semantically screened — the
+      // documented policy ADMITS it (no benchmark match is clean) with
+      // sem_cos6 = -1, instead of the silent null-predicate rejection
+      // that would be indistinguishable from real contamination
+      (4L, ts("2024-01-01 10:04:00"), good + " embedding never computed",
+        null.asInstanceOf[Array[Float]]))
     val mem = MemoryStream[(Long, Timestamp, String, Array[Float])]
     val q = graft.streaming.StreamingIntake.intake(
         mem.toDF().toDF("doc_id", "ts", "text", "embedding"),
@@ -206,9 +212,9 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val streamed = spark.table("intake_sem")
     val kept = streamed.select("doc_id").as[Long].collect().toSet
-    // doc 1 orthogonal (cos 0), doc 3 at cos 0.5 < 0.9;
-    // doc 2 at cos ≈ 0.995 ≥ 0.9 → rejected
-    assert(kept == Set(1L, 3L), kept.toSeq.sorted.mkString(","))
+    // doc 1 orthogonal (cos 0), doc 3 at cos 0.5 < 0.9, doc 4
+    // unscreenable-null admitted; doc 2 at cos ≈ 0.995 ≥ 0.9 → rejected
+    assert(kept == Set(1L, 3L, 4L), kept.toSeq.sorted.mkString(","))
     // the emitted cosine is the SAME grid value the batch screen
     // computes, and the batch twin admits the identical rows
     val sc = streamed.select("doc_id", "sem_cos6").collect()
@@ -219,7 +225,7 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "sem_cos6").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(batch == sc, s"batch=$batch streamed=$sc")
-    assert(sc(1L) == 0.0 && sc(3L) == 0.5, sc.toString)
+    assert(sc(1L) == 0.0 && sc(3L) == 0.5 && sc(4L) == -1.0, sc.toString)
     // schema compat: the semantic column appears only when the gate is
     // on, composes with the bloom gate's column, and the no-gate
     // schema is unchanged
