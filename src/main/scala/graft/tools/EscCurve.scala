@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   * tie field: the cost curve on the corpus shape a deployment whose
   * low_headroom stats stay quiet actually has.
   *
+  * `probeReps` (5th arg) scales the planted mode's probe VOLUME
+  * (PlantGeom probe copies, each keeping its planted partner): the
+  * construction otherwise pins probes to base/10 = 200, which leaves
+  * every arm bound by the loop's per-job fixed cost rather than
+  * kernel work — the regime the sf-floor story already covers.
+  *
   * Usage: EscCurve <dir> [eps,eps,...=0.05,0.01,0.002]
-  *          [factor=1] [jitter=0.2]
+  *          [factor=1] [jitter=0.2] [probeReps=1]
   */
 object EscCurve {
   def main(args: Array[String]): Unit = {
@@ -36,6 +42,7 @@ object EscCurve {
       .split(',').map(_.toDouble).toSeq
     val factor = args.lift(2).map(_.toInt).getOrElse(1)
     val jitter = args.lift(3).map(_.toDouble).getOrElse(0.2)
+    val probeReps = args.lift(4).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-esc-curve")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS",
@@ -46,26 +53,40 @@ object EscCurve {
     val emb =
       if (!plant) graft.Tables(spark, dir).embeddings
       else {
-        // planted healthy geometry at a blow octave (shift 0.25 =
-        // MarginDriftCheck's default drift), materialized across
+        // planted healthy geometry at a blow octave (shift 0.1 = the
+        // config MarginDriftCheck evidences as healthy: 64× plant
+        // recall 0.9551, zero cross-family), materialized across
         // real partitions (the drive-fixture rule)
         val f = PlantGeom.frame(
             graft.Tables(spark, dir).embeddings
               .select(col("vec_id"), col("embedding")),
-            shift = 0.25, factor = factor, jitter = jitter, plant = true)
+            shift = 0.1, factor = factor, jitter = jitter, plant = true,
+            probeReps = probeReps)
           .repartition(cpus * 4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         println(s"[esccurve] planted geometry: ${f.count()} rows" +
-          s" (factor=$factor jitter=$jitter)")
+          s" (factor=$factor jitter=$jitter probeReps=$probeReps)")
         f
       }
-    val idx = graft.sources.AnnIndexCache.dirFor(emb,
-      s"$dir#embeddings#plant=$plant#f=$factor#j=$jitter")
     val probeF =
       if (plant) PlantGeom.probeFilter else col("vec_id") % 10 === 0
     val targetF =
       if (plant) PlantGeom.targetFilter(plant = true)
       else col("vec_id") % 2 === 1
+    // plant mode indexes the TARGETS only (the MarginDriftCheck
+    // pattern): with probeReps the probe copies form a dense
+    // cos≈0.997 cluster, and a full-frame index lets that cluster
+    // eat every probe's nProbe cells AND its top-m candidate budget
+    // before the target filter (measured: the wide pass's entire
+    // top-32 was probe clones — wide emits starved to 134/40k and
+    // escalation could never drop a pair). The registry's own _ivf
+    // queries keep the full-emb index: their probes are corpus
+    // members, not clones, and self-exclusion handles the identity
+    // case.
+    val idx =
+      if (plant) graft.sources.AnnIndexCache.dirFor(emb.filter(targetF),
+        s"$dir#embeddings#plant#f=$factor#j=$jitter#p=$probeReps#targets")
+      else graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
     // ONE threshold for the timed arms AND the flagged-fraction probe
     // (ADVICE r11): hardcoding 1.02 in the probe while the arms ride
     // marginAlignIvf's default would silently diverge if the default

@@ -33,12 +33,24 @@ object PlantGeom {
     * centroids), re-keyed at ProbeBase. Caller repartitions and
     * persists (the drive-fixture rule: the blow-up descends from a
     * broadcast crossJoin — ONE input split without it).
+    *
+    * `probeReps > 1` (plant mode only) replicates each probe with a
+    * tiny deterministic jitter (the planted partner's own amplitude,
+    * jitter/200) — every copy keeps the SAME distinctly-best partner,
+    * so the geometry stays the evidenced plant regime while the probe
+    * VOLUME scales to deployment shape (the construction pins probe
+    * count to base/10 otherwise, which leaves a cost drive bound by
+    * per-job fixed cost instead of kernel work). Copy ids stack at
+    * ProbeBase + pr·1e9 + vec_id.
     */
   def frame(base: DataFrame, shift: Double, factor: Int,
-      jitter: Double, plant: Boolean): DataFrame = {
+      jitter: Double, plant: Boolean, probeReps: Int = 1): DataFrame = {
     require(!plant || factor > 1, "plant mode needs a blow-up factor")
+    require(probeReps == 1 || plant, "probeReps needs plant mode")
     require(factor.toLong * 10000000L + 10000000L < ProbeBase,
       s"factor $factor overflows the replica id space under ProbeBase")
+    require(probeReps.toLong * 1000000000L + 10000000L < ProbeBase,
+      s"probeReps $probeReps overflows the probe-copy id space")
     val spark = base.sparkSession
     val emb =
       if (factor <= 1) base
@@ -58,13 +70,24 @@ object PlantGeom {
             x + (pmod(hash(col("vec_id"), col("rep"), i), lit(41)) - lit(20))
               .cast("float") * amp).as("embedding"))
       }
-    val probes = emb.filter(
+    val probes0 = emb.filter(
         if (plant) col("vec_id") < 10000000L && col("vec_id") % 10 === 0
         else col("vec_id") % 10 === 0)
       .select((col("vec_id") + ProbeBase).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           x + when(i % 2 === 1, lit(shift.toFloat)).otherwise(lit(0f)))
           .as("embedding"))
+    val probes =
+      if (probeReps <= 1) probes0
+      else {
+        val prs = spark.range(0, probeReps.toLong).select(col("id").as("pr"))
+        probes0.crossJoin(prs).select(
+          (col("vec_id") + col("pr") * 1000000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + (pmod(hash(col("vec_id"), col("pr"), i), lit(41)) - lit(20))
+              .cast("float") * lit((jitter / 200.0).toFloat))
+            .as("embedding"))
+      }
     emb.unionAll(probes)
   }
 
