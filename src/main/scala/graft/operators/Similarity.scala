@@ -281,12 +281,24 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         VectorFns.norm(col("embedding")).as("nrm"))
     val probes = emb.filter(probeFilter)
-    val baseScored =
+    val baseScored0 =
       ivfMarginScores(spark, probes, targets, indexDir, nProbe, m)
-    val base = marginFromTop2(baseScored, marginMin)
     if (escalateNProbe <= nProbe) {
+      val base = marginFromTop2(baseScored0, marginMin)
       if (withStats) attachHeadroomStats(base, marginMin) else base
     } else {
+      // ONE materialization of the scored base candidates (probe-
+      // bounded: ≤ m rows per probe) feeds BOTH the base verdicts and
+      // the escalated union. The index probe inside ivfMarginScores is
+      // already checkpointed (IvfIndex.topK), but the targets re-join
+      // downstream of it is CORPUS-sized — without this checkpoint the
+      // union's re-read re-executes that join a second time, a
+      // flag-count-independent cost that dominates escalation on
+      // thin-probe/big-corpus shapes (r12 planted curve: esc/wide
+      // ~1.5-1.7 at EVERY flag rate before; the re-join, not the
+      // re-probe, was the wall)
+      val baseScored = baseScored0.localCheckpoint()
+      val base = marginFromTop2(baseScored, marginMin)
       // the base verdict is read twice (flag split + union) and feeds
       // the escalated probe semi join — checkpoint, not persist: the
       // emitted set is probe-bounded, and a persisted plan would

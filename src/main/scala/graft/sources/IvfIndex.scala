@@ -36,6 +36,37 @@ object IvfIndex {
     */
   private val ProbeCellRowBytes = 200L
 
+  /** Probe-density threshold of the broadcast probe path: when the
+    * estimated candidate volume exceeds this multiple of the probed
+    * codes slice, the scan runs the sorted cell-run KERNEL even when
+    * the probe frame itself is broadcastable. The bytes gate alone
+    * answers FEASIBILITY (can the probe frame broadcast?), not which
+    * path is faster — every candidate row in the broadcast path
+    * crosses the ~1 µs/row TypedImperativeAggregate boundary, while
+    * the kernel pays a pinned-width EXCHANGE of the probed codes
+    * slice and keeps the quadratic inside mapPartitions. Both costs
+    * scale with the corpus, so the discriminant is their RATIO —
+    * candidates / probed-slice rows, i.e. probes-per-probed-cell
+    * density. Measured (tools/IvfPathAB, min-of-2 per path,
+    * interleaved): ratio ≈ 10 (sf scale, 20 k candidates) = 0.8 vs
+    * 0.8 s tie; ratio 40 (5.1 M) = 3.0 vs 2.8 s and (20.5 M) = 7.8
+    * vs 6.1 s, mild kernel wins; ratio ≈ 312 (1.3 G over a 4.1 M
+    * index) = broadcast 208.4 s vs kernel 29.2 s, 7×. The absolute-
+    * volume form of this gate was measured WRONG on the other side:
+    * a sparse escalation re-probe (12.8 k probe-cell rows over the
+    * whole cell set, ratio ≈ 13) was forced onto the kernel and paid
+    * the full corpus-slice exchange for a handful of probes —
+    * esc/wide 1.65 at 9% flags. 24 sits between the measured tie
+    * band and the first material win.
+    *
+    * The per-cell form needs NO size statistics: candidates =
+    * Σ_cells probes(c)·rows(c) vs exchange = Σ_cells rows(c), and
+    * with rows(c) ≈ avg both sides carry the same cell-size factor —
+    * the ratio is just probe-cell rows per probed cell, known
+    * exactly from the cellCounts job the probe pass already runs.
+    */
+  private val CandPerSliceRatio = 24L
+
   /** The centroid table, collected driver-side in cell order — cells
     * rows (≤ maxCells, thousands), a constant-size fetch at any
     * corpus scale; feeds the native per-probe cell selection.
@@ -276,7 +307,8 @@ object IvfIndex {
     // (per-partition slices of the probe set, spill-free because
     // bounded per partition). Results identical either way; the
     // probe-cell row count already rode the cellSet job above.
-    val probeBytes = cellCounts.map(_.getLong(1)).sum * ProbeCellRowBytes
+    val probeCellRows = cellCounts.map(_.getLong(1)).sum
+    val probeBytes = probeCellRows * ProbeCellRowBytes
     // test hook (the minhash fatCache pattern): "broadcast"/"kernel"
     // pins the path so the parity spec can run both at spec scale
     val forced = sys.props.get("graft.ivf.probePath")
@@ -284,7 +316,8 @@ object IvfIndex {
       case Some("broadcast") => true
       case Some("kernel") => false
       case _ =>
-        probeBytes < graft.operators.Dedup.buildBudgetBytes(probeCells)
+        probeBytes < graft.operators.Dedup.buildBudgetBytes(probeCells) &&
+          probeCellRows < CandPerSliceRatio * math.max(1, cellSet.length)
     }
     val survivors =
       if (thinProbe)

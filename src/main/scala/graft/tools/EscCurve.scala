@@ -55,17 +55,28 @@ object EscCurve {
       else {
         // planted healthy geometry at a blow octave (shift 0.1 = the
         // config MarginDriftCheck evidences as healthy: 64× plant
-        // recall 0.9551, zero cross-family), materialized across
-        // real partitions (the drive-fixture rule)
-        val f = PlantGeom.frame(
+        // recall 0.9551, zero cross-family), written to PARQUET once
+        // at setup: the arms clearCache() (no cross-arm flattery),
+        // so an in-memory construction would re-run its 4.1M-row
+        // crossJoin lineage at EVERY consumer — and the esc arm has
+        // more consumers (targets ×2, probes ×2, pframe ×2) than the
+        // wide arm, biasing the comparison. A file-backed corpus
+        // re-scans cheaply and matches the replica-family curve's
+        // conditions (measured: the fixture re-runs inflated esc
+        // arms ~2× while wide moved little)
+        val pdir = java.nio.file.Files
+          .createTempDirectory("graft-esc-plant").toString
+        PlantGeom.frame(
             graft.Tables(spark, dir).embeddings
               .select(col("vec_id"), col("embedding")),
             shift = 0.1, factor = factor, jitter = jitter, plant = true,
             probeReps = probeReps)
           .repartition(cpus * 4)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .write.mode("overwrite").parquet(s"$pdir/embeddings.parquet")
+        val f = spark.read.parquet(s"$pdir/embeddings.parquet")
         println(s"[esccurve] planted geometry: ${f.count()} rows" +
-          s" (factor=$factor jitter=$jitter probeReps=$probeReps)")
+          s" (factor=$factor jitter=$jitter probeReps=$probeReps," +
+          s" file-backed at $pdir)")
         f
       }
     val probeF =
