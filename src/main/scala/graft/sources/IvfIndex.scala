@@ -67,6 +67,27 @@ object IvfIndex {
     */
   private val CandPerSliceRatio = 24L
 
+  /** Restore a codes dataset stranded mid-[[compact]] swap: the swap
+    * renames codes→old then staging→codes, so a crash between the two
+    * leaves NO `codes.parquet` while the data sits intact in `.old` —
+    * the index would be unprobeable until a human renamed it back.
+    * Every entry point (probe, append, compact) checks and restores;
+    * the check is two driver-side fs.exists calls when healthy. The
+    * stranded staging dir (if any) is NOT promoted — it may be
+    * incomplete, and the compaction that produced it re-runs cheaply —
+    * compact deletes it before rebuilding.
+    */
+  private def healSwap(spark: SparkSession, dir: String): Unit = {
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.old")
+    if (!fs.exists(codes) && fs.exists(old)) {
+      if (!fs.rename(old, codes))
+        sys.error(s"healSwap: cannot restore $old to $codes")
+      spark.catalog.refreshByPath(codes.toString)
+    }
+  }
+
   /** The centroid table, collected driver-side in cell order — cells
     * rows (≤ maxCells, thousands), a constant-size fetch at any
     * corpus scale; feeds the native per-probe cell selection.
@@ -130,6 +151,7 @@ object IvfIndex {
     */
   def append(emb: DataFrame, dir: String): Unit = {
     val spark = emb.sparkSession
+    healSwap(spark, dir)
     // exhaustive (coarse = false) nearest-centroid ASSIGNMENT — one
     // narrow native pass, batch-linear, no probes×cells window
     val assigned = emb.select(col("vec_id"), col("embedding"),
@@ -178,6 +200,7 @@ object IvfIndex {
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    healSwap(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val codes = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
     val fs = codes.getFileSystem(conf)
@@ -256,6 +279,7 @@ object IvfIndex {
   private[graft] def topKPlan(spark: SparkSession, dir: String,
       probeEmb: DataFrame, k: Int, nProbe: Int,
       excludeNProbe: Int = 0): (DataFrame, DataFrame) = {
+    healSwap(spark, dir)
     val probes = probeEmb.select(col("vec_id").as("probe_id"),
       col("embedding").as("emb_p"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm_p"))

@@ -121,20 +121,43 @@ object StreamingIndexer {
     * and delete the markers it covers. Non-contiguous ids (a test's
     * hand-planted batchId far ahead) stay as live markers — the prune
     * never assumes an id it hasn't seen. Returns the new hwm.
+    *
+    * Residue reclaim: the covered-file deletes run even when the mark
+    * did NOT advance — a prune interrupted between writing the new hwm
+    * and deleting the files it covers leaves markers ≤ hwm and a stale
+    * lower hwm file that no contiguity advance would ever revisit
+    * (counting stays exact either way — covered markers are ignored —
+    * but the ledger would exceed its documented ≈compactEvery files).
     */
   def pruneLedger(batch: DataFrame, dir: String): Long = {
     val fs = fsFor(batch, dir)
     val (h0, markers) = ledgerState(fs, dir)
     var h = h0
     markers.sorted.foreach { id => if (id == h + 1) h = id }
-    if (h > h0) {
+    // crash-safety order: the new hwm exists BEFORE anything it covers
+    // is deleted, so an interruption only leaves extra files that a
+    // later prune (this same sweep) reclaims — never un-commits a batch
+    if (h > h0)
       fs.create(new Path(ledgerDir(dir), s"$HwmPrefix$h"), true).close()
-      if (h0 >= 0)
-        fs.delete(new Path(ledgerDir(dir), s"$HwmPrefix$h0"), false)
-      markers.filter(_ <= h)
-        .foreach(id => fs.delete(ledgerPath(dir, id), false))
+    if (h >= 0) {
+      fs.listStatus(ledgerDir(dir)).map(_.getPath.getName).foreach { n =>
+        val stale =
+          if (n.startsWith(HwmPrefix)) n.stripPrefix(HwmPrefix).toLong < h
+          else n.nonEmpty && n.forall(_.isDigit) && n.toLong <= h
+        if (stale) fs.delete(new Path(ledgerDir(dir), n), false)
+      }
     }
     h
+  }
+
+  /** Largest committed batchId the ledger knows: the hwm and every
+    * live marker above it. A checkpoint-recovered stream can only
+    * replay THIS id (marker written, checkpoint commit lost) or
+    * continue past it — never deliver a smaller one.
+    */
+  private def maxCommittedId(fs: FileSystem, dir: String): Long = {
+    val (hwm, markers) = ledgerState(fs, dir)
+    (hwm +: markers).max
   }
 
   /** Attach the maintenance sink to a streaming (vec_id, embedding)
@@ -142,24 +165,58 @@ object StreamingIndexer {
     * ledger prune) every `compactEvery` committed batches. The index
     * at `dir` must be [[graft.sources.IvfIndex.build]]-built already
     * (the deployment premise: an index predates its ingest stream).
+    *
+    * RESTART CONTRACT: the ledger keys idempotency on `batchId`, and
+    * batchIds are only stable across driver restarts when the query
+    * recovers from a CHECKPOINT — pass `checkpointLocation` (threaded
+    * to `writeStream`, the StreamingMain pattern) on any stream that
+    * may outlive its driver. A restarted query WITHOUT the recovered
+    * checkpoint renumbers batches from 0, and the hwm check above
+    * would then silently SKIP every fresh batch until the counter
+    * climbed past the old high-water mark — silent data loss on the
+    * sink's own ingest-forever premise. The sink DETECTS that case
+    * and fails the query instead: a live stream delivering a batchId
+    * strictly below the ledger's max committed id cannot be a
+    * checkpoint recovery (recovery replays at most the LATEST
+    * committed batch, then continues past it), so the skip refuses
+    * loudly rather than dropping data. The one ambiguous shape — a
+    * renumbered stream whose ledger holds a single committed batch 0
+    * — is indistinguishable from a genuine replay of batch 0 and is
+    * documented here as the reason the checkpoint, not the guard, is
+    * the contract.
     */
   def indexSink(emb: DataFrame, dir: String,
-      compactEvery: Int = 16): StreamingQuery =
-    emb.writeStream
+      compactEvery: Int = 16,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = emb.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (appendBatch(batch, dir, batchId) &&
-            compactEvery > 0 &&
-            committedBatches(batch, dir) % compactEvery == 0) {
-          val (before, after) =
-            graft.sources.IvfIndex.compact(batch.sparkSession, dir)
-          val hwm = pruneLedger(batch, dir)
-          // compaction is maintenance, not correctness — surface it
-          System.err.println(
-            s"[indexer] compacted $dir after batch $batchId:" +
-              s" $before -> $after files, ledger pruned to hwm=$hwm")
+        if (appendBatch(batch, dir, batchId)) {
+          if (compactEvery > 0 &&
+              committedBatches(batch, dir) % compactEvery == 0) {
+            val (before, after) =
+              graft.sources.IvfIndex.compact(batch.sparkSession, dir)
+            val hwm = pruneLedger(batch, dir)
+            // compaction is maintenance, not correctness — surface it
+            System.err.println(
+              s"[indexer] compacted $dir after batch $batchId:" +
+                s" $before -> $after files, ledger pruned to hwm=$hwm")
+          }
+        } else {
+          val maxId = maxCommittedId(fsFor(batch, dir), dir)
+          require(batchId >= maxId,
+            s"indexSink: live batchId $batchId is below the ledger's max " +
+              s"committed id $maxId at $dir — a checkpoint-recovered " +
+              "stream can only replay the latest committed batch, so this " +
+              "query was restarted WITHOUT its checkpoint and its " +
+              "renumbered batches would be silently dropped by the " +
+              "idempotency ledger; restart from the original " +
+              "checkpointLocation (or point a genuinely new stream at a " +
+              "fresh index dir)")
         }
         ()
       }
       .outputMode("update")
-      .start()
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
 }

@@ -99,14 +99,22 @@ object StreamingIntake {
         // benchmark match (empty artifact) is clean by definition.
         // POLICY for a null embedding (the argmax is null-safe, so
         // __sc is null): the doc CANNOT be semantically screened and
-        // is ADMITTED with sem_cos6 = -1 — consistent with "no
-        // benchmark match is clean"; without the explicit isNull
-        // disjunct the null predicate would silently REJECT it,
-        // indistinguishable from a genuine contamination rejection
+        // is ADMITTED — consistent with "no benchmark match is clean";
+        // without the explicit isNull disjunct the null predicate
+        // would silently REJECT it, indistinguishable from a genuine
+        // contamination rejection
         .filter(col("__sc").isNull || col("__sc.bench_id") < 0 ||
           col("__sc.grid") < lit(semTauMicro.toDouble))
+        // sem_cos6 is the downstream AUDIT column, so its three admit
+        // shapes stay distinguishable: a real best-benchmark cosine;
+        // -1 for "screened against an empty benchmark" (bench_id < 0);
+        // NULL for "never screened at all" (no embedding — the
+        // fail-open admit a curator may want to re-screen once the
+        // embedding lands). Collapsing the last two onto one sentinel
+        // would hide which admits bypassed the gate entirely.
         .withColumn("sem_cos6",
-          when(col("__sc.bench_id") >= 0, col("__sc.grid") / 1e6)
+          when(col("__sc").isNull, lit(null).cast("double"))
+            .when(col("__sc.bench_id") >= 0, col("__sc.grid") / 1e6)
             .otherwise(lit(-1.0)))
         .drop("__sc", "embedding")
       case None => gated

@@ -50,6 +50,11 @@ object EscCurve {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
 
     val plant = factor > 1
+    // plant mode writes a factor×corpus parquet fixture — delete it on
+    // the way out (the SpillCheck try/finally pattern; repeated curve
+    // runs would otherwise accumulate GBs in /tmp)
+    var plantDir: Option[java.nio.file.Path] = None
+    try {
     val emb =
       if (!plant) graft.Tables(spark, dir).embeddings
       else {
@@ -64,8 +69,11 @@ object EscCurve {
         // re-scans cheaply and matches the replica-family curve's
         // conditions (measured: the fixture re-runs inflated esc
         // arms ~2× while wide moved little)
-        val pdir = java.nio.file.Files
-          .createTempDirectory("graft-esc-plant").toString
+        val pdir = {
+          val p = java.nio.file.Files.createTempDirectory("graft-esc-plant")
+          plantDir = Some(p)
+          p.toString
+        }
         PlantGeom.frame(
             graft.Tables(spark, dir).embeddings
               .select(col("vec_id"), col("embedding")),
@@ -157,6 +165,13 @@ object EscCurve {
         f" emitted $escN vs wide $wideN")
       Console.flush()
     }
-    spark.stop()
+    } finally {
+      spark.stop()
+      plantDir.foreach { p =>
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => java.nio.file.Files.deleteIfExists(x))
+      }
+    }
   }
 }

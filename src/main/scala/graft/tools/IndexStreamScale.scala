@@ -47,9 +47,14 @@ object IndexStreamScale {
     val headMax = head.agg(max("vec_id")).head().getLong(0)
     val rest = emb.filter(col("vec_id") > headMax)
     val source = MemoryStream[(Long, Array[Float])]
+    // the production shape: a checkpointed sink (the r13 restart
+    // contract) — costs one offset/commit log write per batch, which
+    // the per-batch walls below then include honestly
     val q = graft.streaming.StreamingIndexer.indexSink(
       source.toDF().toDF("vec_id", "embedding"), idxDir,
-      compactEvery = compactEvery)
+      compactEvery = compactEvery,
+      checkpointLocation = Some(java.nio.file.Files
+        .createTempDirectory("graft-stream-ivf-chk").toString))
     val t0 = System.nanoTime()
     // an EMPTY pmod residue class (sparse vec_id distribution) must
     // not be submitted: an empty addData produces no micro-batch, so

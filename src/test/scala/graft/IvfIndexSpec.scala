@@ -354,6 +354,188 @@ class IvfIndexSpec extends SparkSpec {
       .committedBatches(restDf, dir) == 10L)
   }
 
+  test("incremental scan coverage: base ∪ excludeNProbe top-k contains the fresh-wide top-k") {
+    // the invariant marginAlignIvf's escalation rests on (and the
+    // r12 EscDebug investigation measured by hand before those
+    // one-shot mains were retired): the excludeNProbe scan visits
+    // exactly the wide selection's cells MINUS the base selection's,
+    // so any candidate ranked ≤ k by the fresh-wide scan is ranked
+    // ≤ k by whichever of base/incremental saw it (fewer competitors
+    // can only improve a rank) — the escalated union never loses a
+    // wide result. Directions can differ (the union may rank extra
+    // base candidates above wide's tail), which is why the assertion
+    // is containment, not equality.
+    val emb = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb, dir, nCells = 8)
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+    def pairs(nProbe: Int, excl: Int) =
+      IvfIndex.topK(spark, dir, probes, k = 8, nProbe = nProbe,
+          excludeNProbe = excl)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(4, 0)
+    val incr = pairs(8, 4)
+    val wide = pairs(8, 0)
+    assert(wide.nonEmpty && incr.nonEmpty)
+    val missing = wide -- (base ++ incr)
+    assert(missing.isEmpty,
+      s"${missing.size} wide pairs outside base ∪ incremental: " +
+        missing.take(5).mkString(","))
+  }
+
+  test("stream sink restarted FROM its checkpoint: replays stay inert, fresh data lands") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables(spark, sf).embeddings
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val probes = emb.limit(5)
+    // batch-append reference over ALL three ingest slices
+    val dRef = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(base, dRef, nCells = 4)
+    IvfIndex.append(rest, dRef)
+    val ref = IvfIndex.topK(spark, dRef, probes, k = 4, nProbe = 4)
+      .collect().map(_.toString).sorted
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-ivf-chk").toString
+    IvfIndex.build(base, dir, nCells = 4)
+    val rows = rest.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val slices = Array(
+      rows.filter(_._1 % 8 == 1), rows.filter(_._1 % 8 == 3),
+      rows.filter(r => r._1 % 8 == 5 || r._1 % 8 == 7))
+    // first driver lifetime: two batches through the checkpointed sink
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q1 = graft.streaming.StreamingIndexer.indexSink(
+      mem.toDF().toDF("vec_id", "embedding"), dir, compactEvery = 0,
+      checkpointLocation = Some(chk))
+    mem.addData(slices(0).toSeq: _*); q1.processAllAvailable()
+    mem.addData(slices(1).toSeq: _*); q1.processAllAvailable()
+    q1.stop()
+    val restDf = rest.select("vec_id", "embedding")
+    assert(graft.streaming.StreamingIndexer.committedBatches(restDf, dir) == 2L)
+    // "driver restart": a NEW query recovered from the SAME checkpoint
+    // — batchIds continue past the committed prefix instead of
+    // renumbering from 0, so the ledger's idempotency key stays valid
+    val q2 = graft.streaming.StreamingIndexer.indexSink(
+      mem.toDF().toDF("vec_id", "embedding"), dir, compactEvery = 0,
+      checkpointLocation = Some(chk))
+    mem.addData(slices(2).toSeq: _*); q2.processAllAvailable()
+    q2.stop()
+    assert(graft.streaming.StreamingIndexer.committedBatches(restDf, dir) == 3L)
+    // nothing double-landed, nothing dropped: the restarted stream's
+    // index probes bit-identically to the batch-append reference
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    assert(codes.count() ==
+      codes.select("vec_id").distinct().count(), "duplicate vec_ids")
+    val streamed = IvfIndex.topK(spark, dir, probes, k = 4, nProbe = 4)
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(ref),
+      s"restarted stream ${streamed.length} rows vs batch ${ref.length}")
+  }
+
+  test("stream sink restarted WITHOUT its checkpoint fails loudly instead of dropping batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), dir, nCells = 4)
+    val rows = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // two committed batches (max committed id = 1)
+    val mem1 = MemoryStream[(Long, Array[Float])]
+    val q1 = graft.streaming.StreamingIndexer.indexSink(
+      mem1.toDF().toDF("vec_id", "embedding"), dir, compactEvery = 0)
+    mem1.addData(rows.filter(_._1 % 8 == 1).toSeq: _*); q1.processAllAvailable()
+    mem1.addData(rows.filter(_._1 % 8 == 3).toSeq: _*); q1.processAllAvailable()
+    q1.stop()
+    val before = spark.read.parquet(s"$dir/codes.parquet").count()
+    // the restart-without-checkpoint mistake: a FRESH query renumbers
+    // batches from 0; the r12 hwm check alone would silently skip every
+    // fresh batch until the counter passed the old max — the sink must
+    // refuse instead (batchId 0 < max committed 1 is impossible under
+    // checkpoint recovery)
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.StreamingIndexer.indexSink(
+      mem2.toDF().toDF("vec_id", "embedding"), dir, compactEvery = 0)
+    mem2.addData(rows.filter(_._1 % 8 == 5).toSeq: _*)
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("restarted WITHOUT its checkpoint")),
+      messages(ex).mkString(" | "))
+    try q2.stop() catch { case _: Exception => () }
+    // and nothing was silently appended or dropped from the index
+    assert(spark.read.parquet(s"$dir/codes.parquet").count() == before)
+  }
+
+  test("a compact crash between the swap renames heals on next use") {
+    val emb = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), dir, nCells = 4)
+    IvfIndex.append(emb.filter(col("vec_id") % 2 === 1), dir)
+    val probes = emb.limit(7)
+    val ref = IvfIndex.topK(spark, dir, probes, k = 5, nProbe = 4)
+      .collect().map(_.toString).sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
+    val fs = codes.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.compacting")
+    def plantCrash(): Unit = {
+      // the mid-swap state: codes moved aside, replacement not yet in
+      // place (and a possibly-incomplete staging dir left behind)
+      assert(fs.rename(codes, old))
+      fs.mkdirs(tmp)
+      assert(!fs.exists(codes))
+    }
+    // a PROBE heals the stranded index transparently
+    plantCrash()
+    val healed = IvfIndex.topK(spark, dir, probes, k = 5, nProbe = 4)
+      .collect().map(_.toString).sorted
+    assert(healed.sameElements(ref), "probe after heal must match")
+    assert(fs.exists(codes) && !fs.exists(old))
+    // a COMPACT heals first, then completes its own rewrite
+    plantCrash()
+    val (nIn, nOut) = IvfIndex.compact(spark, dir)
+    assert(nOut <= nIn && fs.exists(codes) && !fs.exists(old) && !fs.exists(tmp))
+    assert(IvfIndex.topK(spark, dir, probes, k = 5, nProbe = 4)
+      .collect().map(_.toString).sorted.sameElements(ref))
+    // an APPEND heals before landing its batch
+    plantCrash()
+    IvfIndex.append(emb.limit(1)
+      .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding")), dir)
+    assert(fs.exists(codes) && !fs.exists(old))
+    assert(spark.read.parquet(codes.toString)
+      .filter(col("vec_id") >= 20000000L).count() == 1L)
+  }
+
+  test("an interrupted prune's residue is reclaimed by the next prune") {
+    val emb = Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val restDf = emb.limit(1).select("vec_id", "embedding")
+    val ledger = new java.io.File(s"$dir/stream_commits")
+    ledger.mkdirs()
+    // the interrupted-prune shape: _hwm_5 was written, then the crash —
+    // covered markers (3, 4) and the superseded _hwm_2 survive; a live
+    // marker (7, non-contiguous: 6 is missing) must NOT be touched
+    Seq("_hwm_5", "_hwm_2", "3", "4", "7")
+      .foreach(n => new java.io.File(ledger, n).createNewFile())
+    // no contiguity advance is possible (6 missing), yet the residue is
+    // swept — the r12 prune only cleaned when the mark advanced
+    assert(graft.streaming.StreamingIndexer.pruneLedger(restDf, dir) == 5L)
+    val files = ledger.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    assert(files == Seq("7", "_hwm_5"), files.mkString(","))
+    assert(graft.streaming.StreamingIndexer
+      .committedBatches(restDf, dir) == 7L)
+  }
+
   test("rebuilding the index is idempotent; probes see the new build") {
     val emb = Tables(spark, sf).embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString

@@ -197,8 +197,10 @@ class StreamingSpec extends SparkSpec {
         Array(1f, 0f, 0f, 0f)),
       // NULL embedding: the doc cannot be semantically screened — the
       // documented policy ADMITS it (no benchmark match is clean) with
-      // sem_cos6 = -1, instead of the silent null-predicate rejection
-      // that would be indistinguishable from real contamination
+      // sem_cos6 = NULL (auditably distinct from -1 = screened against
+      // an empty benchmark), instead of the silent null-predicate
+      // rejection that would be indistinguishable from real
+      // contamination
       (4L, ts("2024-01-01 10:04:00"), good + " embedding never computed",
         null.asInstanceOf[Array[Float]]))
     val mem = MemoryStream[(Long, Timestamp, String, Array[Float])]
@@ -216,16 +218,19 @@ class StreamingSpec extends SparkSpec {
     // unscreenable-null admitted; doc 2 at cos ≈ 0.995 ≥ 0.9 → rejected
     assert(kept == Set(1L, 3L, 4L), kept.toSeq.sorted.mkString(","))
     // the emitted cosine is the SAME grid value the batch screen
-    // computes, and the batch twin admits the identical rows
-    val sc = streamed.select("doc_id", "sem_cos6").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val batch = graft.streaming.StreamingIntake.intakeBatch(
-        docs.toDF("doc_id", "ts", "text", "embedding"),
-        semBench = Some(art), semTauMicro = 900000L)
-      .select("doc_id", "sem_cos6").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // computes, and the batch twin admits the identical rows; the
+    // unscreenable (null-embedding) admit carries a NULL audit value
+    def cosMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "sem_cos6").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val sc = cosMap(streamed)
+    val batch = cosMap(graft.streaming.StreamingIntake.intakeBatch(
+      docs.toDF("doc_id", "ts", "text", "embedding"),
+      semBench = Some(art), semTauMicro = 900000L))
     assert(batch == sc, s"batch=$batch streamed=$sc")
-    assert(sc(1L) == 0.0 && sc(3L) == 0.5 && sc(4L) == -1.0, sc.toString)
+    assert(sc(1L) == Some(0.0) && sc(3L) == Some(0.5) && sc(4L) == None,
+      sc.toString)
     // schema compat: the semantic column appears only when the gate is
     // on, composes with the bloom gate's column, and the no-gate
     // schema is unchanged
@@ -496,5 +501,94 @@ class StreamingSpec extends SparkSpec {
     // the planted heavies rank first
     val ranked = spark.table("hh").orderBy("rank").collect().map(_.getString(1))
     assert(ranked.take(2).toSet == Set("hot", "warm"), ranked.mkString(","))
+  }
+
+  test("stateful streams recover from a checkpoint: dedup state and drift windows survive a restart") {
+    // the recovery leg of the soak story (VERDICT r12 #5): the batch
+    // parity specs above drive one uninterrupted query per stream —
+    // this one stops the query MID-STREAM and restarts it from its
+    // checkpoint (parquet sink + checkpointLocation, the production
+    // shape StreamingMain runs), asserting the restarted run's output
+    // is identical to an uninterrupted run of the same feed. The
+    // state crossing the restart is the point: a pre-restart doc must
+    // still suppress its post-restart duplicate (dropDuplicates
+    // WithinWatermark state), and a drift window must combine token
+    // counts from both sides of the restart (flatMapGroupsWithState).
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+
+    // ---- intake: cross-restart dedup ----------------------------
+    val textA = "spark keeps the shuffle and the sort and the merge plan"
+    val textB = "a wholly different document body with its own words here"
+    val textC = "the third body of text that is unlike the other two docs"
+    val b1 = Seq((1L, ts("2024-01-01 10:00:00"), textA),
+      (2L, ts("2024-01-01 10:01:00"), textB))
+    val b2 = Seq((3L, ts("2024-01-01 10:02:00"), textC))
+    // doc 4 duplicates doc 1 AFTER the restart — only recovered dedup
+    // state can drop it; doc 5 is fresh and must land
+    val b3 = Seq((4L, ts("2024-01-01 10:03:00"), textA),
+      (5L, ts("2024-01-01 10:04:00"), textB + " plus a fresh tail"))
+    val batches = Seq(b1, b2, b3)
+
+    def runIntake(split: Boolean): Set[(Long, String)] = {
+      val out = tmp("graft-rst-out"); val chk = tmp("graft-rst-chk")
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      def start() = graft.streaming.StreamingIntake.intake(
+          mem.toDF().toDF("doc_id", "ts", "text"), minQuality = 0.0)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append()).start()
+      var q = start()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (split && i == 2) { q.stop(); q = start() } // the "driver restart"
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+      spark.read.parquet(out).select("doc_id", "dedup_key").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    val unbroken = runIntake(split = false)
+    val restarted = runIntake(split = true)
+    assert(unbroken.map(_._1) == Set(1L, 2L, 3L, 5L), unbroken.toString)
+    assert(restarted == unbroken,
+      s"restarted=$restarted unbroken=$unbroken")
+
+    // ---- drift: a window OPEN across the restart ------------------
+    val model = graft.streaming.StreamingDrift.fit(
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"))
+    val base = ts("2024-01-01 10:00:00").getTime
+    def at(min: Int) = new Timestamp(base + min * 60000L)
+    // window [10:00, 11:00) receives tokens BEFORE and AFTER the
+    // restart; the sentinel then closes it
+    val d1 = Seq((at(5), textA))
+    val d2 = Seq((at(10), textB))
+    val d3 = Seq((at(20), textC), (at(48 * 60), "sentinel flush"))
+
+    def runDrift(split: Boolean): Set[String] = {
+      val out = tmp("graft-rst-dout"); val chk = tmp("graft-rst-dchk")
+      val mem = MemoryStream[(Timestamp, String)]
+      def start() = graft.streaming.StreamingDrift.driftStream(
+          mem.toDF().toDF("ts", "text"), model)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append()).start()
+      var q = start()
+      Seq(d1, d2, d3).zipWithIndex.foreach { case (b, i) =>
+        if (split && i == 2) { q.stop(); q = start() }
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+      spark.read.parquet(out)
+        .filter(org.apache.spark.sql.functions.col("window_start") < at(47 * 60))
+        .collect().map(_.toString).toSet
+    }
+    val dUnbroken = runDrift(split = false)
+    val dRestarted = runDrift(split = true)
+    assert(dUnbroken.nonEmpty, "drift fixture emitted no closed window")
+    assert(dRestarted == dUnbroken,
+      s"restarted=$dRestarted unbroken=$dUnbroken")
   }
 }
