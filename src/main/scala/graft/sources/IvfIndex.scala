@@ -50,8 +50,12 @@ object IvfIndex {
     * density. Measured (tools/IvfPathAB, min-of-2 per path,
     * interleaved): ratio ≈ 10 (sf scale, 20 k candidates) = 0.8 vs
     * 0.8 s tie; ratio 40 (5.1 M) = 3.0 vs 2.8 s and (20.5 M) = 7.8
-    * vs 6.1 s, mild kernel wins; ratio ≈ 312 (1.3 G over a 4.1 M
-    * index) = broadcast 208.4 s vs kernel 29.2 s, 7×. The absolute-
+    * vs 6.1 s, mild kernel wins; ratio ≈ 112 (459 M over a 4.1 M
+    * index) = broadcast 33.2 s vs kernel 14.6 s, 2.3×; ratio ≈ 312
+    * (1.3 G over the same index) = broadcast 208.4 s vs kernel
+    * 29.2 s, 7× — the kernel's win grows monotonically with the
+    * ratio past the ≈10–40 tie band, so the knee is bracketed well
+    * around this constant. The absolute-
     * volume form of this gate was measured WRONG on the other side:
     * a sparse escalation re-probe (12.8 k probe-cell rows over the
     * whole cell set, ratio ≈ 13) was forced onto the kernel and paid

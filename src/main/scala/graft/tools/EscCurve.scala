@@ -32,8 +32,13 @@ import org.apache.spark.sql.functions._
   * every arm bound by the loop's per-job fixed cost rather than
   * kernel work — the regime the sf-floor story already covers.
   *
+  * `partnerTighten` (6th arg, plant mode) divides the planted
+  * partner's amplitude — required for HEALTHY margin geometry at big
+  * factors (the r13 MarginDriftCheck pin: 2048× needs ≈2; raising
+  * jitter instead is measured wrong — see PlantGeom.frame).
+  *
   * Usage: EscCurve <dir> [eps,eps,...=0.05,0.01,0.002]
-  *          [factor=1] [jitter=0.2] [probeReps=1]
+  *          [factor=1] [jitter=0.2] [probeReps=1] [partnerTighten=1]
   */
 object EscCurve {
   def main(args: Array[String]): Unit = {
@@ -43,6 +48,7 @@ object EscCurve {
     val factor = args.lift(2).map(_.toInt).getOrElse(1)
     val jitter = args.lift(3).map(_.toDouble).getOrElse(0.2)
     val probeReps = args.lift(4).map(_.toInt).getOrElse(1)
+    val partnerTighten = args.lift(5).map(_.toDouble).getOrElse(1.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-esc-curve")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS",
@@ -78,13 +84,13 @@ object EscCurve {
             graft.Tables(spark, dir).embeddings
               .select(col("vec_id"), col("embedding")),
             shift = 0.1, factor = factor, jitter = jitter, plant = true,
-            probeReps = probeReps)
+            probeReps = probeReps, partnerTighten = partnerTighten)
           .repartition(cpus * 4)
           .write.mode("overwrite").parquet(s"$pdir/embeddings.parquet")
         val f = spark.read.parquet(s"$pdir/embeddings.parquet")
         println(s"[esccurve] planted geometry: ${f.count()} rows" +
-          s" (factor=$factor jitter=$jitter probeReps=$probeReps," +
-          s" file-backed at $pdir)")
+          s" (factor=$factor jitter=$jitter probeReps=$probeReps" +
+          s" partnerTighten=$partnerTighten, file-backed at $pdir)")
         f
       }
     val probeF =
@@ -104,7 +110,8 @@ object EscCurve {
     // case.
     val idx =
       if (plant) graft.sources.AnnIndexCache.dirFor(emb.filter(targetF),
-        s"$dir#embeddings#plant#f=$factor#j=$jitter#p=$probeReps#targets")
+        s"$dir#embeddings#plant#f=$factor#j=$jitter#p=$probeReps" +
+          s"#t=$partnerTighten#targets")
       else graft.sources.AnnIndexCache.dirFor(emb, s"$dir#embeddings")
     // ONE threshold for the timed arms AND the flagged-fraction probe
     // (ADVICE r11): hardcoding 1.02 in the probe while the arms ride

@@ -73,8 +73,14 @@ import graft.operators.Similarity
   * distinctly-best partner — cells ≫ nProbe with real margin
   * headroom, the regime the §16.5 watch item left unevidenced.
   *
+  * `partnerTighten` (6th arg, plant mode) divides the planted
+  * partner's amplitude — the factor-scaling knob for big-factor plant
+  * drives (see [[PlantGeom.frame]]: raising jitter with factor is
+  * measured wrong on unit-norm embeddings; tightening the partner
+  * restores headroom without adding noise energy).
+  *
   * Usage: MarginDriftCheck <tableDir> [shift=0.25] [factor=1]
-  *          [jitter=0.02] [plant=0]
+  *          [jitter=0.02] [plant=0] [partnerTighten=1]
   */
 object MarginDriftCheck {
   def main(args: Array[String]): Unit = {
@@ -83,6 +89,7 @@ object MarginDriftCheck {
     val factor = args.lift(2).map(_.toInt).getOrElse(1)
     val jitter = args.lift(3).map(_.toDouble).getOrElse(0.02)
     val plant = args.lift(4).contains("1")
+    val partnerTighten = args.lift(5).map(_.toDouble).getOrElse(1.0)
     require(!plant || factor > 1, "plant mode needs a blow-up factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-margin-drift")
@@ -102,7 +109,8 @@ object MarginDriftCheck {
     // 128×: 51M brute-force pairs on one core, 40+ min; the
     // ScaleCheck "real corpora have many files" rule applies to this
     // drive's synthetic frame too)
-    val frame = PlantGeom.frame(base, shift, factor, jitter, plant)
+    val frame = PlantGeom.frame(base, shift, factor, jitter, plant,
+        partnerTighten = partnerTighten)
       .repartition(cpus * 4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAll = frame.count()
@@ -116,7 +124,8 @@ object MarginDriftCheck {
     val nCells = spark.read.parquet(s"$idxDir/codes.parquet")
       .select("cell").distinct().count()
     println(f"[mdrift] $nAll rows (shift=$shift, jitter=$jitter," +
-      f" plant=$plant), corpus-only index built in" +
+      f" plant=$plant, partnerTighten=$partnerTighten)," +
+      " corpus-only index built in" +
       f" ${(System.nanoTime() - t0) / 1e9}%.1f s; $nCells cells fitted" +
       f" (nProbe=16 probes ${16.0 / nCells}%.3f of cells)")
 

@@ -42,11 +42,28 @@ object PlantGeom {
     * count to base/10 otherwise, which leaves a cost drive bound by
     * per-job fixed cost instead of kernel work). Copy ids stack at
     * ProbeBase + pr·1e9 + vec_id.
+    *
+    * `partnerTighten > 1` (plant mode only) divides the planted
+    * partner's OWN amplitude (jitter/200 otherwise) — the factor-
+    * scaling knob the r13 drives evidenced: margin headroom at big
+    * factors compresses because the min-of-(factor−1) sibling
+    * displacement falls (extreme-value), and the §12h hypothesis of
+    * RAISING jitter with log(factor) is measured WRONG on unit-norm
+    * embeddings (family noise norm ≈ 4.7·jitter: at jitter 0.37 the
+    * corpus is noise-dominated and IVF's fitted cells lose the family
+    * structure — 2048×: recall 0.75, 30 cross-family emits, vs 0.94 /
+    * 1 at jitter 0.2). Tightening the PARTNER instead raises every
+    * probe's true-best cosine without adding noise energy, restoring
+    * headroom against the compressed sibling field. Default 1.0 keeps
+    * the evidenced 64× construction bit-identical.
     */
   def frame(base: DataFrame, shift: Double, factor: Int,
-      jitter: Double, plant: Boolean, probeReps: Int = 1): DataFrame = {
+      jitter: Double, plant: Boolean, probeReps: Int = 1,
+      partnerTighten: Double = 1.0): DataFrame = {
     require(!plant || factor > 1, "plant mode needs a blow-up factor")
     require(probeReps == 1 || plant, "probeReps needs plant mode")
+    require(partnerTighten == 1.0 || plant, "partnerTighten needs plant mode")
+    require(partnerTighten >= 1.0, "partnerTighten only tightens")
     require(factor.toLong * 10000000L + 10000000L < ProbeBase,
       s"factor $factor overflows the replica id space under ProbeBase")
     require(probeReps.toLong * 1000000000L + 10000000L < ProbeBase,
@@ -62,7 +79,7 @@ object PlantGeom {
         val amp =
           if (!plant) lit((jitter / 20.0).toFloat)
           else when(col("vec_id") % 10 === 0 && col("rep") === 1,
-            lit((jitter / 200.0).toFloat))
+            lit((jitter / 200.0 / partnerTighten).toFloat))
             .otherwise(lit((jitter / 20.0).toFloat))
         base.crossJoin(reps).select(
           (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
