@@ -285,6 +285,52 @@ class StreamingSpec extends SparkSpec {
     assert(crossBatch > 0, "test split produced no cross-batch pairs")
   }
 
+  test("streaming dedup bucket state survives a restart from its checkpoint") {
+    // the minhash bucket state is the heaviest state any graft stream
+    // carries (O(docs × bands) ids) — the same restart treatment the
+    // intake/drift spec gives their state: stop the query mid-stream,
+    // restart from the checkpoint, and a post-restart doc must still
+    // pair with bucket members seen BEFORE the restart; the full pair
+    // set must equal an uninterrupted run's.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables(spark, sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batches = Seq(
+      docs.filter(_._1 % 3 == 0), docs.filter(_._1 % 3 == 1),
+      docs.filter(_._1 % 3 == 2))
+    def run(split: Boolean): Set[(Long, Long)] = {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sdd-out").toString
+      val chk = java.nio.file.Files
+        .createTempDirectory("graft-sdd-chk").toString
+      val mem = MemoryStream[(Long, String)]
+      def start() = graft.streaming.StreamingDedup.candidatePairs(
+          mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append()).start()
+      var q = start()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (split && i == 2) { q.stop(); q = start() }
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val unbroken = run(split = false)
+    val restarted = run(split = true)
+    assert(restarted == unbroken,
+      s"restart lost/invented pairs: -${(unbroken -- restarted).take(3)}" +
+        s" +${(restarted -- unbroken).take(3)}")
+    // and the restart really crossed state: some pair joins a batch-0/1
+    // doc with a batch-2 (post-restart) doc
+    assert(unbroken.exists(p => (p._1 % 3 != 2) != (p._2 % 3 != 2)),
+      "fixture produced no cross-restart pair")
+  }
+
   test("streaming dedup evicts cold buckets past the horizon, keeps warm ones") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
