@@ -15,13 +15,22 @@ import org.apache.spark.sql.functions._
   * are the commit count, a replayed batch appending nothing, and a
   * post-ingest probe finding streamed vectors.
   *
+  * `restartAt > 0` (4th arg) stops the query after that many
+  * submitted batches and restarts it FROM ITS CHECKPOINT — the r13
+  * restart contract at scale: batch numbering must continue (no
+  * ledger skips), nothing double-lands, and the post-ingest
+  * completeness/probe anchors must hold exactly as in the
+  * uninterrupted run.
+  *
   * Usage: IndexStreamScale <blowUpDir> [batches=16] [compactEvery=8]
+  *          [restartAt=0]
   */
 object IndexStreamScale {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(16)
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(8)
+    val restartAt = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus, "graft-index-stream-scale")
     import spark.implicits._
@@ -50,11 +59,12 @@ object IndexStreamScale {
     // the production shape: a checkpointed sink (the r13 restart
     // contract) — costs one offset/commit log write per batch, which
     // the per-batch walls below then include honestly
-    val q = graft.streaming.StreamingIndexer.indexSink(
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft-stream-ivf-chk").toString
+    def startSink() = graft.streaming.StreamingIndexer.indexSink(
       source.toDF().toDF("vec_id", "embedding"), idxDir,
-      compactEvery = compactEvery,
-      checkpointLocation = Some(java.nio.file.Files
-        .createTempDirectory("graft-stream-ivf-chk").toString))
+      compactEvery = compactEvery, checkpointLocation = Some(chk))
+    var q = startSink()
     val t0 = System.nanoTime()
     // an EMPTY pmod residue class (sparse vec_id distribution) must
     // not be submitted: an empty addData produces no micro-batch, so
@@ -66,6 +76,15 @@ object IndexStreamScale {
       val batch = rest.filter(pmod(col("vec_id"), lit(nBatches)) === b)
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       if (batch.nonEmpty) {
+        if (restartAt > 0 && submitted == restartAt) {
+          // the "driver restart": recover from the checkpoint, same
+          // source, same index dir — batch numbering must CONTINUE
+          val tr = System.nanoTime()
+          q.stop()
+          q = startSink()
+          println(f"[ixstream] restarted from checkpoint after" +
+            f" $submitted batches (${(System.nanoTime() - tr) / 1e9}%.2f s)")
+        }
         submitted += 1
         source.addData(batch.toSeq: _*)
         q.processAllAvailable()
