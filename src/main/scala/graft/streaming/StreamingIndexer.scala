@@ -61,6 +61,21 @@ object StreamingIndexer {
 
   private val HwmPrefix = "_hwm_"
 
+  /** Stream-identity record: `_query_<queryId>` in the ledger dir
+    * names the streaming query that owns this ledger. A query's id is
+    * STABLE across restarts from its checkpoint (it lives in the
+    * checkpoint metadata) and fresh for any other start, so a SKIP
+    * whose live queryId mismatches the record is a renumbered stream
+    * even in the one shape the batchId ordering can't see (a
+    * single-committed-batch ledger, where the renumbered batch 0
+    * collides with max committed id 0). Ignored by ledgerState
+    * (markers are all-digits, hwm files carry their own prefix) and
+    * by pruneLedger's sweep; absent for ledgers driven only by direct
+    * [[appendBatch]] calls outside a streaming thread, where the
+    * check stays inert.
+    */
+  private val QueryPrefix = "_query_"
+
   private def ledgerDir(dir: String) = new Path(s"$dir/stream_commits")
 
   private def ledgerPath(dir: String, batchId: Long) =
@@ -93,16 +108,49 @@ object StreamingIndexer {
     * foreachBatch replay case) — by live marker or by the pruned
     * ledger's high-water mark. Factored out of the sink so the
     * replay contract is directly testable without a streaming query.
+    *
+    * Identity check on the skip path: when running inside a streaming
+    * micro-batch thread (Spark sets the queryId local property), a
+    * skip whose queryId mismatches the ledger's recorded owner fails
+    * loudly — a replay can only come from the SAME query (checkpoint
+    * recovery keeps the id), so a mismatched skip is a renumbered
+    * stream about to silently lose data. This closes the shape the
+    * sink's batchId-ordering guard can't see: a renumbered stream
+    * against a ledger whose max committed id is also 0.
     */
   def appendBatch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
     val fs = fsFor(batch, dir)
     val (hwm, _) = ledgerState(fs, dir)
     val marker = ledgerPath(dir, batchId)
-    if (batchId <= hwm || fs.exists(marker)) false
-    else {
+    val qid = Option(batch.sparkSession.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime
+        .StreamExecution.QUERY_ID_KEY))
+    val recorded =
+      if (!fs.exists(ledgerDir(dir))) None
+      else fs.listStatus(ledgerDir(dir)).map(_.getPath.getName)
+        .find(_.startsWith(QueryPrefix)).map(_.stripPrefix(QueryPrefix))
+    if (batchId <= hwm || fs.exists(marker)) {
+      for (q <- qid; r <- recorded) require(q == r,
+        s"indexSink: batchId $batchId was committed by stream $r but is " +
+          s"being replayed by a DIFFERENT stream $q — this query was " +
+          "restarted WITHOUT its checkpoint (a checkpoint recovery keeps " +
+          "the query id) and its renumbered batches would be silently " +
+          "dropped by the idempotency ledger; restart from the original " +
+          "checkpointLocation (or point a genuinely new stream at a " +
+          "fresh index dir)")
+      false
+    } else {
       graft.sources.IvfIndex.append(batch, dir)
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
+      // record (or hand over) the owning stream's identity — a fresh
+      // batchId from a new query is a legitimate takeover, so the
+      // record follows the live stream
+      for (q <- qid; if !recorded.contains(q)) {
+        fs.create(new Path(ledgerDir(dir), s"$QueryPrefix$q"), true).close()
+        recorded.foreach(r =>
+          fs.delete(new Path(ledgerDir(dir), s"$QueryPrefix$r"), false))
+      }
       true
     }
   }
@@ -179,11 +227,13 @@ object StreamingIndexer {
     * strictly below the ledger's max committed id cannot be a
     * checkpoint recovery (recovery replays at most the LATEST
     * committed batch, then continues past it), so the skip refuses
-    * loudly rather than dropping data. The one ambiguous shape — a
-    * renumbered stream whose ledger holds a single committed batch 0
-    * — is indistinguishable from a genuine replay of batch 0 and is
-    * documented here as the reason the checkpoint, not the guard, is
-    * the contract.
+    * loudly rather than dropping data. The residual shape the
+    * ordering alone can't see — a renumbered stream whose ledger
+    * holds a single committed batch 0 — is caught by the ledger's
+    * stream-identity record instead ([[QueryPrefix]]: a skip whose
+    * live queryId mismatches the recorded owner fails in
+    * [[appendBatch]]). The checkpoint is still the contract; the
+    * guards exist so violating it is loud, not lossy.
     */
   def indexSink(emb: DataFrame, dir: String,
       compactEvery: Int = 16,

@@ -328,9 +328,14 @@ class IvfIndexSpec extends SparkSpec {
     // two compactions ran (counts 4 and 8) — the ledger is pruned to a
     // single high-water file, NOT eight markers
     // raw listing (NOT hadoop's, which hides its .crc shadows) minus
-    // the checksum files — the ledger entries themselves
+    // the checksum files and the stream-identity record (one
+    // `_query_<id>` file, owned by the sink's query, prune-immune)
     def ledgerFiles() = new java.io.File(s"$dir/stream_commits").listFiles()
-      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+      .map(_.getName).filterNot(_.startsWith("."))
+      .filterNot(_.startsWith("_query_")).sorted.toSeq
+    // the identity record exists exactly once
+    assert(new java.io.File(s"$dir/stream_commits").listFiles()
+      .count(_.getName.startsWith("_query_")) == 1)
     assert(ledgerFiles() == Seq("_hwm_7"), ledgerFiles().mkString(","))
     assert(graft.streaming.StreamingIndexer
       .committedBatches(restDf, dir) == 8L)
@@ -472,6 +477,67 @@ class IvfIndexSpec extends SparkSpec {
     try q2.stop() catch { case _: Exception => () }
     // and nothing was silently appended or dropped from the index
     assert(spark.read.parquet(s"$dir/codes.parquet").count() == before)
+  }
+
+  test("ledger stream-identity catches a renumbered stream even against a single-batch ledger") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamExecution}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables(spark, sf).embeddings
+    // END-TO-END: with only ONE committed batch, a renumbered stream's
+    // batch 0 collides with max committed id 0 — the batchId-ordering
+    // guard is blind here by construction, so the identity record must
+    // catch it
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), dir, nCells = 4)
+    val rows = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem1 = MemoryStream[(Long, Array[Float])]
+    val q1 = graft.streaming.StreamingIndexer.indexSink(
+      mem1.toDF().toDF("vec_id", "embedding"), dir, compactEvery = 0)
+    mem1.addData(rows.filter(_._1 % 4 == 1).toSeq: _*); q1.processAllAvailable()
+    q1.stop()
+    val before = spark.read.parquet(s"$dir/codes.parquet").count()
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.StreamingIndexer.indexSink(
+      mem2.toDF().toDF("vec_id", "embedding"), dir, compactEvery = 0)
+    mem2.addData(rows.filter(_._1 % 4 == 3).toSeq: _*)
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m => m.contains("DIFFERENT stream") &&
+        m.contains("restarted WITHOUT its checkpoint")),
+      messages(ex).mkString(" | "))
+    try q2.stop() catch { case _: Exception => () }
+    assert(spark.read.parquet(s"$dir/codes.parquet").count() == before)
+
+    // DIRECT-CALL contract (the property is just a thread-local — the
+    // factored unit is testable without a stream): same id replays
+    // inert, mismatched id on a SKIP throws, a fresh batchId from a
+    // new id is a legitimate takeover and the record follows it
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb.limit(60), dir2, nCells = 2)
+    val restDf = emb.limit(0).select("vec_id", "embedding")
+    val sc = spark.sparkContext
+    try {
+      sc.setLocalProperty(StreamExecution.QUERY_ID_KEY, "stream-A")
+      assert(graft.streaming.StreamingIndexer.appendBatch(restDf, dir2, 5L))
+      assert(!graft.streaming.StreamingIndexer.appendBatch(restDf, dir2, 5L))
+      sc.setLocalProperty(StreamExecution.QUERY_ID_KEY, "stream-B")
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamingIndexer.appendBatch(restDf, dir2, 5L)
+      }
+      assert(graft.streaming.StreamingIndexer.appendBatch(restDf, dir2, 6L))
+      assert(!graft.streaming.StreamingIndexer.appendBatch(restDf, dir2, 6L))
+      sc.setLocalProperty(StreamExecution.QUERY_ID_KEY, "stream-A")
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamingIndexer.appendBatch(restDf, dir2, 6L)
+      }
+    } finally sc.setLocalProperty(StreamExecution.QUERY_ID_KEY, null)
+    // outside any stream (no property), replays of either id stay inert
+    assert(!graft.streaming.StreamingIndexer.appendBatch(restDf, dir2, 5L))
   }
 
   test("a compact crash between the swap renames heals on next use") {
