@@ -80,13 +80,25 @@ object IvfIndex {
     * stranded staging dir (if any) is NOT promoted — it may be
     * incomplete, and the compaction that produced it re-runs cheaply —
     * compact deletes it before rebuilding.
+    *
+    * Concurrency: two healers can race (both see codes absent); the
+    * rename is the arbiter — the loser re-checks and proceeds on the
+    * winner's restore instead of failing. A healer can also fire
+    * inside a LIVE cross-JVM compact's microsecond swap window
+    * (indistinguishable from a crash by filesystem state alone); the
+    * outcome is safe by construction — the healer restores the
+    * original codes, the compact's second rename then fails and the
+    * compaction aborts with the index intact and probable (a retried
+    * maintenance pass, never corruption). Single-maintainer
+    * deployments (the streaming sink serializes compaction inside its
+    * micro-batch) never hit that window.
     */
   private def healSwap(spark: SparkSession, dir: String): Unit = {
     val codes = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
     val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.old")
     if (!fs.exists(codes) && fs.exists(old)) {
-      if (!fs.rename(old, codes))
+      if (!fs.rename(old, codes) && !fs.exists(codes))
         sys.error(s"healSwap: cannot restore $old to $codes")
       spark.catalog.refreshByPath(codes.toString)
     }
