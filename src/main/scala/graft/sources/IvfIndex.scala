@@ -71,6 +71,32 @@ object IvfIndex {
     */
   private val CandPerSliceRatio = 24L
 
+  /** Precise rename via FileContext: unlike `FileSystem.rename`,
+    * which on an EXISTING destination directory silently moves the
+    * source INSIDE it (the HDFS/local move-into-dir semantic —
+    * nesting a whole dataset under the index root instead of
+    * failing), `FileContext.rename` without the OVERWRITE option
+    * throws when the destination exists. Returns false exactly in
+    * that destination-exists case; any other failure propagates. The
+    * swap/heal renames below ride this so a racing peer's completed
+    * rename can never be corrupted into a nested copy.
+    */
+  private def renameIfAbsent(conf: org.apache.hadoop.conf.Configuration,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(src.toUri, conf)
+        .rename(src, dst)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      // local FS reports an existing dst through the generic message
+      // path on some Hadoop builds — re-check rather than parse
+      case e: java.io.IOException =>
+        val fs = dst.getFileSystem(conf)
+        if (fs.exists(dst) && fs.exists(src)) false else throw e
+    }
+
   /** Restore a codes dataset stranded mid-[[compact]] swap: the swap
     * renames codes→old then staging→codes, so a crash between the two
     * leaves NO `codes.parquet` while the data sits intact in `.old` —
@@ -81,24 +107,34 @@ object IvfIndex {
     * incomplete, and the compaction that produced it re-runs cheaply —
     * compact deletes it before rebuilding.
     *
-    * Concurrency: two healers can race (both see codes absent); the
-    * rename is the arbiter — the loser re-checks and proceeds on the
-    * winner's restore instead of failing. A healer can also fire
-    * inside a LIVE cross-JVM compact's microsecond swap window
-    * (indistinguishable from a crash by filesystem state alone); the
-    * outcome is safe by construction — the healer restores the
-    * original codes, the compact's second rename then fails and the
-    * compaction aborts with the index intact and probable (a retried
-    * maintenance pass, never corruption). Single-maintainer
-    * deployments (the streaming sink serializes compaction inside its
-    * micro-batch) never hit that window.
+    * Concurrency: every competing rename here is [[renameIfAbsent]],
+    * so races resolve by arbitration, never by nesting. Two healers:
+    * the loser sees destination-exists and proceeds on the winner's
+    * restore. A healer inside a LIVE cross-JVM compact's microsecond
+    * swap window (indistinguishable from a crash by filesystem state
+    * alone): whichever rename lands first wins the `codes.parquet`
+    * slot and the other side backs off — if the healer wins, compact
+    * aborts cleanly with the ORIGINAL index in place; if compact
+    * wins, the healer sees destination-exists and the compacted index
+    * stands (the stranded `.old` is reclaimed by compact's final
+    * delete or the next pass). Single-maintainer deployments (the
+    * streaming sink serializes compaction inside its micro-batch)
+    * never hit the window at all.
     */
   private def healSwap(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val codes = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
-    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = codes.getFileSystem(conf)
     val old = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.old")
     if (!fs.exists(codes) && fs.exists(old)) {
-      if (!fs.rename(old, codes) && !fs.exists(codes))
+      val won =
+        try renameIfAbsent(conf, old, codes)
+        catch {
+          // src vanished: a peer healer's rename took it — fine as
+          // long as the slot is now filled
+          case _: java.io.FileNotFoundException => false
+        }
+      if (!won && !fs.exists(codes))
         sys.error(s"healSwap: cannot restore $old to $codes")
       spark.catalog.refreshByPath(codes.toString)
     }
@@ -247,11 +283,25 @@ object IvfIndex {
       targetFileBytes, transform = dedup)
     val old = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet.old")
     fs.delete(old, true)
-    if (!fs.rename(codes, old))
-      sys.error(s"compact: cannot move $codes aside")
-    if (!fs.rename(tmp, codes)) {
-      fs.rename(old, codes) // restore — the index must stay probable
-      sys.error(s"compact: cannot swap $tmp into place")
+    if (!renameIfAbsent(conf, codes, old))
+      sys.error(s"compact: cannot move $codes aside — $old reappeared")
+    val swapped =
+      try renameIfAbsent(conf, tmp, codes)
+      catch { case e: Throwable =>
+        // real IO failure (not destination-exists): restore the
+        // original — the index must stay probable
+        renameIfAbsent(conf, old, codes)
+        throw e
+      }
+    if (!swapped) {
+      // a concurrent healer restored the original codes between the
+      // two renames (it won the codes.parquet slot, so `old` is
+      // already back in place as the live dataset) — this
+      // compaction's output is stale; abort cleanly, nothing nested
+      fs.delete(tmp, true)
+      sys.error(s"compact: $codes was restored by a concurrent heal " +
+        "mid-swap; compaction aborted with the original index intact — " +
+        "re-run it")
     }
     fs.delete(old, true)
     spark.catalog.refreshByPath(s"$dir/codes.parquet")

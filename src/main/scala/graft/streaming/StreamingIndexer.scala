@@ -85,14 +85,22 @@ object StreamingIndexer {
     ledgerDir(dir).getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
 
-  /** (high-water mark, live marker ids). hwm = -1 when no prune has
-    * run yet. An interrupted prune can leave two hwm files — the MAX
-    * wins (both were proven-contiguous when written).
+  /** Raw ledger entry names — ONE listing, shared by every consumer
+    * of the same call (a micro-batch on an object-store-backed index
+    * should pay one LIST, not one per question asked of it).
     */
-  private def ledgerState(fs: FileSystem, dir: String): (Long, Seq[Long]) = {
+  private def ledgerNames(fs: FileSystem, dir: String): Seq[String] = {
     val p = ledgerDir(dir)
-    if (!fs.exists(p)) return (-1L, Nil)
-    val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName).toSeq
+  }
+
+  /** (high-water mark, live marker ids) from a raw listing. hwm = -1
+    * when no prune has run yet. An interrupted prune can leave two
+    * hwm files — the MAX wins (both were proven-contiguous when
+    * written).
+    */
+  private def parseState(names: Seq[String]): (Long, Seq[Long]) = {
     val hwm = names.filter(_.startsWith(HwmPrefix))
       .map(_.stripPrefix(HwmPrefix).toLong)
       .reduceOption(_ max _).getOrElse(-1L)
@@ -102,6 +110,9 @@ object StreamingIndexer {
       .map(_.toLong)
     (hwm, markers)
   }
+
+  private def ledgerState(fs: FileSystem, dir: String): (Long, Seq[Long]) =
+    parseState(ledgerNames(fs, dir))
 
   /** Idempotent per-batch append: returns true when the batch was
     * appended, false when its batchId was already committed (the
@@ -120,37 +131,45 @@ object StreamingIndexer {
     */
   def appendBatch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
     val fs = fsFor(batch, dir)
-    val (hwm, _) = ledgerState(fs, dir)
+    val names = ledgerNames(fs, dir)
+    val (hwm, _) = parseState(names)
     val marker = ledgerPath(dir, batchId)
     val qid = Option(batch.sparkSession.sparkContext.getLocalProperty(
       org.apache.spark.sql.execution.streaming.runtime
         .StreamExecution.QUERY_ID_KEY))
-    val recorded =
-      if (!fs.exists(ledgerDir(dir))) None
-      else fs.listStatus(ledgerDir(dir)).map(_.getPath.getName)
-        .find(_.startsWith(QueryPrefix)).map(_.stripPrefix(QueryPrefix))
-    if (batchId <= hwm || fs.exists(marker)) {
-      for (q <- qid; r <- recorded) require(q == r,
-        s"indexSink: batchId $batchId was committed by stream $r but is " +
-          s"being replayed by a DIFFERENT stream $q — this query was " +
-          "restarted WITHOUT its checkpoint (a checkpoint recovery keeps " +
-          "the query id) and its renumbered batches would be silently " +
-          "dropped by the idempotency ledger; restart from the original " +
-          "checkpointLocation (or point a genuinely new stream at a " +
-          "fresh index dir)")
+    val records = names.filter(_.startsWith(QueryPrefix))
+      .map(_.stripPrefix(QueryPrefix))
+    if (batchId <= hwm || names.contains(batchId.toString) ||
+        fs.exists(marker)) {
+      for (q <- qid) require(records.isEmpty || records.contains(q),
+        s"indexSink: batchId $batchId was committed by stream " +
+          s"${records.mkString(",")} but is being replayed by a DIFFERENT " +
+          s"stream $q — this query was restarted WITHOUT its checkpoint " +
+          "(a checkpoint recovery keeps the query id) and its renumbered " +
+          "batches would be silently dropped by the idempotency ledger; " +
+          "restart from the original checkpointLocation (or point a " +
+          "genuinely new stream at a fresh index dir)")
       false
     } else {
+      // identity record BEFORE any data lands: written first so a
+      // crash anywhere after the append leaves every committed marker
+      // attributable — were it written after the marker, a crash in
+      // between would leave a committed single-batch ledger with NO
+      // owner, exactly the renumbered-batch-0 shape the record exists
+      // to catch. Handover (a new query appending at a fresh batchId)
+      // deletes stale records BEFORE creating its own: the crash
+      // window between the two leaves no record (the guards degrade
+      // to batchId ordering), never TWO records — which could fail
+      // the legitimate stream's replays on a find-order coin flip.
+      for (q <- qid; if !records.contains(q)) {
+        records.foreach(r =>
+          fs.delete(new Path(ledgerDir(dir), s"$QueryPrefix$r"), false))
+        fs.mkdirs(ledgerDir(dir))
+        fs.create(new Path(ledgerDir(dir), s"$QueryPrefix$q"), true).close()
+      }
       graft.sources.IvfIndex.append(batch, dir)
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
-      // record (or hand over) the owning stream's identity — a fresh
-      // batchId from a new query is a legitimate takeover, so the
-      // record follows the live stream
-      for (q <- qid; if !recorded.contains(q)) {
-        fs.create(new Path(ledgerDir(dir), s"$QueryPrefix$q"), true).close()
-        recorded.foreach(r =>
-          fs.delete(new Path(ledgerDir(dir), s"$QueryPrefix$r"), false))
-      }
       true
     }
   }

@@ -579,6 +579,13 @@ class IvfIndexSpec extends SparkSpec {
     assert(fs.exists(codes) && !fs.exists(old))
     assert(spark.read.parquet(codes.toString)
       .filter(col("vec_id") >= 20000000L).count() == 1L)
+    // the rename arbitration must never NEST a dataset inside the
+    // index root (FileSystem.rename onto an existing destination dir
+    // silently moves the source INSIDE it — the precise-rename fix):
+    // after all three heals, codes.parquet contains cell dirs only
+    val nested = new java.io.File(s"$dir/codes.parquet").listFiles()
+      .filter(_.getName.startsWith("codes.parquet"))
+    assert(nested.isEmpty, s"nested datasets: ${nested.mkString(",")}")
   }
 
   test("an interrupted prune's residue is reclaimed by the next prune") {
