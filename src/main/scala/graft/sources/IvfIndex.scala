@@ -81,7 +81,8 @@ object IvfIndex {
     * swap/heal renames below ride this so a racing peer's completed
     * rename can never be corrupted into a nested copy.
     */
-  private def renameIfAbsent(conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def renameIfAbsent(
+      conf: org.apache.hadoop.conf.Configuration,
       src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Boolean =
     try {

@@ -540,6 +540,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(!graft.streaming.StreamingIndexer.appendBatch(restDf, dir2, 5L))
   }
 
+  test("renameIfAbsent arbitrates on an existing destination instead of nesting") {
+    // the load-bearing Hadoop semantic behind the swap/heal races:
+    // FileSystem.rename onto an existing destination DIRECTORY moves
+    // the source inside it and reports success — renameIfAbsent must
+    // instead report false and leave both directories untouched, so
+    // a racing peer's completed rename is never corrupted into a
+    // nested copy (pinned here against Hadoop upgrades)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = java.nio.file.Files.createTempDirectory("graft-rn").toString
+    def mk(name: String): org.apache.hadoop.fs.Path = {
+      val d = new java.io.File(root, name)
+      d.mkdirs()
+      new java.io.File(d, "payload").createNewFile()
+      new org.apache.hadoop.fs.Path(d.toString)
+    }
+    val src = mk("src"); val dst = mk("dst")
+    assert(!IvfIndex.renameIfAbsent(conf, src, dst),
+      "existing destination must lose the arbitration")
+    assert(new java.io.File(root, "src/payload").exists(), "src untouched")
+    assert(new java.io.File(root, "dst/payload").exists(), "dst untouched")
+    assert(!new java.io.File(root, "dst/src").exists(), "nothing nested")
+    // absent destination: the rename proceeds normally
+    val dst2 = new org.apache.hadoop.fs.Path(s"$root/dst2")
+    assert(IvfIndex.renameIfAbsent(conf, src, dst2))
+    assert(new java.io.File(root, "dst2/payload").exists())
+    assert(!new java.io.File(root, "src").exists())
+  }
+
   test("a compact crash between the swap renames heals on next use") {
     val emb = Tables(spark, sf).embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
