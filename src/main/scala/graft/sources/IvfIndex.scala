@@ -250,6 +250,16 @@ object IvfIndex {
     * before/after on a duplicate-free index (spec-asserted), and a
     * double-appended index probes identically to a never-duplicated
     * one after compact (spec-asserted).
+    *
+    * EXCLUSION CONTRACT: compact must not run concurrently with
+    * [[append]] from another process — the read→rewrite→swap shape
+    * means a batch landing between the read and the swap is
+    * destroyed by the swap (and if that batch was a streaming
+    * sink's, its ledger marker survives: committed-and-gone, the
+    * worst class). Probes are safe concurrently (the swap renames
+    * arbitrate, see [[healSwap]]); appends are not. The streaming
+    * sink's in-stream cadence serializes compaction with its own
+    * appends; an out-of-band compact must stop the ingest first.
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {

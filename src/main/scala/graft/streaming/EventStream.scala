@@ -40,10 +40,21 @@ object EventStream {
     * passes last_ts + gap (EventTimeTimeout — deterministic, and state
     * is bounded by event time rather than wall clock, which is what
     * survives reprocessing/backfill at scale).
+    *
+    * Out-of-order arrivals (late but inside the watermark, so they
+    * cross micro-batch boundaries unsorted): a late event folds into
+    * the OPEN session and the interval is tracked as [min(first_ts),
+    * max(last_ts)] — the gap test always measures against the MAX
+    * seen, so a late arrival can neither drag the session's endpoint
+    * backward (which would split a later in-gap event off wrongly and
+    * fire the timeout early) nor invert the emitted interval. Events
+    * with a null ts are dropped (no event time — they can neither be
+    * watermarked nor assigned).
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .filter(_.ts != null)
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Session, Session](
@@ -62,8 +73,12 @@ object EventStream {
                 case None =>
                   Some(Session(userId, 1, e.value, e.ts, e.ts, closed = false))
                 case Some(s) if e.ts.getTime - s.last_ts.getTime <= gapMinutes * 60000L =>
+                  // min/max, not assignment: a cross-batch late event
+                  // must not move the session endpoint backward
                   Some(s.copy(n_events = s.n_events + 1,
-                    total_value = s.total_value + e.value, last_ts = e.ts))
+                    total_value = s.total_value + e.value,
+                    first_ts = if (e.ts.before(s.first_ts)) e.ts else s.first_ts,
+                    last_ts = if (e.ts.after(s.last_ts)) e.ts else s.last_ts))
                 case Some(s) => // event-time gap exceeded: close, start new
                   out += s.copy(closed = true)
                   Some(Session(userId, 1, e.value, e.ts, e.ts, closed = false))
@@ -118,8 +133,15 @@ object EventStream {
     events
       .withWatermark("ts", delay)
       .select(col("ts"), col(itemCol).cast("string").as("item"))
+      // null ts cannot be windowed, a null item cannot be counted —
+      // drop both instead of NPE-killing the query (the driftStream
+      // guard)
+      .filter(col("ts").isNotNull && col("item").isNotNull)
       .as[(Timestamp, String)]
-      .groupByKey { case (t, _) => t.getTime / windowMs * windowMs }
+      // floorDiv: plain division truncates toward zero and would
+      // misassign pre-epoch event times (backfills) to the window
+      // AFTER them — Spark's window() floors, so must we
+      .groupByKey { case (t, _) => Math.floorDiv(t.getTime, windowMs) * windowMs }
       .flatMapGroupsWithState[HHState, HeavyHitter](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (winStart: Long, rows: Iterator[(Timestamp, String)],

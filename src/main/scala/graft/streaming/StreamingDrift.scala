@@ -93,7 +93,9 @@ object StreamingDrift {
       .filter(col("ts").isNotNull)
       .withWatermark("ts", delay)
       .as[(Timestamp, String)]
-      .groupByKey { case (t, _) => t.getTime / windowMs * windowMs }
+      // floorDiv, not /: truncation toward zero would misassign
+      // pre-epoch event times (backfills) to the window after them
+      .groupByKey { case (t, _) => Math.floorDiv(t.getTime, windowMs) * windowMs }
       .flatMapGroupsWithState[DriftState, WindowDrift](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (winStart: Long, rows: Iterator[(Timestamp, String)],

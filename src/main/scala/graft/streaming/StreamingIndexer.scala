@@ -55,7 +55,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * read amplification and periodic rewrite IO (measured in
   * tools/IndexStreamScale: steady batches flat, the every-K batch
   * absorbs the rewrite; pick K by index-size/ingest-rate, or run
-  * compaction out-of-band from the offline refit job instead).
+  * compaction out-of-band from the offline refit job instead —
+  * WITH THE INGEST STREAM STOPPED: compact is read→rewrite→swap, so
+  * a batch appended by another process between its read and its swap
+  * would be destroyed by the swap while its ledger marker stands,
+  * i.e. committed-and-gone. The in-stream cadence is safe because
+  * foreachBatch serializes compaction with the appends; out-of-band
+  * compaction owns no such exclusion and must create it by pausing
+  * the query).
   */
 object StreamingIndexer {
 
@@ -129,17 +136,29 @@ object StreamingIndexer {
     * sink's batchId-ordering guard can't see: a renumbered stream
     * against a ledger whose max committed id is also 0.
     */
-  def appendBatch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
+  def appendBatch(batch: DataFrame, dir: String, batchId: Long): Boolean =
+    appendBatchCore(batch, dir, batchId)._1
+
+  /** The one-listing core shared by [[appendBatch]] and [[indexSink]]:
+    * (appended?, committed batch count AFTER this call, max committed
+    * id) all derived from a single ledger LIST — the sink asks all
+    * three questions every micro-batch, and on an object-store-backed
+    * index each separate listing is a remote round-trip.
+    */
+  private def appendBatchCore(batch: DataFrame, dir: String,
+      batchId: Long): (Boolean, Long, Long) = {
     val fs = fsFor(batch, dir)
     val names = ledgerNames(fs, dir)
-    val (hwm, _) = parseState(names)
+    val (hwm, markers) = parseState(names)
+    val committed0 = (hwm + 1) + markers.count(_ > hwm)
+    val maxId = (hwm +: markers).max
     val marker = ledgerPath(dir, batchId)
     val qid = Option(batch.sparkSession.sparkContext.getLocalProperty(
       org.apache.spark.sql.execution.streaming.runtime
         .StreamExecution.QUERY_ID_KEY))
     val records = names.filter(_.startsWith(QueryPrefix))
       .map(_.stripPrefix(QueryPrefix))
-    if (batchId <= hwm || names.contains(batchId.toString) ||
+    if (batchId <= hwm || markers.contains(batchId) ||
         fs.exists(marker)) {
       for (q <- qid) require(records.isEmpty || records.contains(q),
         s"indexSink: batchId $batchId was committed by stream " +
@@ -149,7 +168,7 @@ object StreamingIndexer {
           "batches would be silently dropped by the idempotency ledger; " +
           "restart from the original checkpointLocation (or point a " +
           "genuinely new stream at a fresh index dir)")
-      false
+      (false, committed0, maxId)
     } else {
       // identity record BEFORE any data lands: written first so a
       // crash anywhere after the append leaves every committed marker
@@ -170,7 +189,8 @@ object StreamingIndexer {
       graft.sources.IvfIndex.append(batch, dir)
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
-      true
+      // batchId > hwm and not in markers here, so it adds exactly one
+      (true, committed0 + 1, math.max(maxId, batchId))
     }
   }
 
@@ -217,16 +237,6 @@ object StreamingIndexer {
     h
   }
 
-  /** Largest committed batchId the ledger knows: the hwm and every
-    * live marker above it. A checkpoint-recovered stream can only
-    * replay THIS id (marker written, checkpoint commit lost) or
-    * continue past it — never deliver a smaller one.
-    */
-  private def maxCommittedId(fs: FileSystem, dir: String): Long = {
-    val (hwm, markers) = ledgerState(fs, dir)
-    (hwm +: markers).max
-  }
-
   /** Attach the maintenance sink to a streaming (vec_id, embedding)
     * frame: idempotent append per micro-batch, compaction (plus a
     * ledger prune) every `compactEvery` committed batches. The index
@@ -259,9 +269,11 @@ object StreamingIndexer {
       checkpointLocation: Option[String] = None): StreamingQuery = {
     val writer = emb.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (appendBatch(batch, dir, batchId)) {
-          if (compactEvery > 0 &&
-              committedBatches(batch, dir) % compactEvery == 0) {
+        // one ledger LIST answers append/committed-count/max-id alike
+        val (appended, committed, maxId) =
+          appendBatchCore(batch, dir, batchId)
+        if (appended) {
+          if (compactEvery > 0 && committed % compactEvery == 0) {
             val (before, after) =
               graft.sources.IvfIndex.compact(batch.sparkSession, dir)
             val hwm = pruneLedger(batch, dir)
@@ -271,7 +283,6 @@ object StreamingIndexer {
                 s" $before -> $after files, ledger pruned to hwm=$hwm")
           }
         } else {
-          val maxId = maxCommittedId(fsFor(batch, dir), dir)
           require(batchId >= maxId,
             s"indexSink: live batchId $batchId is below the ledger's max " +
               s"committed id $maxId at $dir — a checkpoint-recovered " +

@@ -549,6 +549,93 @@ class StreamingSpec extends SparkSpec {
     assert(ranked.take(2).toSet == Set("hot", "warm"), ranked.mkString(","))
   }
 
+  test("sessionize folds a cross-batch late event without dragging the session endpoint backward") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the r13 review find: a late-but-in-watermark event used to
+    // ASSIGN last_ts backward, so a following in-gap event measured
+    // an inflated gap and wrongly split the session (and the emitted
+    // interval could invert). The fix tracks [min(first), max(last)].
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event (9:55, inside the 10-min watermark) and a
+    // following event 28 min after the session's true endpoint —
+    // within the 30-min gap, so all three are ONE session
+    mem.addData(
+      Event(2, ts("2024-01-01 09:55:00"), 7, "view", 1.0),
+      Event(3, ts("2024-01-01 10:28:00"), 7, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(-1, ts("2030-01-01 00:00:00"), -1, "sentinel", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(-2, ts("2030-01-01 00:01:00"), -1, "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sess = spark.table("sess_ooo").as[EventStream.Session]
+      .filter(_.user_id == 7).collect()
+    assert(sess.length == 1, s"late event split the session: ${sess.toSeq}")
+    assert(sess.head.n_events == 3 && sess.head.closed)
+    assert(sess.head.first_ts == ts("2024-01-01 09:55:00") &&
+      sess.head.last_ts == ts("2024-01-01 10:28:00"),
+      s"interval ${sess.head.first_ts}..${sess.head.last_ts}")
+  }
+
+  test("null event-times and items are dropped, not query-fatal") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // heavyHitters: a null ts row and a null item row ride along with
+    // real data — the query must survive and count the real rows
+    // (the driftStream isNotNull guard, now on every stateful op).
+    // Pre-epoch rows ride along too: they sit below Spark's INITIAL
+    // watermark (epoch 0) and are absorbed by the late-row filter
+    // before window assignment — asserted dropped-not-fatal here; the
+    // Math.floorDiv in the window key is defense-in-depth for any
+    // path where such a row could still reach assignment (plain
+    // division would misassign it one window late)
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = EventStream.heavyHitters(
+        mem.toDF().toDF("ts", "item"), "item", capacity = 4,
+        windowMinutes = 60)
+      .writeStream.format("memory").queryName("hh_null")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (new Timestamp(-60000L), "old"), // 1969-12-31 23:59:00 UTC
+      (null.asInstanceOf[Timestamp], "ghost"),
+      (ts("2024-01-01 10:00:00"), null.asInstanceOf[String]),
+      (ts("2024-01-01 10:01:00"), "real"))
+    q.processAllAvailable()
+    mem.addData((ts("2030-01-01 00:00:00"), "sentinel"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("hh_null")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2)))
+    assert(out.exists(t => t._2 == "real" && t._3 == 1L), out.toSeq.toString)
+    assert(!out.exists(_._2 == "ghost") && !out.exists(_._2 == null))
+    assert(!out.exists(t => t._2 == "old" && t._1 == 0L),
+      "a pre-epoch row must never land in the epoch window")
+    // sessionize: a null-ts event among real ones is dropped silently
+    val mem2 = MemoryStream[Event]
+    val q2 = EventStream.sessionize(mem2.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_null")
+      .outputMode(OutputMode.Append()).start()
+    mem2.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 9, "view", 1.0),
+      Event(2, null, 9, "view", 1.0))
+    q2.processAllAvailable()
+    mem2.addData(Event(-1, ts("2030-01-01 00:00:00"), -1, "sentinel", 0.0))
+    q2.processAllAvailable()
+    mem2.addData(Event(-2, ts("2030-01-01 00:01:00"), -1, "sentinel", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val s9 = spark.table("sess_null").as[EventStream.Session]
+      .filter(_.user_id == 9).collect()
+    assert(s9.length == 1 && s9.head.n_events == 1, s9.toSeq.toString)
+  }
+
   test("stateful streams recover from a checkpoint: dedup state and drift windows survive a restart") {
     // the recovery leg of the soak story (VERDICT r12 #5): the batch
     // parity specs above drive one uninterrupted query per stream —
