@@ -60,17 +60,21 @@ object CellAssignCache {
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count()
-    val model =
-      graft.operators.Similarity.fitKMeansShared(base, cells, trainSample)
-    model.transform(base)
-      .withColumnRenamed("prediction", "cell")
-      .select(col("vec_id"), col("cell"),
-        graft.plans.native.sq8Code(col("embedding")).as("code"),
-        graft.plans.native.sq8Scale(col("embedding")).as("qs"),
-        col("nrm"), col("embedding"))
-      .write.mode("overwrite").parquet(dir)
-    base.unpersist()
+    // unpersist in finally: a failed fit/write otherwise leaks this
+    // corpus-sized cached frame for the process lifetime, and DirCache
+    // retries would pin another copy per attempt
+    try {
+      base.count()
+      val model =
+        graft.operators.Similarity.fitKMeansShared(base, cells, trainSample)
+      model.transform(base)
+        .withColumnRenamed("prediction", "cell")
+        .select(col("vec_id"), col("cell"),
+          graft.plans.native.sq8Code(col("embedding")).as("code"),
+          graft.plans.native.sq8Scale(col("embedding")).as("qs"),
+          col("nrm"), col("embedding"))
+        .write.mode("overwrite").parquet(dir)
+    } finally base.unpersist()
   }
 
   private[graft] def liveCount: Int = cache.liveCount

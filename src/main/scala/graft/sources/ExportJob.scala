@@ -129,10 +129,15 @@ object ExportJob {
       .collect().toMap
   }
 
-  private def listParts(partDir: Path): Seq[Path] =
-    Files.list(partDir).iterator().asScala
+  private def listParts(partDir: Path): Seq[Path] = {
+    // Files.list holds an OS directory fd until closed — a leak per
+    // call in a long-lived driver running repeated exports
+    val s = Files.list(partDir)
+    try s.iterator().asScala
       .filter(_.getFileName.toString.startsWith("part-"))
       .toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
 
   /** Concatenate Spark csv part files into one CSV, keeping a single
     * header row. Bytes are copied verbatim after the header line of
@@ -189,8 +194,11 @@ object ExportJob {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively)
+      finally s.close()
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -57,8 +57,13 @@ object ExportMain {
     }
 
     // window: CLI args > config > "as of now" (CURDATE semantics)
+    def numeric(s: String) = s.nonEmpty && s.forall(_.isDigit)
     val (m, y) = (config, args.drop(2)) match {
-      case (_, Array(mS, yS, _*)) if mS.forall(_.isDigit) => (mS.toInt, yS.toInt)
+      case (_, Array(mS, yS, _*)) if numeric(mS) && numeric(yS) =>
+        (mS.toInt, yS.toInt)
+      case (_, Array(mS, yS, _*)) =>
+        throw new IllegalArgumentException(
+          s"window args must be numeric: month=$mS year=$yS")
       case (Some(c), _) if c.ethMonth.isDefined || c.ethYear.isDefined =>
         // a half-specified window is a config mistake, not "as of now"
         if (c.ethMonth.isEmpty || c.ethYear.isEmpty)
@@ -69,6 +74,11 @@ object ExportMain {
         val (ey, em, _) = EthiopianCalendar.toEthiopian(LocalDate.now())
         (em, ey)
     }
+    // validate BEFORE the window math: an out-of-range month would
+    // otherwise compute a silently-wrong window and only crash later
+    // at the month-name lookup with a bare IndexOutOfBounds
+    require(m >= 1 && m <= 13,
+      s"Ethiopian month $m out of range 1..13 (13 = Pagume)")
     val (start, end) = EthiopianCalendar.reportWindow(m, y)
     println(s"[export] window ${Months(m - 1)} $y -> [$start, $end]")
 

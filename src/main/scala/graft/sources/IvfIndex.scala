@@ -164,26 +164,29 @@ object IvfIndex {
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = graft.operators.Similarity.cellsFor(base.count(), nCells)
-    val model = graft.operators.Similarity.fitKMeansOn(base, cells, trainSample)
-    base.sparkSession.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (c, i) =>
-          (i, c.toArray.map(_.toFloat)) }.toSeq)
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    model.transform(base)
-      .withColumnRenamed("prediction", "cell")
-      .select(col("cell"), col("vec_id"),
-        graft.plans.native.sq8Code(col("embedding")).as("code"),
-        graft.plans.native.sq8Scale(col("embedding")).as("qs"),
-        col("nrm"), col("embedding"))
-      // one file per cell directory: each cell is a contiguous,
-      // independently-readable scan unit
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/codes.parquet")
-    base.unpersist()
+    // unpersist in finally: a failed fit/write must not leak the
+    // corpus-sized cached frame for the process lifetime
+    try {
+      val cells = graft.operators.Similarity.cellsFor(base.count(), nCells)
+      val model = graft.operators.Similarity.fitKMeansOn(base, cells, trainSample)
+      base.sparkSession.createDataFrame(
+          model.clusterCenters.zipWithIndex.map { case (c, i) =>
+            (i, c.toArray.map(_.toFloat)) }.toSeq)
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+      model.transform(base)
+        .withColumnRenamed("prediction", "cell")
+        .select(col("cell"), col("vec_id"),
+          graft.plans.native.sq8Code(col("embedding")).as("code"),
+          graft.plans.native.sq8Scale(col("embedding")).as("qs"),
+          col("nrm"), col("embedding"))
+        // one file per cell directory: each cell is a contiguous,
+        // independently-readable scan unit
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/codes.parquet")
+    } finally base.unpersist()
     // a REBUILD under the same path must invalidate Spark's cached
     // file listings, or later probes read the previous build's
     // (now-deleted) file names (measured: FAILED_READ_FILE on the

@@ -92,9 +92,12 @@ object PipelineMain {
     // order — training on raw text bakes boilerplate into merges),
     // temperature weights for the mixture the sampler feeds, and
     // denoising targets built from the train split
-    // the written table drops text (fingerprints replace it); the
-    // text-bearing cleaned frame is `deduped`, keyed to the output
-    val cleaned = deduped.join(out.select("doc_id", "split"), "doc_id")
+    // the written table drops text (fingerprints replace it); re-key
+    // the text-bearing FILTERED frame to the output — out's doc_ids
+    // already passed dedup/sample/split, so joining through `deduped`
+    // would only drag the components lineage (unpersisted above) back
+    // into three more actions, re-running the CC subtree per action
+    val cleaned = filtered.join(out.select("doc_id", "split"), "doc_id")
       .select("doc_id", "text", "split")
     val merges = graft.operators.Bpe.trainReport(cleaned)
       .orderBy("rank").collect()

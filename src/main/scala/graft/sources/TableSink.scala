@@ -67,9 +67,17 @@ object TableSink {
     * directories) are sized by a RECURSIVE listing and rewritten with
     * the same partitionBy columns, so the layout — and with it
     * partition pruning — survives compaction. Rows are shuffled on the
-    * partition columns so each hive partition's rows co-locate and the
-    * writer emits ~one file per (task, partition); flat layouts go
-    * through round-robin repartition, which spreads rows evenly
+    * partition columns PLUS a deterministic content-hash salt bounded
+    * by ceil(nOut / partition-dir count) — one fat partition value is
+    * split across that many tasks/files instead of serializing the
+    * whole value through one task and emitting one oversized file
+    * (the salt collapses to a constant when every partition fits the
+    * target, so the common one-file-per-partition layout is
+    * unchanged). Partition VALUES are read with type inference off
+    * and rewritten verbatim (inference would re-type a string dir
+    * like key=007 to int and rewrite it as key=7 — renaming
+    * directories out from under path-based consumers). Flat layouts
+    * go through round-robin repartition, which spreads rows evenly
     * regardless of input skew.
     *
     * `transform` lets a caller rewrite the ROWS while the files are
@@ -109,12 +117,34 @@ object TableSink {
         .split("/").filter(seg => seg.nonEmpty && seg.contains("="))
         .map(_.takeWhile(_ != '=')).toSeq
     }
-    val df = transform(spark.read.parquet(inPath))
+    // partition values must survive VERBATIM: inference re-types
+    // numeric-looking string dirs (key=007 → int 7) and the rewrite
+    // would rename the directory
+    val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val raw =
+      if (partCols.isEmpty) spark.read.parquet(inPath)
+      else {
+        val inf0 = spark.conf.get(infKey)
+        spark.conf.set(infKey, "false")
+        try spark.read.parquet(inPath)
+        finally spark.conf.set(infKey, inf0)
+      }
+    val df = transform(raw)
     val writer =
-      if (partCols.nonEmpty)
-        df.repartition(nOut, partCols.map(col): _*)
+      if (partCols.nonEmpty) {
+        // distinct partition-value dirs from the listing already made —
+        // the salt bound needs no extra job
+        val partDirs = dataFiles.map(_.getPath.getParent.toString)
+          .distinct.length
+        val filesPerPart = math.max(1,
+          math.ceil(nOut.toDouble / math.max(1, partDirs)).toInt)
+        val dataCols = df.columns.filterNot(partCols.contains).map(col)
+        df.withColumn("__ts_salt",
+            pmod(xxhash64(dataCols: _*), lit(filesPerPart)))
+          .repartition(nOut, partCols.map(col) :+ col("__ts_salt"): _*)
+          .drop("__ts_salt")
           .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
-      else
+      } else
         df.repartition(nOut).write.mode(SaveMode.Overwrite)
     writer.parquet(outPath)
     val outFiles = listDataFiles(new org.apache.hadoop.fs.Path(outPath))

@@ -101,4 +101,48 @@ class TableSinkSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(p_date"),
       "pruning must survive compaction: " + plan)
   }
+
+  test("compaction splits one oversized hive partition across multiple files") {
+    // the r13 review find: repartition on the partition columns alone
+    // hashes a whole partition value to ONE task and one file —
+    // targetFileBytes was unenforceable for a fat partition. The
+    // content-hash salt must split it while tiny partitions keep
+    // their one file.
+    val dir = Files.createTempDirectory("graft_compact_fat")
+    val src = Tables(spark, sf).lineitem
+      .withColumn("bucket",
+        when(col("l_orderkey") % 50 === 0, "small").otherwise("fat"))
+    src.repartition(4).write.partitionBy("bucket").parquet(s"$dir/in")
+    val fatBytes = new java.io.File(s"$dir/in/bucket=fat").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // a target well below the fat partition's bytes forces the split
+    val (_, _) = TableSink.compact(spark, s"$dir/in", s"$dir/out",
+      targetFileBytes = math.max(1L, fatBytes / 4))
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files(s"$dir/out/bucket=fat").length > 1,
+      "fat partition must split across files")
+    // rows survive exactly
+    assert(spark.read.parquet(s"$dir/out").count() == src.count())
+    assert(spark.read.parquet(s"$dir/out")
+      .filter(col("bucket") === "fat").count() ==
+      src.filter(col("bucket") === "fat").count())
+  }
+
+  test("compaction preserves numeric-looking string partition values verbatim") {
+    // default partition-type inference would re-type key=007 to int 7
+    // and the rewrite would RENAME the directory out from under
+    // path-based consumers — compact reads with inference off
+    val dir = Files.createTempDirectory("graft_compact_str")
+    import spark.implicits._
+    Seq(("a", "007"), ("b", "007"), ("c", "010"))
+      .toDF("v", "key")
+      .write.partitionBy("key").parquet(s"$dir/in")
+    assert(new java.io.File(s"$dir/in/key=007").isDirectory)
+    TableSink.compact(spark, s"$dir/in", s"$dir/out")
+    val dirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("key=007", "key=010"), dirs.mkString(","))
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+  }
 }
