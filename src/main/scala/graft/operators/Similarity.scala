@@ -21,8 +21,16 @@ object Similarity {
     * across engines and float summation orders.
     */
   def bruteForceTopK(emb: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    // ZERO-NORM POLICY (every cosine-ranking entry point in this
+    // file and IvfIndex): a zero vector (failed encode / padding row)
+    // makes cos = 0/0 = NaN, and NaN sorts ABOVE every double in a
+    // desc ranking — one such row would be the rank-1 neighbor of
+    // EVERY probe (and inside BoundedTopK it is never evicted). It is
+    // unrankable by definition, so it is excluded from both sides —
+    // the benchArtifact precedent, now uniform.
     val base = emb.select(col("vec_id"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     val probes = base.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"), col("nrm").as("nrm_p"))
     val pairs = broadcast(probes)
@@ -63,12 +71,21 @@ object Similarity {
       dupCutMicro: Long = 900000L): DataFrame = {
     val base = emb.select(col("vec_id"), col("label"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm policy, see bruteForceTopK
     val probes = base.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("label").as("label_p"),
         col("embedding").as("emb_p"), col("nrm").as("nrm_p"))
-    // labels must fit the 4-bit pack; the test schema's are 0..9 and
-    // the premise (contrastive class/domain labels) is small-k
-    val packed = col("vec_id") * 16 + col("label").cast("long")
+    // labels must fit the 4-bit pack (the premise: contrastive
+    // class/domain labels, small-k). ENFORCED per row: a label
+    // outside 0..15 would silently corrupt both the unpacked
+    // neighbor_id and neg_label (label 16 reads back as vec_id+1,
+    // label 0) — raise_error costs nothing on valid rows and names
+    // the violation instead of shipping wrong training pairs
+    val packed = when(col("label").between(0, 15),
+        col("vec_id") * 16 + col("label").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("hardNegatives: label "), col("label").cast("string"),
+        lit(" is outside the 4-bit pack range 0..15"))).cast("long"))
     val cands = broadcast(probes)
       .join(base, col("probe_id") =!= col("vec_id")
         && col("label_p") =!= col("label"))
@@ -206,6 +223,7 @@ object Similarity {
       marginMin: Double = 1.02, withStats: Boolean = false): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm policy, see bruteForceTopK
     val probes = base.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
         col("nrm").as("nrm_p"))
@@ -277,9 +295,14 @@ object Similarity {
       escalateNProbe: Int = 0,
       escalateEps: Double = MarginHeadroomEps): DataFrame = {
     val spark = emb.sparkSession
+    // escalation off is 0 EXPLICITLY; a positive width at or below
+    // the base nProbe would silently never escalate — refuse instead
+    require(escalateNProbe == 0 || escalateNProbe > nProbe,
+      s"escalateNProbe=$escalateNProbe must be 0 (off) or > nProbe=$nProbe")
     val targets = emb.filter(targetFilter)
       .select(col("vec_id"), col("embedding"),
         VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm policy, see bruteForceTopK
     val probes = emb.filter(probeFilter)
     val baseScored0 =
       ivfMarginScores(spark, probes, targets, indexDir, nProbe, m)
@@ -451,8 +474,10 @@ object Similarity {
     val pframe = emb.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("label").as("label_p"),
         col("embedding").as("emb_p"), VectorFns.norm(col("embedding")).as("nrm_p"))
+      .filter(col("nrm_p") > 0) // zero-norm policy, see bruteForceTopK
     val nframe = emb.select(col("vec_id"), col("label"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     // bounded sides are shuffle_hash BUILDS, never broadcasts: the
     // candidate set and the probe frame are "bounded" relative to the
     // corpus but grow with the probe batch — at the 1024× blow-up
@@ -513,6 +538,7 @@ object Similarity {
       topN: Int): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm policy, see bruteForceTopK
     val probes = base.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
         col("nrm").as("nrm_p"))
@@ -598,6 +624,7 @@ object Similarity {
       bits: Int = 12, nTables: Int = 4): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm policy, see bruteForceTopK
     // nTables signatures per vector: table t uses planes [t*bits, (t+1)*bits)
     val bucketed = base.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((0 until nTables).map { tbl =>
@@ -835,6 +862,7 @@ object Similarity {
 
     val base = emb.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm policy, see bruteForceTopK
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sizing count runs on the just-persisted base, so it IS the
@@ -961,6 +989,7 @@ object Similarity {
       k: Int = 5): DataFrame = {
     val base = emb.select(col("vec_id"), col("label"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm policy, see bruteForceTopK
     val seeds = base.filter(seedFilter)
       .select(col("vec_id").as("seed_id"), col("label").as("seed_label"),
         col("embedding").as("emb_s"), col("nrm").as("nrm_s"))
@@ -1001,6 +1030,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val base = emb.select(col("vec_id"), col("label"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm policy, see bruteForceTopK
     val seedBase = base.filter(seedFilter)
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1014,9 +1044,14 @@ object Similarity {
     // StreamingQuality vocab-cap rule): the op's premise is
     // hand-labeled ≪ corpus, and the default cap is the documented
     // index envelope (targetCellSize 128 × maxCells 2048 = 262144
-    // seeds ≈ 260 MB of float vecs at dim 256 — broadcastable). A
-    // programmatic seed filter that matches a corpus-sized slice must
-    // fail with an actionable message, not OOM the driver.
+    // seeds ≈ 260 MB of packed float vecs at dim 256). The TRANSIENT
+    // driver cost is the collect itself — a typed-encoder collect
+    // (primitive Array[Float] payloads, ~dim·4 B + tuple overhead per
+    // row) rather than boxed Rows, whose per-element Float boxing
+    // measured ~5× the packed size and would make the cap's own
+    // estimate wrong. A programmatic seed filter that matches a
+    // corpus-sized slice must fail with an actionable message, not
+    // OOM the driver.
     require(nSeeds <= seedCap,
       s"labelPropagate seed set has $nSeeds rows, above the seedCap " +
         s"$seedCap — the seed index is collected to the driver and " +
@@ -1027,11 +1062,16 @@ object Similarity {
     val model = fitKMeans(seedBase, cells, trainSample, initMode = "random")
     // the assigned seed set collects driver-side into the per-cell
     // index (cell-grouped, id-ordered) and ships once per executor
-    val rows = model.transform(seedBase)
-      .select(col("prediction").as("cell"), col("vec_id"), col("label"),
-        col("embedding"), col("nrm"))
-      .collect()
-      .sortBy(r => (r.getInt(0), r.getLong(1)))
+    val rows = {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      model.transform(seedBase)
+        .select(col("prediction").as("cell"), col("vec_id"), col("label"),
+          col("embedding"), col("nrm"))
+        .as[(Int, Long, Int, Array[Float], Double)]
+        .collect()
+        .sortBy(r => (r._1, r._2))
+    }
     seedBase.unpersist()
     val centArr = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val (flat, supers, cellSuper, dim) = selectionArrays(centArr, coarse = true)
@@ -1042,10 +1082,10 @@ object Similarity {
     var i = 0
     while (i < n) {
       val r = rows(i)
-      cellOff(r.getInt(0) + 1) += 1
-      ids(i) = r.getLong(1); labels(i) = r.getInt(2)
-      nrms(i) = r.getDouble(4)
-      val v = r.getSeq[Float](3)
+      cellOff(r._1 + 1) += 1
+      ids(i) = r._2; labels(i) = r._3
+      nrms(i) = r._5
+      val v = r._4
       var j = 0
       val dd = math.min(dim, v.length)
       while (j < dd) { vecs(i * dim + j) = v(j); j += 1 }
@@ -1656,8 +1696,13 @@ object Similarity {
         // here (the wall is MLlib job scheduling + the token explode,
         // not the init), and topic coherence benefits from better seeds
         val model = fitKMeans(base, nClusters, trainSample)
+        // materialize the (tiny) assignment BEFORE releasing base:
+        // transform is lazy, and an unpersisted base would make both
+        // downstream consumers (cellTerms join, docsPerCell) re-run
+        // the source scan + the n·cells assignment pass from scratch
         val out = model.transform(base)
           .select(col("vec_id"), col("prediction").as("cell"))
+          .localCheckpoint()
         base.unpersist()
         out
     }

@@ -34,8 +34,17 @@ import org.apache.spark.sql.types._
   */
 case class BoundedTopK(scoreExpr: Expression, idExpr: Expression, m: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[BoundedTopK.Heap] {
+    extends TypedImperativeAggregate[BoundedTopK.Heap]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(m > 0, "top-k bound must be positive")
+
+  // declared input types: a mistyped caller (a long count as score, an
+  // int id) is coerced — or refused — at ANALYSIS time instead of
+  // surfacing as a per-row executor ClassCastException mid-job
+  // (GraftShim.AbstractType: Spark 4 made AbstractDataType
+  // private[sql], the shim re-exposes it)
+  override def inputTypes: Seq[GraftShim.AbstractType] =
+    Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean = false

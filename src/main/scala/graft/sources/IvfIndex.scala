@@ -162,6 +162,9 @@ object IvfIndex {
     import org.apache.spark.ml.functions.array_to_vector
     val base = emb.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+      // zero-norm vectors are unrankable (cosine NaN) and never enter
+      // the index — Similarity.bruteForceTopK documents the policy
+      .filter(col("nrm") > 0)
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unpersist in finally: a failed fit/write must not leak the
@@ -212,6 +215,7 @@ object IvfIndex {
     // narrow native pass, batch-linear, no probes×cells window
     val assigned = emb.select(col("vec_id"), col("embedding"),
         graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm policy, as build
       .withColumn("cell", element_at(graft.operators.Similarity.cellSelect(
         col("embedding"), readCentroids(spark, dir), 1, coarse = false), 1))
     assigned
@@ -363,6 +367,7 @@ object IvfIndex {
     val probes = probeEmb.select(col("vec_id").as("probe_id"),
       col("embedding").as("emb_p"),
       graft.functions.VectorFns.norm(col("embedding")).as("nrm_p"))
+      .filter(col("nrm_p") > 0) // zero-norm policy: unrankable probes
     // same native selection as ivfTopK's in-query form — the centroid
     // table collected cell-ordered, so selection (and thus results)
     // stay bit-identical between index-then-probe and the

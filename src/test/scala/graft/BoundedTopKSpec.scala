@@ -9,6 +9,19 @@ import graft.plans.BoundedTopK.boundedTopK
   */
 class BoundedTopKSpec extends SparkSpec {
 
+  test("declared input types coerce mistyped callers at analysis time") {
+    import spark.implicits._
+    // an int score / int id used to reach update() untouched and die
+    // per-row with an executor ClassCastException mid-job; the
+    // ImplicitCastInputTypes declaration coerces both at plan time
+    val df = Seq((10, 1), (5, 2), (7, 3)).toDF("score", "id")
+    val out = df.agg(boundedTopK(col("score"), col("id"), 2).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.score"), col("e.id")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10.0, 1L), (7.0, 3L)), out.toSeq.toString)
+  }
+
   test("heap aggregate equals the rank-window top-m on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -558,6 +558,61 @@ class LlmOpsSpec extends SparkSpec {
       s"$applied of ${out.length} transformed at rate 0.5")
   }
 
+  test("zero-norm embeddings are unrankable: excluded from both sides of a cosine ranking") {
+    import spark.implicits._
+    // the r13 review find: cos against a zero vector is 0/0 = NaN and
+    // NaN sorts ABOVE every double desc — one failed-encode row would
+    // be the rank-1 neighbor of EVERY probe. The policy (the
+    // benchArtifact precedent, now uniform across the ranking entry
+    // points): a zero-norm vector is neither neighbor nor probe.
+    val emb = Tables(spark, sf).embeddings
+    val zeroRow = Seq((99999999L, Array.fill(64)(0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val poisoned = emb.unionByName(zeroRow)
+    val probeF = col("vec_id") % 50 === 0 || col("vec_id") === 99999999L
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted
+    val cleanBrute = sorted(Similarity.bruteForceTopK(
+      emb, col("vec_id") % 50 === 0, k = 5))
+    val zeroBrute = sorted(Similarity.bruteForceTopK(poisoned, probeF, k = 5))
+    assert(cleanBrute.nonEmpty && zeroBrute.sameElements(cleanBrute),
+      "a zero-norm vector changed brute-force rankings")
+    val cleanHn = sorted(Similarity.hardNegatives(
+      emb, col("vec_id") % 10 === 0, k = 5))
+    val zeroHn = sorted(Similarity.hardNegatives(
+      poisoned, col("vec_id") % 10 === 0 || col("vec_id") === 99999999L,
+      k = 5))
+    assert(zeroHn.sameElements(cleanHn),
+      "a zero-norm vector changed mined hard negatives")
+    // the persisted index path: the zero vector never enters the index
+    // and a zero probe emits nothing
+    val dir = java.nio.file.Files.createTempDirectory("graft-zn").toString
+    graft.sources.IvfIndex.build(poisoned, dir, nCells = 4)
+    assert(spark.read.parquet(s"$dir/codes.parquet")
+      .filter(col("vec_id") === 99999999L).count() == 0,
+      "zero-norm vector entered the index")
+    assert(graft.sources.IvfIndex.topK(spark, dir, zeroRow, k = 3, nProbe = 2)
+      .collect().isEmpty, "a zero-norm probe must return nothing")
+  }
+
+  test("hard negatives label pack refuses labels outside 0..15 loudly") {
+    import spark.implicits._
+    val emb = Tables(spark, sf).embeddings
+    // a label 16 would silently unpack as (vec_id+1, label 0) —
+    // corrupted training pairs; the pack must raise instead
+    val bad = emb.limit(20).unionByName(
+      Seq((88888888L, Array.fill(64)(0.5f), 16))
+        .toDF("vec_id", "embedding", "label"))
+    val ex = intercept[Exception] {
+      Similarity.hardNegatives(bad, col("vec_id") % 2 === 0, k = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("4-bit pack range")),
+      messages(ex).mkString(" | "))
+  }
+
   test("hard negatives: differently-labeled, below the dup ceiling, label recovered") {
     val emb = Tables(spark, sf).embeddings
     // the 4-bit label pack's precondition on this schema
