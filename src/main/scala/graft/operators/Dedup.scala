@@ -49,7 +49,7 @@ object Dedup {
     * pass with a raw IllegalArgumentException — non-boolean values are
     * ignored loudly and the default path runs (ADVICE r10).
     */
-  private def propBool(key: String): Option[Boolean] =
+  private[graft] def propBool(key: String): Option[Boolean] =
     sys.props.get(key).flatMap { v =>
       if (v.equalsIgnoreCase("true")) Some(true)
       else if (v.equalsIgnoreCase("false")) Some(false)
@@ -296,8 +296,18 @@ object Dedup {
     * column stays for profile tooling / parity specs; Catalyst prunes
     * it wherever unused.
     */
+  /** The word-shingle width the minhash family bands AND verifies at.
+    * One constant, shared by minhashSignature's default and every
+    * slim-cache re-derivation site (minhashLsh's verify side,
+    * incrementalDedup's corpus side) — a literal 3 at any one of them
+    * would let banding and verification silently drift apart if the
+    * width ever changed, exactly where no oracle looks (slim mode
+    * engages only past the cache budget, i.e. at blow-up scale).
+    */
+  private[graft] val DefaultShingleK = 3
+
   def minhashSignature(docs: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, carry: Seq[String] = Nil): DataFrame = {
+      shingleK: Int = DefaultShingleK, carry: Seq[String] = Nil): DataFrame = {
     val shingles = TextFns.wordShingles(lower(col(textCol)), shingleK)
     val sb = graft.plans.native.minhashSigBuckets(shingles, MinhashK, P,
       rng.map(_._1).toSeq, rng.map(_._2).toSeq, Bands, RowsPerBand)
@@ -401,7 +411,8 @@ object Dedup {
     // drift), recomputed from source per verify side — no minhash
     val sh = if (fatCache) signed.select("doc_id", "shingles")
       else docs.select(col(idCol).as("doc_id"),
-        TextFns.wordShingles(lower(col(textCol)), 3).as("shingles"))
+        TextFns.wordShingles(lower(col(textCol)), DefaultShingleK)
+          .as("shingles"))
     // group by bucket ALONE: the band id is hashed into the bucket
     // value (bandedIds hashes lit(j) first), so dropping the band
     // column from the keys is pair-equivalent up to 2^-64 cross-band
@@ -702,9 +713,17 @@ object Dedup {
     // persist: the signature feeds 8 exploded chunks × 2 self-join
     // sides — without a materialization barrier Catalyst collapses the
     // projections and recomputes the 64-bit aggregate tree 16×.
+    // Eager count (the r6 AQE-race rule): a lazily-persisted frame
+    // whose consumer branches start concurrently is rebuilt per
+    // branch; and the pin rides the retire-slot + SessionCaches
+    // ledger like every other long-lived corpus cache (r13 review —
+    // an unregistered persist is invisible to the shared budget and
+    // never released across corpora).
     val sh = docs.select(col(idCol).as("doc_id"),
       simhash(col(textCol)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireSimhashCaches(Seq(sh))
+    sh.count()
     // rotl(sim, 8): the second, offset-by-8 windowing
     val rot = shiftleft(col("simhash"), 8)
       .bitwiseOR(shiftrightunsigned(col("simhash"), 56))
@@ -805,20 +824,27 @@ object Dedup {
     // one row per doc and feeds the verify joins too.
     val fps = base.select(col("doc_id"),
       explode(graft.plans.native.winnowing(col("text"), k, w1)).as("fp"))
-    // the doc count is a parquet-metadata-cheap aggregate over the id
-    // column only; it feeds both the candgen volume gate and the
-    // verify-join size gate
-    val corpusRows = base.select(col("doc_id")).count()
+    // one narrow agg feeds the candgen volume gate and the verify-join
+    // size gate: row count plus the MEASURED character volume — the
+    // fingerprint row estimate is Σlen/w, and the previous fixed
+    // 720-char-doc assumption undersized the sorted-run repartition
+    // ~100× on long-document corpora (r13 review: each task then
+    // sorts ~100× SortedRunRowsPerTask — the external-sort spill wall
+    // the sizing exists to avoid)
+    val stats = base.agg(count(lit(1)),
+      sum(length(col("text")))).head()
+    val corpusRows = stats.getLong(0)
+    val totalChars =
+      if (stats.isNullAt(1)) 0L else stats.getLong(1)
     // volume-gated candgen (the minhashLsh r7 form): singleton
     // fingerprint runs — the vast majority — emit nothing, and at
-    // scale the fingerprint explode crosses exactly ONE exchange;
-    // ~len/w fingerprints per doc (~720-char docs) is the row estimate.
+    // scale the fingerprint explode crosses exactly ONE exchange.
     // persist + eager count: the pair set feeds TWO consumers now
     // (the doc prune below and the verify), and materializing it runs
     // the pair dedup distributed + gives join planning accurate sizes
     // (the minhashLsh §15.15 rationale).
     val cands = candidatePairs(fps, "fp", "doc_id", maxBucket,
-      corpusRows * (720L / w1))
+      math.max(corpusRows, totalChars / w1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands.count()
     // verify-side prune (late r7): only docs that appear in some
@@ -861,16 +887,54 @@ object Dedup {
     new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
   /** Same lifecycle as [[retireMinhashCaches]]: each call pins its own
     * candidate + pruned-text caches and retires the previous call's —
-    * a long-lived driver holds at most one corpus's worth.
+    * a long-lived driver holds at most one corpus's worth. The slot
+    * lock serializes retire+register as ONE swap exactly as
+    * minhashSlot does (two interleaved calls could otherwise leave
+    * the ledger tracking an already-unpersisted set while the live
+    * pins went unbudgeted); safe to hold across register() because
+    * the release callback below is CAS + unpersist, lock-free.
     */
-  private def retireSubstrCaches(next: Seq[DataFrame]): Unit = {
-    liveSubstrCaches.getAndSet(next).foreach(_.unpersist(false))
-    // cross-family ledger: same single-slot shape as the minhash pins
-    graft.SessionCaches.register("substr", "live", next) { () =>
-      liveSubstrCaches.compareAndSet(next, Nil)
-      next.foreach(_.unpersist(false))
+  private val substrSlot = new Object
+
+  /** Single-slot retire+register families for the simhash signature
+    * and the embedding-LSH base caches — the same lifecycle and
+    * locking shape as the minhash/substr slots (r13 review: both
+    * were persisted unregistered, so a long-lived multi-corpus
+    * driver pinned one cache per corpus forever, invisible to the
+    * shared SessionCaches budget).
+    */
+  private val liveSimhashCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+  private val simhashSlot = new Object
+  private def retireSimhashCaches(next: Seq[DataFrame]): Unit =
+    simhashSlot.synchronized {
+      liveSimhashCaches.getAndSet(next).foreach(_.unpersist(false))
+      graft.SessionCaches.register("simhash", "live", next) { () =>
+        liveSimhashCaches.compareAndSet(next, Nil)
+        next.foreach(_.unpersist(false))
+      }
     }
-  }
+
+  private val liveEmbedLshCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+  private val embedLshSlot = new Object
+  private def retireEmbedLshCaches(next: Seq[DataFrame]): Unit =
+    embedLshSlot.synchronized {
+      liveEmbedLshCaches.getAndSet(next).foreach(_.unpersist(false))
+      graft.SessionCaches.register("embedlsh", "live", next) { () =>
+        liveEmbedLshCaches.compareAndSet(next, Nil)
+        next.foreach(_.unpersist(false))
+      }
+    }
+  private def retireSubstrCaches(next: Seq[DataFrame]): Unit =
+    substrSlot.synchronized {
+      liveSubstrCaches.getAndSet(next).foreach(_.unpersist(false))
+      // cross-family ledger: same single-slot shape as the minhash pins
+      graft.SessionCaches.register("substr", "live", next) { () =>
+        liveSubstrCaches.compareAndSet(next, Nil)
+        next.foreach(_.unpersist(false))
+      }
+    }
 
   // ----------------------------------------- exact n-gram Jaccard pairs
 
@@ -959,15 +1023,15 @@ object Dedup {
     val base = emb.select(col("vec_id"), col("embedding"),
       VectorFns.norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireEmbedLshCaches(Seq(base))
+    // count AFTER persist, on EVERY path (r13 review: the explicit-
+    // bits path used to skip it — the r6 AQE race): the sizing pass
+    // doubles as the cache materialization
+    val n = math.max(1L, base.count())
     val useBits =
       if (bits > 0) bits
-      else {
-        // count AFTER persist: the sizing pass is the cache
-        // materialization, not an extra uncached source scan
-        val n = math.max(1L, base.count())
-        math.min(20, math.max(4,
-          math.ceil(math.log(n / 128.0) / math.log(2.0)).toInt))
-      }
+      else math.min(20, math.max(4,
+        math.ceil(math.log(n / 128.0) / math.log(2.0)).toInt))
     // vectors ride the bucket join (the simhash lesson): the cosine
     // cut evaluates INSIDE the join stage, so only true near-dup
     // pairs reach the pair-dedup shuffle — never the Σ bucket²

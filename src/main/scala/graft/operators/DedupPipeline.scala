@@ -161,7 +161,9 @@ object DedupPipeline {
     // corpus text, one linear scan. The BATCH cache stays fat
     // unconditionally: the batch is the increment — re-deriving it
     // would re-run the md5 anti join per consumer.
-    val corpusFat = sys.props.get("graft.minhash.fatCache").map(_.toBoolean)
+    // propBool, not a raw toBoolean: a typo'd A/B value must not
+    // abort the whole op (the ADVICE-r10 rule minhashLsh follows)
+    val corpusFat = Dedup.propBool("graft.minhash.fatCache")
       .getOrElse(
         Dedup.estShingleCacheBytes(corpus) < Dedup.cacheBudgetBytes(corpus))
     val corpusCols =
@@ -240,8 +242,8 @@ object DedupPipeline {
         corpusSigned.select(col("doc_id").as("c_id"),
           col("shingles").as("sh_c"))
       else corpus.select(col(idCol).as("c_id"),
-        graft.functions.TextFns.wordShingles(lower(col(textCol)), 3)
-          .as("sh_c"))
+        graft.functions.TextFns.wordShingles(lower(col(textCol)),
+          Dedup.DefaultShingleK).as("sh_c"))
     val dupOfCorpus = cands
       .join(gate(batchSigned.select(col("doc_id").as("b_id"),
         col("shingles").as("sh_b")), batchRows * Dedup.ShingleRowBytes),
@@ -305,33 +307,51 @@ object DedupPipeline {
       16, 0.75f, true)
 
     def componentsFor(docs: => DataFrame, key: String): DataFrame = {
-      val (r, builtNow) = built.synchronized {
-        val have = built.get(key)
-        if (have != null) (have, false)
-        else {
+      built.synchronized(Option(built.get(key))) match {
+        case Some(have) =>
+          graft.SessionCaches.touch("components", key)
+          have
+        case None =>
+          // the BUILD runs OUTSIDE the `built` lock (r13 review find):
+          // componentsOf transitively takes the minhash slot, whose
+          // register() can evict ANOTHER family's — including a
+          // components — entry, and that victim's release callback
+          // takes `built`: holding `built` across the build is the
+          // exact ABBA order the SessionCaches rule forbids (measured
+          // order: built→minhashSlot here, minhashSlot→built in the
+          // eviction path). Two concurrent first calls may now both
+          // build; the first insert wins, the loser's barrier frame is
+          // simply dropped (barrier frames have no unpersist — blocks
+          // free with the reference) and the result is deterministic
+          // either way.
           // barrier, not bare localCheckpoint: executor-local blocks
           // die with their executor, and a long-lived driver on a real
           // cluster reads this frame across many later queries — the
           // reliable-checkpoint route (when a dir is configured)
           // survives executor loss, same as the CC loop's own barriers
           val r = barrier(componentsOf(docs))
-          built.put(key, r)
-          while (built.size > MaxLive) {
-            val it = built.entrySet().iterator()
-            val e = it.next(); it.remove()
-            graft.SessionCaches.drop("components", e.getKey)
+          val (winner, inserted) = built.synchronized {
+            val race = built.get(key)
+            if (race != null) (race, false)
+            else {
+              built.put(key, r)
+              while (built.size > MaxLive) {
+                val it = built.entrySet().iterator()
+                val e = it.next(); it.remove()
+                graft.SessionCaches.drop("components", e.getKey)
+              }
+              (r, true)
+            }
           }
-          (r, true)
-        }
+          // cross-family ledger (outside the family lock — the ABBA
+          // rule): a barrier frame has no unpersist — release just
+          // drops the reference and the blocks free with it
+          if (inserted)
+            graft.SessionCaches.register("components", key, Seq(winner))(() =>
+              built.synchronized { built.remove(key): Unit })
+          else graft.SessionCaches.touch("components", key)
+          winner
       }
-      // cross-family ledger (outside the family lock — the ABBA
-      // rule): a barrier frame has no unpersist — release just drops
-      // the reference and the blocks free with it
-      if (builtNow)
-        graft.SessionCaches.register("components", key, Seq(r))(() =>
-          built.synchronized { built.remove(key): Unit })
-      else graft.SessionCaches.touch("components", key)
-      r
     }
 
     private[graft] def reset(): Unit = built.synchronized {
