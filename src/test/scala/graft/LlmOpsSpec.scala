@@ -67,6 +67,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(uncapped >= 40L * 39 / 2, s"uncapped pair count $uncapped")
   }
 
+  test("prefix-jaccard cap: count+semi form equals the window-form reference pair-for-pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // planted: an over-cap 40-doc family (cut whole), an exactly-at-cap
+    // 32-doc family (kept — the boundary), a 2-doc near-dup bucket,
+    // plus the real sf corpus underneath
+    val hot = (1 to 12).map(i => s"hw$i").mkString(" ")
+    val edge = (1 to 12).map(i => s"ew$i").mkString(" ")
+    val small = "unique alpha beta gamma delta epsilon zeta"
+    val planted =
+      (0 until 40).map(i => (2000L + i, s"$hot tail$i")) ++
+      (0 until 32).map(i => (3000L + i, s"$edge tail$i")) ++
+      Seq((4000L, s"$small one"), (4001L, s"$small two"))
+    val d = docs.select(col("doc_id"), col("text"))
+      .unionAll(planted.toDF("doc_id", "text"))
+    // reference semantics: the r13 window form — keep docs whose
+    // 40-char-prefix group is within the cap, then uncapped pairs
+    // restricted to kept docs (doc→pre is functional and both pair
+    // members share pre, so filtering on doc_a alone is exact)
+    val keep = d.select(col("doc_id"), substring(col("text"), 1, 40).as("pre"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("pre")))
+      .filter(col("__n") <= 32).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = Dedup.prefixJaccardPairs(d, threshold = 0.5, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, _, _) => keep(a) }.toSet
+    val actual = Dedup.prefixJaccardPairs(d, threshold = 0.5, maxBucket = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(actual == expected,
+      s"capped form diverges from window reference: " +
+        s"only-actual ${(actual -- expected).take(5)}, " +
+        s"only-expected ${(expected -- actual).take(5)}")
+    // the at-cap family's pairs survive (boundary is <=, not <)
+    assert(actual.exists { case (a, b, _) => a >= 3000 && a < 3100 && b < 3100 },
+      "exactly-at-cap bucket was cut")
+    // the over-cap family is gone whole
+    assert(!actual.exists { case (a, _, _) => a >= 2000 && a < 2100 },
+      "over-cap family pairs survived")
+  }
+
   test("simhash hamming distance is small exactly for near-dup pairs") {
     val planted = Dedup.prefixJaccardPairs(docs, prefixLen = 40, threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
