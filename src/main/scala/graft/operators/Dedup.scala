@@ -737,14 +737,28 @@ object Dedup {
             shiftrightunsigned(rot, j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
         }: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
-    val blocked =
-      if (maxBucket <= 0) chunked
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("chunk_id", "chunk")
-        chunked.withColumn("__n", count(lit(1)).over(w))
-          .filter(col("__n") <= maxBucket).drop("__n")
-      }
+    // Bucket-cap enforcement + singleton pre-cut via a NARROW
+    // (chunk_id, chunk) count + semi-join (r14, the prefixJaccardPairs
+    // restructure applied to its sibling): the old count-over-window
+    // form sorted ALL 8n chunk rows by bucket and buffered each hot
+    // (boilerplate-family) bucket whole in one task's window buffer —
+    // and it shipped every SINGLETON window row into both self-join
+    // sides, where it could never match (doc_a < doc_b). The count
+    // collapses map-side on the window key; the surviving-bucket set
+    // is bounded by the collision volume (shuffle-hash build, r5
+    // rule); `__n >= 2` cuts the singleton majority before the join.
+    // Pair set identical in both modes (spec-pinned): same
+    // `<= maxBucket` predicate on the same groups, and singleton
+    // windows produce no pair.
+    val blocked = {
+      val counts = chunked.select("chunk_id", "chunk")
+        .groupBy("chunk_id", "chunk").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2 &&
+          (if (maxBucket <= 0) lit(true) else col("__n") <= maxBucket))
+        .select("chunk_id", "chunk")
+      chunked.join(counts.hint("shuffle_hash"),
+        Seq("chunk_id", "chunk"), "left_semi")
+    }
     val a = blocked.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = blocked.select(col("chunk_id"), col("chunk"),

@@ -332,7 +332,7 @@ object DedupPipeline {
           val r = barrier(componentsOf(docs))
           val (winner, inserted) = built.synchronized {
             val race = built.get(key)
-            if (race != null) (race, false)
+            if (race != null) { releaseLoserBarrier(r); (race, false) }
             else {
               built.put(key, r)
               while (built.size > MaxLive) {
@@ -358,6 +358,25 @@ object DedupPipeline {
       built.keySet().forEach(k => graft.SessionCaches.drop("components", k))
       built.clear()
     }
+
+    /** Reclaim a build-race loser's barrier frame (ADVICE r13):
+      * "blocks free with the dropped reference" only holds for
+      * localCheckpoint — with a reliable checkpoint dir configured,
+      * barrier() wrote durable checkpoint FILES that nothing will ever
+      * reference again. Best-effort delete of the loser's checkpoint
+      * directory; localCheckpoint frames report no checkpoint file and
+      * fall through untouched.
+      */
+    private def releaseLoserBarrier(df: DataFrame): Unit =
+      try df.queryExecution.logical.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.flatMap(_.getCheckpointFile).foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true): Unit
+        }
+      catch { case _: Throwable => () }
   }
 
   /** The kept corpus (one representative per duplicate component) plus

@@ -2022,8 +2022,13 @@ object LlmOps {
     None, // synthetic binary media (no media table in testdata); the
           // header decode is property-tested against the written
           // bytes in MediaOpsSpec — see MediaCodecs
-    (s, _) => MediaOps.extractFeatures(
-        MediaOps.syntheticMedia(s, 200).repartition(8))
+    // no repartition (r14): syntheticMedia now GENERATES on a
+    // distributed range (encode parallelism = session cores), so the
+    // round-6 repartition(8) — which existed to split the local-Seq
+    // relation — only capped the decode at 8 tasks and shuffled the
+    // payload bytes through an exchange. Plan is now zero-exchange:
+    // Range → encode map → decode mapPartitions.
+    (s, _) => MediaOps.extractFeatures(MediaOps.syntheticMedia(s, 200))
       .select(col("media_id"), col("mime"), col("n_bytes"), col("fmt"),
         col("width"), col("height"), col("bit_depth"), col("channels"),
         col("sample_rate")))
@@ -2039,8 +2044,10 @@ object LlmOps {
   private val mediaFrames = GraftQuery(
     "d_media_frames",
     None,
+    // no repartition (r14): same zero-exchange rationale as
+    // d_media_features above
     (s, _) => MediaOps.sampleFrames(
-        MediaOps.syntheticMedia(s, 200).repartition(8), nFrames = 4)
+        MediaOps.syntheticMedia(s, 200), nFrames = 4)
       .select(col("media_id"), col("mime"), col("frame_idx"),
         length(col("frame")).as("n_bytes"),
         (substring(col("frame"), 2, 3) === lit("PNG".getBytes("US-ASCII")))

@@ -228,9 +228,20 @@ object MediaOps {
     * width/height columns — so header decode recovers real values
     * from real bytes.
     */
+  /** Built ON EXECUTORS (r14): the per-id codec ENCODE (real DCT,
+    * PNG filtering + deflate) dominates the synthetic-media ops, and
+    * the previous local-Seq construction ran every encode
+    * single-threaded on the driver inside the consumer's timed query
+    * (the guide-§5 "driver should do no data work" rule). A
+    * distributed range splits the encode across the session's
+    * parallelism; every blob is keyed on its id alone, so the rows are
+    * bit-identical under any partitioning (MediaOpsSpec pins the
+    * bytes).
+    */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    (0 until n).map { i =>
+    spark.range(0, n).as[Long].map { id =>
+      val i = id.toInt
       val w = 64 + i % 32
       val h = 48 + i % 24
       (i % 4) match {

@@ -92,10 +92,18 @@ object IvfIndex {
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       // local FS reports an existing dst through the generic message
-      // path on some Hadoop builds — re-check rather than parse
+      // path on some Hadoop builds — re-check, but only treat shapes
+      // whose MESSAGE names an existence/rename failure as arbitration
+      // loss; any other IOException with both paths present (e.g. a
+      // permission failure) propagates instead of masquerading as
+      // destination-exists (ADVICE r13: the swallowed cause surfaced
+      // as compact's misleading 'old reappeared' error)
       case e: java.io.IOException =>
+        val m = Option(e.getMessage).getOrElse("").toLowerCase
         val fs = dst.getFileSystem(conf)
-        if (fs.exists(dst) && fs.exists(src)) false else throw e
+        if ((m.contains("exist") || m.contains("rename")) &&
+            fs.exists(dst) && fs.exists(src)) false
+        else throw e
     }
 
   /** Restore a codes dataset stranded mid-[[compact]] swap: the swap

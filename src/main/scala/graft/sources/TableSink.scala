@@ -139,11 +139,16 @@ object TableSink {
         val filesPerPart = math.max(1,
           math.ceil(nOut.toDouble / math.max(1, partDirs)).toInt)
         val dataCols = df.columns.filterNot(partCols.contains).map(col)
-        df.withColumn("__ts_salt",
-            pmod(xxhash64(dataCols: _*), lit(filesPerPart)))
-          .repartition(nOut, partCols.map(col) :+ col("__ts_salt"): _*)
-          .drop("__ts_salt")
-          .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+        // xxhash64 requires >= 1 argument: a layout whose EVERY column
+        // is a partition column (dataCols empty) falls back to the
+        // unsalted repartition instead of failing analysis (ADVICE r13)
+        val salted =
+          if (dataCols.isEmpty) df.repartition(nOut, partCols.map(col): _*)
+          else df.withColumn("__ts_salt",
+              pmod(xxhash64(dataCols: _*), lit(filesPerPart)))
+            .repartition(nOut, partCols.map(col) :+ col("__ts_salt"): _*)
+            .drop("__ts_salt")
+        salted.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       } else
         df.repartition(nOut).write.mode(SaveMode.Overwrite)
     writer.parquet(outPath)

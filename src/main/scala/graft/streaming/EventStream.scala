@@ -53,6 +53,17 @@ object EventStream {
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // the in-gap test below measures only against last_ts, so an
+    // out-of-order arrival EARLIER than first_ts folds into the open
+    // session on a negative delta. That is provably correct only while
+    // lateness is bounded by the gap: the 10-minute watermark admits
+    // events at most 10 min behind the max seen, so gap >= watermark
+    // delay makes a beyond-gap backward merge impossible (ADVICE r13 —
+    // a smaller gap would need a first_ts-side split too)
+    require(gapMinutes.toLong * 60000L >= 10L * 60000L,
+      s"gapMinutes=$gapMinutes is below the 10-minute watermark delay: " +
+        "a late event could precede the open session's start by more " +
+        "than the gap and silently fold in; raise gapMinutes")
     events
       .filter(_.ts != null)
       .withWatermark("ts", "10 minutes")

@@ -107,6 +107,70 @@ class LlmOpsSpec extends SparkSpec {
       "over-cap family pairs survived")
   }
 
+  test("simhash cap: count+semi form equals the window-form reference pair-for-pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // planted: 40 copies of one text (identical simhash → every family
+    // window bucket holds all 40 → decisively over a 32 cap), plus the
+    // sf corpus underneath for realistic background buckets
+    val famBase = (1 to 30).map(i => s"fam$i word$i common").mkString(" ")
+    val planted = (0 until 40).map(i => (5000L + i, famBase))
+    val d = docs.select(col("doc_id"), col("text"))
+      .unionAll(planted.toDF("doc_id", "text"))
+    // reference = the r13 window form, replicated verbatim over the
+    // same signature/windowing derivation the impl uses
+    val sh = d.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    val rot = shiftleft(col("simhash"), 8)
+      .bitwiseOR(shiftrightunsigned(col("simhash"), 56))
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(array(
+        (0 until 4).map { j =>
+          struct(lit(j).as("chunk_id"),
+            shiftrightunsigned(col("simhash"), j * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("chunk"))
+        } ++ (0 until 4).map { j =>
+          struct(lit(j + 4).as("chunk_id"),
+            shiftrightunsigned(rot, j * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("chunk"))
+        }: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+    def pairsOf(blocked: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] = {
+      val a = blocked.select(col("chunk_id"), col("chunk"),
+        col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      val b = blocked.select(col("chunk_id"), col("chunk"),
+        col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      a.join(b, Seq("chunk_id", "chunk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+        .filter(col("hamming") <= 10)
+        .dropDuplicates("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.get(2).toString.toInt)).toSet
+    }
+    for (cap <- Seq(32, 0)) {
+      val w = Window.partitionBy("chunk_id", "chunk")
+      val ref = pairsOf(
+        if (cap <= 0) chunked
+        else chunked.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= cap).drop("__n"))
+      val actual = Dedup.simhashPairs(d, maxHamming = 10, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.get(2).toString.toInt)).toSet
+      assert(actual == ref,
+        s"cap=$cap diverges: only-actual ${(actual -- ref).take(5)}, " +
+          s"only-ref ${(ref -- actual).take(5)}")
+      if (cap > 0)
+        assert(!actual.exists { case (a, b, _) => a >= 5000 && b >= 5000 },
+          s"cap=$cap kept over-cap family pairs")
+    }
+    // uncapped still finds the whole planted family (the singleton
+    // pre-cut drops no real pair)
+    val un = Dedup.simhashPairs(d, maxHamming = 10, maxBucket = 0)
+      .filter(col("doc_a") >= 5000).count()
+    assert(un == 40L * 39 / 2, s"uncapped family pair count $un")
+  }
+
   test("simhash hamming distance is small exactly for near-dup pairs") {
     val planted = Dedup.prefixJaccardPairs(docs, prefixLen = 40, threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
