@@ -1112,14 +1112,23 @@ object Relational {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem) t
       ORDER BY l_orderkey, l_linenumber, measure"""),
+    // sort the 3×-narrower PRE-expand input, not the melted rows: the
+    // output total order is unchanged because (l_orderkey,
+    // l_linenumber) is the lineitem primary key (no ties for the
+    // measure column to break across input rows) and the values are
+    // listed in the measure column's own ascending order (discount <
+    // quantity < tax), which Expand emits row-contiguously — so
+    // Sort→Expand produces exactly the ORDER BY (l_orderkey,
+    // l_linenumber, measure) sequence while range-shuffling a third
+    // of the rows, none of them carrying the measure string
     (s, dir) => Tables(s, dir).lineitem
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber")
       .unpivot(
         ids = Array(col("l_orderkey"), col("l_linenumber")),
-        values = Array(col("l_quantity").as("quantity"),
-          col("l_discount").as("discount"), col("l_tax").as("tax")),
-        variableColumnName = "measure", valueColumnName = "value")
-      .orderBy("l_orderkey", "l_linenumber", "measure"))
+        values = Array(col("l_discount").as("discount"),
+          col("l_quantity").as("quantity"), col("l_tax").as("tax")),
+        variableColumnName = "measure", valueColumnName = "value"))
 
   val queries: Seq[GraftQuery] = Seq(
     pivotAgg, outcomeSummary, outcomeMatrix, outcomeDeduct, approxStats, windowSuite, rollupQ,
