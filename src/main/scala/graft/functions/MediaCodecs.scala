@@ -202,7 +202,12 @@ object MediaCodecs {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
-    // unfilter in place into the pixel plane
+    // unfilter into the pixel plane — filter dispatch hoisted to once
+    // per ROW (it was a per-byte match), with the None row a bulk
+    // arraycopy and Sub/Up as branch-free adds. All arithmetic is
+    // mod-256 integer, so each specialized loop reconstructs the exact
+    // bytes of the per-byte form (byte-exactness specs pin it); the
+    // per-task win matters because decode runs once per corpus row.
     val px = new Array[Byte](h * rowBytes)
     var y = 0
     while (y < h) {
@@ -210,21 +215,45 @@ object MediaCodecs {
       if (ft > 4) return None
       val in = y * (1 + rowBytes) + 1
       val out = y * rowBytes
-      var i = 0
-      while (i < rowBytes) {
-        val x = raw(in + i) & 0xFF
-        val left = if (i >= bpp) px(out + i - bpp) & 0xFF else 0
-        val up = if (y > 0) px(out - rowBytes + i) & 0xFF else 0
-        val ul = if (y > 0 && i >= bpp) px(out - rowBytes + i - bpp) & 0xFF else 0
-        val rec = ft match {
-          case 0 => x
-          case 1 => x + left
-          case 2 => x + up
-          case 3 => x + (left + up) / 2
-          case 4 => x + paeth(left, up, ul)
-        }
-        px(out + i) = (rec & 0xFF).toByte
-        i += 1
+      ft match {
+        case 0 => System.arraycopy(raw, in, px, out, rowBytes)
+        case 1 =>
+          var i = 0
+          val b0 = math.min(bpp, rowBytes)
+          while (i < b0) { px(out + i) = raw(in + i); i += 1 }
+          // byte + byte is congruent mod 256 to the unsigned sum
+          while (i < rowBytes) {
+            px(out + i) = (raw(in + i) + px(out + i - bpp)).toByte
+            i += 1
+          }
+        case 2 =>
+          if (y == 0) System.arraycopy(raw, in, px, out, rowBytes)
+          else {
+            var i = 0
+            while (i < rowBytes) {
+              px(out + i) = (raw(in + i) + px(out - rowBytes + i)).toByte
+              i += 1
+            }
+          }
+        case 3 =>
+          var i = 0
+          while (i < rowBytes) {
+            val left = if (i >= bpp) px(out + i - bpp) & 0xFF else 0
+            val up = if (y > 0) px(out - rowBytes + i) & 0xFF else 0
+            px(out + i) =
+              (((raw(in + i) & 0xFF) + (left + up) / 2) & 0xFF).toByte
+            i += 1
+          }
+        case 4 =>
+          var i = 0
+          while (i < rowBytes) {
+            val left = if (i >= bpp) px(out + i - bpp) & 0xFF else 0
+            val up = if (y > 0) px(out - rowBytes + i) & 0xFF else 0
+            val ul = if (y > 0 && i >= bpp) px(out - rowBytes + i - bpp) & 0xFF else 0
+            px(out + i) =
+              (((raw(in + i) & 0xFF) + paeth(left, up, ul)) & 0xFF).toByte
+            i += 1
+          }
       }
       y += 1
     }
@@ -617,9 +646,41 @@ object MediaCodecs {
     if (v < 256) v else 511 - v
   }
 
+  /** The DCT basis table: Cos(x)(u) = cos((2x+1)·u·π/16), the only 64
+    * cosine values either transform ever evaluates. Precomputed with
+    * the IDENTICAL expression the loops used inline, so every lookup
+    * returns the exact double the math.cos call returned — the
+    * transforms below are BIT-IDENTICAL to the pre-table forms (same
+    * operand values, same multiplication association, same summation
+    * order; the byte-exactness specs pin it). The win is per-task CPU
+    * only: math.cos was evaluated 8192 times per 8×8 block across
+    * encode+decode, the dominant per-pixel cost of the media family.
+    */
+  private val CosT: Array[Array[Double]] = Array.tabulate(8, 8)((x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16))
+
+  /** cu·cv normalization per (v·8+u), precomputed with the same
+    * 1/sqrt(2) doubles and the same multiply the loops performed.
+    */
+  private val CuCv: Array[Double] = {
+    val t = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        val cu = if (u == 0) 1 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1 / math.sqrt(2.0) else 1.0
+        t(v * 8 + u) = cu * cv
+        u += 1
+      }
+      v += 1
+    }
+    t
+  }
+
   /** 8x8 forward DCT-II (T.81 A.3.3), double precision -- the builder
     * runs per synthetic payload, not per corpus row, so the O(64^2)
-    * direct form is fine.
+    * direct form is fine (cosines table-looked-up, bit-identical).
     */
   private def fdct(block: Array[Double]): Array[Double] = {
     val out = new Array[Double](64)
@@ -632,9 +693,7 @@ object MediaCodecs {
         while (y < 8) {
           var x = 0
           while (x < 8) {
-            s += block(y * 8 + x) *
-              math.cos((2 * x + 1) * u * math.Pi / 16) *
-              math.cos((2 * y + 1) * v * math.Pi / 16)
+            s += block(y * 8 + x) * CosT(x)(u) * CosT(y)(v)
             x += 1
           }
           y += 1
@@ -649,7 +708,9 @@ object MediaCodecs {
     out
   }
 
-  /** 8x8 inverse DCT (T.81 A.3.3). */
+  /** 8x8 inverse DCT (T.81 A.3.3), cosines table-looked-up —
+    * bit-identical to the inline-cos form (see [[CosT]]).
+    */
   private def idct(coef: Array[Double]): Array[Double] = {
     val out = new Array[Double](64)
     var y = 0
@@ -661,11 +722,7 @@ object MediaCodecs {
         while (v < 8) {
           var u = 0
           while (u < 8) {
-            val cu = if (u == 0) 1 / math.sqrt(2.0) else 1.0
-            val cv = if (v == 0) 1 / math.sqrt(2.0) else 1.0
-            s += cu * cv * coef(v * 8 + u) *
-              math.cos((2 * x + 1) * u * math.Pi / 16) *
-              math.cos((2 * y + 1) * v * math.Pi / 16)
+            s += CuCv(v * 8 + u) * coef(v * 8 + u) * CosT(x)(u) * CosT(y)(v)
             u += 1
           }
           v += 1
