@@ -87,7 +87,11 @@ object Tables {
         .sorted.mkString(";")
     } catch { case _: java.io.IOException => "" }
 
-  private def parquetWithCachedSchema(spark: SparkSession,
+  /** Shared by the session-cache read-backs (CellAssignCache dirs are
+    * generation-unique, so the signature always matches after first
+    * read) — same footer-job trim as the table loaders.
+    */
+  private[graft] def parquetWithCachedSchema(spark: SparkSession,
       path: String): DataFrame = {
     val sg = sig(spark, path)
     val hit = schemaCache.get(path)

@@ -1261,7 +1261,7 @@ object Similarity {
         val cells = autoCells(emb.count(), nCells)
         val dir = graft.sources.CellAssignCache.dirFor(
           emb, key, cells, trainSample)
-        semDedupFrom(emb.sparkSession.read.parquet(dir)
+        semDedupFrom(graft.Tables.parquetWithCachedSchema(emb.sparkSession, dir)
           .select(col("vec_id"), col("cell"), col("embedding"), col("nrm")),
           tau)
       case None =>
@@ -1348,7 +1348,7 @@ object Similarity {
         // path (CellAssignSpec pins the graph edge-for-edge)
         val dir = graft.sources.CellAssignCache.dirFor(emb, cacheKey.get,
           cells, math.max(trainSample, 4 * cells))
-        val asn = emb.sparkSession.read.parquet(dir)
+        val asn = graft.Tables.parquetWithCachedSchema(emb.sparkSession, dir)
           .withColumn("bcell",
             if (useSubBits <= 0) col("cell")
             else col("cell") * lit(1L << useSubBits) +
@@ -1678,7 +1678,8 @@ object Similarity {
         // parquet column pruning skips the stored codes/embeddings
         val dir = graft.sources.CellAssignCache.dirFor(
           emb, key, nClusters, trainSample)
-        emb.sparkSession.read.parquet(dir).select(col("vec_id"), col("cell"))
+        graft.Tables.parquetWithCachedSchema(emb.sparkSession, dir)
+          .select(col("vec_id"), col("cell"))
       case None =>
         import org.apache.spark.ml.functions.array_to_vector
         // the base carries nrm like the other cell-blocked ops even
